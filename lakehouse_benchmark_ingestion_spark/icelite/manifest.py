@@ -1,0 +1,150 @@
+"""Manifest files: per-data-file stats, written as Parquet.
+
+Implements the "full per-file column metrics" the reference requests from
+Iceberg (``write.metadata.metrics.default=full``, IcebergCatalogSync.java:116)
+— min/max/row-count/byte-size per data file — which is what powers MERGE INTO
+file pruning (SURVEY.md §2.3 J1) and compaction planning.
+
+Stats are harvested from the Parquet footers the executors already wrote
+(zero extra data scan — the stats were computed by the columnar writer, i.e.
+vectorized, never per-row Python). For very large commits the footer reads
+are threaded; at true cluster scale the same harvest can run as a
+``spark.read.parquet(...).groupBy(_metadata.file_path)`` job — the manifest
+schema is identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .metadata import metadata_dir
+
+# columns we keep stats for; token arrays are deliberately excluded — stat
+# only the clustering dims (SURVEY.md §7.3 "token arrays are big")
+STATS_MAX_COLS = 12
+
+
+@dataclass
+class DataFile:
+    path: str  # absolute
+    file_size_bytes: int
+    record_count: int
+    # column name -> (min, max) for scalar columns only
+    lower_bounds: dict = field(default_factory=dict)
+    upper_bounds: dict = field(default_factory=dict)
+
+    def to_row(self) -> dict:
+        return {
+            "path": self.path,
+            "file_size_bytes": self.file_size_bytes,
+            "record_count": self.record_count,
+            "lower_bounds_json": _bounds_to_json(self.lower_bounds),
+            "upper_bounds_json": _bounds_to_json(self.upper_bounds),
+        }
+
+
+def _bounds_to_json(b: dict) -> str:
+    import json
+
+    return json.dumps(b, default=str, sort_keys=True)
+
+
+def _bounds_from_json(s: str) -> dict:
+    import json
+
+    return json.loads(s)
+
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        pa.field("path", pa.string(), nullable=False),
+        pa.field("file_size_bytes", pa.int64(), nullable=False),
+        pa.field("record_count", pa.int64(), nullable=False),
+        pa.field("lower_bounds_json", pa.string(), nullable=False),
+        pa.field("upper_bounds_json", pa.string(), nullable=False),
+    ]
+)
+
+
+def harvest_stats(paths: list[str], stat_columns: list[str] | None = None) -> list[DataFile]:
+    """Read Parquet footers and aggregate row-group stats per file."""
+
+    def one(path: str) -> DataFile:
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        schema = pf.schema_arrow
+        wanted = stat_columns
+        if wanted is None:
+            wanted = [
+                f.name
+                for f in schema
+                if not pa.types.is_nested(f.type) and not pa.types.is_binary(f.type)
+            ][:STATS_MAX_COLS]
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lowers: dict = {}
+        uppers: dict = {}
+        for name in wanted:
+            if name not in col_idx:
+                continue
+            i = col_idx[name]
+            mins, maxs = [], []
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if ok and mins:
+                lowers[name] = min(mins)
+                uppers[name] = max(maxs)
+        return DataFile(
+            path=path,
+            file_size_bytes=os.path.getsize(path),
+            record_count=md.num_rows,
+            lower_bounds=lowers,
+            upper_bounds=uppers,
+        )
+
+    if len(paths) <= 4:
+        return [one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(one, paths))
+
+
+def write_manifest(location: str, files: list[DataFile]) -> str:
+    """Write a manifest Parquet; returns its name relative to metadata/."""
+    name = f"manifest-{uuid.uuid4().hex}.parquet"
+    table = pa.Table.from_pylist([f.to_row() for f in files], schema=MANIFEST_SCHEMA)
+    pq.write_table(table, os.path.join(metadata_dir(location), name))
+    return name
+
+
+def read_manifest(location: str, name: str) -> list[DataFile]:
+    table = pq.read_table(os.path.join(metadata_dir(location), name))
+    out = []
+    for row in table.to_pylist():
+        out.append(
+            DataFile(
+                path=row["path"],
+                file_size_bytes=row["file_size_bytes"],
+                record_count=row["record_count"],
+                lower_bounds=_bounds_from_json(row["lower_bounds_json"]),
+                upper_bounds=_bounds_from_json(row["upper_bounds_json"]),
+            )
+        )
+    return out
+
+
+def read_manifests(location: str, names: list[str]) -> list[DataFile]:
+    out: list[DataFile] = []
+    for n in names:
+        out.extend(read_manifest(location, n))
+    return out

@@ -1,0 +1,174 @@
+"""Table metadata: snapshots, versioned metadata JSON, atomic commit.
+
+Mirrors (re-designed, not copied) the Iceberg v2 snapshot model the reference
+enables at IcebergCatalogSync.java:115 (``format-version=2``). The reference's
+exactly-once story is "Flink checkpoint == Iceberg snapshot commit"
+(IcebergCatalogSync.java:73-74, 60 s cadence MainRunner.java:86); ours is an
+atomic ``os.replace`` of ``version-hint.text`` with optimistic concurrency —
+a new metadata version is created with ``open(..., "x")`` so two concurrent
+committers cannot both claim version N+1 (SURVEY.md §7.3).
+
+Timestamps are injectable (``clock_ms``) so snapshot-expiration tests are
+deterministic (SURVEY.md §7.3 "no Date.now analogues").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Callable
+
+FORMAT_VERSION = 1
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same metadata version."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | replace | merge | expire | rewrite-manifests
+    manifests: list[str]  # manifest file names relative to metadata/
+    summary: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            manifests=list(d["manifests"]),
+            summary=dict(d.get("summary", {})),
+        )
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str  # absolute table root
+    schema_json: dict  # Spark StructType.jsonValue()
+    current_snapshot_id: int | None
+    snapshots: list[Snapshot]
+    properties: dict = field(default_factory=dict)
+    last_updated_ms: int = 0
+    format_version: int = FORMAT_VERSION
+
+    # ---- accessors -------------------------------------------------------
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found (expired or never existed)")
+
+    def to_dict(self) -> dict:
+        return {
+            "format_version": self.format_version,
+            "table_uuid": self.table_uuid,
+            "location": self.location,
+            "schema": self.schema_json,
+            "current_snapshot_id": self.current_snapshot_id,
+            "snapshots": [s.to_dict() for s in self.snapshots],
+            "properties": self.properties,
+            "last_updated_ms": self.last_updated_ms,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            location=d["location"],
+            schema_json=d["schema"],
+            current_snapshot_id=d.get("current_snapshot_id"),
+            snapshots=[Snapshot.from_dict(s) for s in d.get("snapshots", [])],
+            properties=dict(d.get("properties", {})),
+            last_updated_ms=d.get("last_updated_ms", 0),
+            format_version=d.get("format_version", FORMAT_VERSION),
+        )
+
+
+# ---- on-disk protocol ----------------------------------------------------
+
+def metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _hint_path(location: str) -> str:
+    return os.path.join(metadata_dir(location), "version-hint.text")
+
+
+def _metadata_path(location: str, version: int) -> str:
+    return os.path.join(metadata_dir(location), f"v{version}.metadata.json")
+
+
+def current_version(location: str) -> int:
+    with open(_hint_path(location)) as f:
+        return int(f.read().strip())
+
+
+def read_metadata(location: str, version: int | None = None) -> TableMetadata:
+    v = version if version is not None else current_version(location)
+    with open(_metadata_path(location, v)) as f:
+        return TableMetadata.from_dict(json.load(f))
+
+
+def write_initial_metadata(meta: TableMetadata) -> None:
+    os.makedirs(metadata_dir(meta.location), exist_ok=True)
+    with open(_metadata_path(meta.location, 1), "x") as f:
+        json.dump(meta.to_dict(), f, indent=1)
+    tmp = _hint_path(meta.location) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write("1")
+    os.replace(tmp, _hint_path(meta.location))
+
+
+def commit(
+    location: str,
+    mutate: Callable[[TableMetadata], TableMetadata],
+    retries: int = 5,
+) -> TableMetadata:
+    """Optimistic-concurrency commit.
+
+    Re-reads current metadata, applies ``mutate``, and attempts to claim the
+    next version with an exclusive create. On conflict (another writer won),
+    re-reads and retries ``mutate`` against the new base — the analogue of
+    Iceberg's optimistic snapshot commit loop.
+    """
+    last_err: Exception | None = None
+    for _ in range(retries):
+        base_version = current_version(location)
+        meta = read_metadata(location, base_version)
+        new_meta = mutate(meta)
+        new_meta.last_updated_ms = new_meta.last_updated_ms or now_ms()
+        try:
+            with open(_metadata_path(location, base_version + 1), "x") as f:
+                json.dump(new_meta.to_dict(), f, indent=1)
+        except FileExistsError as e:  # lost the race
+            last_err = e
+            continue
+        tmp = _hint_path(location) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(base_version + 1))
+        os.replace(tmp, _hint_path(location))
+        return new_meta
+    raise CommitConflict(f"gave up after {retries} retries") from last_err
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def new_snapshot_id(meta: TableMetadata) -> int:
+    return 1 + max((s.snapshot_id for s in meta.snapshots), default=0)

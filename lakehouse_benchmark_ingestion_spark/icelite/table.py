@@ -1,0 +1,228 @@
+"""IceliteTable: create / append / snapshot-pinned scan / replace-files.
+
+The engine-side equivalent of the reference's sink tables: where the
+reference wires ``FlinkSink.forRowData(...).append()`` and lets Iceberg
+commit a snapshot per 60 s checkpoint (IcebergCatalogSync.java:73-74,
+MainRunner.java:86), we write immutable Parquet under ``data/<commit-uuid>/``
+and commit a snapshot whose manifest list pins the exact file set — which is
+what makes snapshot isolation trivially checkable (readers on old snapshot
+ids resolve to the old file list, north_rule).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from . import manifest as mf
+from . import metadata as md
+
+
+class IceliteTable:
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+
+    # ---- lifecycle -------------------------------------------------------
+    @staticmethod
+    def create(location: str, schema: StructType, properties: dict | None = None) -> "IceliteTable":
+        location = os.path.abspath(location)
+        if os.path.exists(md.metadata_dir(location)):
+            raise FileExistsError(f"table already exists at {location}")
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        os.makedirs(os.path.join(location, "lineage"), exist_ok=True)
+        meta = md.TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            location=location,
+            schema_json=schema.jsonValue(),
+            current_snapshot_id=None,
+            snapshots=[],
+            properties=properties or {},
+            last_updated_ms=md.now_ms(),
+        )
+        md.write_initial_metadata(meta)
+        return IceliteTable(location)
+
+    @staticmethod
+    def load(location: str) -> "IceliteTable":
+        location = os.path.abspath(location)
+        md.current_version(location)  # raises if absent
+        return IceliteTable(location)
+
+    @staticmethod
+    def drop(location: str) -> None:
+        shutil.rmtree(location, ignore_errors=True)
+
+    # ---- metadata accessors ----------------------------------------------
+    @property
+    def meta(self) -> md.TableMetadata:
+        return md.read_metadata(self.location)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.meta.schema_json)
+
+    def current_snapshot(self) -> md.Snapshot | None:
+        return self.meta.snapshot()
+
+    def history(self) -> list[md.Snapshot]:
+        return sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        return mf.read_manifests(self.location, snap.manifests)
+
+    # ---- write path ------------------------------------------------------
+    def _write_data(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        num_files: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> list[str]:
+        """Write df as immutable Parquet under data/<uuid>/; return file paths."""
+        commit_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
+        out = df
+        if num_files is not None:
+            out = out.repartition(num_files)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        writer = out.write.mode("error")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(commit_dir)
+        return sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+
+    def append(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        num_files: int | None = None,
+        stat_columns: list[str] | None = None,
+        timestamp_ms: int | None = None,
+    ) -> md.Snapshot:
+        """Write df and commit an append snapshot.
+
+        New files go into a NEW manifest; the parent snapshot's manifests are
+        reused untouched — repeated appends therefore accumulate small
+        manifests, exactly the condition rewrite_manifests exists to fix
+        (mirrors the reference's one-small-file-per-checkpoint cadence,
+        MainRunner.java:86).
+        """
+        paths = self._write_data(df, max_records_per_file, num_files)
+        stats = mf.harvest_stats(paths, stat_columns)
+        manifest_name = mf.write_manifest(self.location, stats)
+        return self._commit_snapshot("append", add_manifests=[manifest_name], timestamp_ms=timestamp_ms)
+
+    def replace_files(
+        self,
+        removed_paths: set[str],
+        added: list[mf.DataFile],
+        operation: str = "replace",
+        summary: dict | None = None,
+        timestamp_ms: int | None = None,
+    ) -> md.Snapshot:
+        """Commit a snapshot that atomically swaps removed files for added.
+
+        The icelite analogue of Iceberg's RewriteFiles/overwrite commit —
+        the primitive under compaction, clustering, and MERGE INTO COW.
+        Manifests that reference no removed file are reused as-is (no
+        rewrite amplification); touched manifests are rewritten minus the
+        removed entries; added files land in one new manifest.
+        """
+        added_manifest = mf.write_manifest(self.location, added) if added else None
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            parent = meta.snapshot()
+            new_manifests: list[str] = []
+            seen_removed = 0
+            for name in (parent.manifests if parent else []):
+                files = mf.read_manifest(self.location, name)
+                hit = [f for f in files if f.path in removed_paths]
+                if not hit:
+                    new_manifests.append(name)
+                    continue
+                seen_removed += len(hit)
+                kept = [f for f in files if f.path not in removed_paths]
+                if kept:
+                    new_manifests.append(mf.write_manifest(self.location, kept))
+            if seen_removed != len(removed_paths):
+                raise md.CommitConflict(
+                    f"replace_files: {len(removed_paths) - seen_removed} of "
+                    f"{len(removed_paths)} files to remove are not in the current snapshot"
+                )
+            if added_manifest:
+                new_manifests.append(added_manifest)
+            sid = md.new_snapshot_id(meta)
+            snap = md.Snapshot(
+                snapshot_id=sid,
+                parent_id=meta.current_snapshot_id,
+                timestamp_ms=timestamp_ms or md.now_ms(),
+                operation=operation,
+                manifests=new_manifests,
+                summary={
+                    "removed-files": str(len(removed_paths)),
+                    "added-files": str(len(added)),
+                    **(summary or {}),
+                },
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            meta.last_updated_ms = snap.timestamp_ms
+            return meta
+
+        return md.commit(self.location, mutate).snapshot()
+
+    def _commit_snapshot(
+        self, operation: str, add_manifests: list[str], timestamp_ms: int | None = None
+    ) -> md.Snapshot:
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            parent = meta.snapshot()
+            sid = md.new_snapshot_id(meta)
+            snap = md.Snapshot(
+                snapshot_id=sid,
+                parent_id=meta.current_snapshot_id,
+                timestamp_ms=timestamp_ms or md.now_ms(),
+                operation=operation,
+                manifests=(parent.manifests if parent else []) + add_manifests,
+                summary={},
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            meta.last_updated_ms = snap.timestamp_ms
+            return meta
+
+        return md.commit(self.location, mutate).snapshot()
+
+    # ---- read path -------------------------------------------------------
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        file_filter=None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
+
+        ``file_filter(DataFile) -> bool`` enables stats-based file pruning
+        (the metadata-level partition pruning of SURVEY.md §4.1) before Spark
+        ever opens a file; Catalyst's own predicate pushdown + column pruning
+        then applies inside each file.
+        """
+        files = self.data_files(snapshot_id)
+        if file_filter is not None:
+            files = [f for f in files if file_filter(f)]
+        schema = self.schema
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*[f.path for f in files])
+        if columns:
+            df = df.select(*columns)
+        return df

@@ -1,0 +1,93 @@
+"""Global Z-order / Hilbert clustering rewrite.
+
+Where compaction bin-packs small files locally, ``cluster`` rewrites the
+WHOLE table into globally key-disjoint, internally-sorted files — one global
+``repartitionByRange(n, _ckey)`` (sampled range boundaries) followed by
+``sortWithinPartitions(_ckey)``, the exact two stages the north_rule names.
+After clustering, per-file min/max stats on the clustering dims make scans
+over (source, n_tok, doc_id-hash) prune aggressively.
+
+At 100 TB this runs per table-partition (one range shuffle per partition)
+rather than one monolithic job; the primitive is identical.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from ..functions.hashing import salt_expr
+from ..functions.zorder import with_cluster_key
+from ..icelite import manifest as mf
+from ..icelite.table import IceliteTable
+from ..plans.lineage import LineageLog, LineageRow
+from .compaction import DEFAULT_TARGET_FILE_SIZE
+
+
+def cluster(
+    spark: SparkSession,
+    table: IceliteTable,
+    curve: str = "zorder",
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    n_salts: int = 1,
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"files_in": 0, "files_out": 0, "run_id": run_id}
+    files = table.data_files(snap.snapshot_id)
+    if not files:
+        return {"files_in": 0, "files_out": 0, "run_id": run_id}
+    bytes_in = sum(f.file_size_bytes for f in files)
+    rows_in = sum(f.record_count for f in files)
+    n_out = max(1, -(-bytes_in // target_file_size))
+
+    df = spark.read.schema(table.schema).parquet(*[f.path for f in files])
+    df = with_cluster_key(df, curve=curve)
+    if n_salts > 1:
+        df = df.withColumn("_salt", salt_expr("doc_id", n_salts))
+        df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
+    else:
+        df = df.repartitionByRange(n_out, "_ckey")
+    df = df.sortWithinPartitions("_ckey").drop("_ckey")
+
+    out_dir = os.path.join(table.location, "data", f"cl-{run_id}")
+    df.write.mode("overwrite").parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+    added = mf.harvest_stats(out_paths)
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id,
+            op="cluster",
+            partition_id=0,
+            files_in=len(files),
+            files_out=len(out_paths),
+            rows=rows_in,
+            bytes_in=bytes_in,
+            bytes_out=sum(f.file_size_bytes for f in added),
+            snapshot_id=snap.snapshot_id,
+            status="done",
+            output_paths=out_paths,
+        )
+    )
+    new_snap = table.replace_files(
+        {f.path for f in files},
+        added,
+        operation="replace",
+        summary={"op": "cluster", "curve": curve, "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    return {
+        "files_in": len(files),
+        "files_out": len(out_paths),
+        "bytes_in": bytes_in,
+        "rows": rows_in,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }

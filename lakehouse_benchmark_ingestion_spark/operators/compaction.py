@@ -1,0 +1,221 @@
+"""Bin-packing small-file compaction with Z/Hilbert-sorted rewrite.
+
+The reference NEVER compacts in its own code — it relies on the formats'
+online compaction (Hudi: trigger every 1 delta commit or 120 s,
+HudiCatalogSync.java:172-175; Arctic: self-optimizing quota groups,
+ArcticCatalogSync.java:121-128; Iceberg: left to offline maintenance). Its
+60 s checkpoint cadence (MainRunner.java:86) produces one small file per
+table per minute — the exact pathology this operator fixes.
+
+Design for 100 TB:
+  - the PLAN is driver-side pure Python over manifest stats (tiny — file
+    count, not row count);
+  - each group's REWRITE is a distributed job reading only that group's
+    files: cluster-key (pandas UDF) → ``repartitionByRange`` on the key
+    (optionally salted for duplicate-key skew) → ``sortWithinPartitions``
+    → parquet write — the two explicit stages the north_rule names;
+  - groups commit in ONE atomic replace-files snapshot at the end, so an
+    interruption leaves readers on the old snapshot;
+  - per-group lineage rows (files_in/out, rows, bytes) make an interrupted
+    run resumable without recompacting finished groups (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import salt_expr
+from ..functions.zorder import with_cluster_key
+from ..icelite import manifest as mf
+from ..icelite.table import IceliteTable
+from ..plans.lineage import LineageLog, LineageRow
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's default write target
+
+
+@dataclass
+class CompactionGroup:
+    group_id: int
+    files: list[mf.DataFile]
+
+    @property
+    def bytes_in(self) -> int:
+        return sum(f.file_size_bytes for f in self.files)
+
+    @property
+    def rows_in(self) -> int:
+        return sum(f.record_count for f in self.files)
+
+
+@dataclass
+class CompactionPlan:
+    snapshot_id: int
+    target_file_size: int
+    groups: list[CompactionGroup] = field(default_factory=list)
+
+
+def plan_compaction(
+    table: IceliteTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    min_input_files: int = 2,
+    small_file_threshold: float = 0.75,
+) -> CompactionPlan:
+    """Greedy first-fit-decreasing bin packing of small files.
+
+    Files already >= ``small_file_threshold * target`` are left alone
+    (rewriting them buys nothing). Candidates are sorted descending and
+    packed into bins of ~target size; a bin with fewer than
+    ``min_input_files`` inputs is dropped (rewrite amplification guard).
+    Deterministic given the snapshot — resume re-derives the identical plan.
+    """
+    snap = table.current_snapshot()
+    if snap is None:
+        return CompactionPlan(snapshot_id=-1, target_file_size=target_file_size)
+    files = table.data_files(snap.snapshot_id)
+    small = [f for f in files if f.file_size_bytes < small_file_threshold * target_file_size]
+    small.sort(key=lambda f: (-f.file_size_bytes, f.path))
+
+    bins: list[list[mf.DataFile]] = []
+    bin_sizes: list[int] = []
+    for f in small:
+        placed = False
+        for i in range(len(bins)):
+            if bin_sizes[i] + f.file_size_bytes <= target_file_size:
+                bins[i].append(f)
+                bin_sizes[i] += f.file_size_bytes
+                placed = True
+                break
+        if not placed:
+            bins.append([f])
+            bin_sizes.append(f.file_size_bytes)
+
+    plan = CompactionPlan(snapshot_id=snap.snapshot_id, target_file_size=target_file_size)
+    gid = 0
+    for b in bins:
+        if len(b) < min_input_files:
+            continue
+        plan.groups.append(CompactionGroup(group_id=gid, files=sorted(b, key=lambda f: f.path)))
+        gid += 1
+    return plan
+
+
+def _rewrite_group(
+    spark: SparkSession,
+    table: IceliteTable,
+    group: CompactionGroup,
+    run_id: str,
+    curve: str,
+    target_file_size: int,
+    n_salts: int,
+) -> list[str]:
+    """Distributed rewrite of one group; returns output file paths."""
+    schema = table.schema
+    df = spark.read.schema(schema).parquet(*[f.path for f in group.files])
+    df = with_cluster_key(df, curve=curve)
+
+    n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
+    if n_salts > 1:
+        # salt INSIDE the range-partition key, OUTSIDE the sort key
+        # (SURVEY.md §7.3): duplicate-ckey hot spots split across salts,
+        # while each output file stays internally ckey-sorted.
+        df = df.withColumn("_salt", salt_expr("doc_id", n_salts))
+        df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
+    else:
+        df = df.repartitionByRange(n_out, "_ckey")
+    df = df.sortWithinPartitions("_ckey").drop("_ckey")
+
+    out_dir = os.path.join(table.location, "data", f"rw-{run_id}-g{group.group_id:06d}")
+    df.write.mode("overwrite").parquet(out_dir)
+    import glob
+
+    return sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+
+def compact(
+    spark: SparkSession,
+    table: IceliteTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    curve: str = "zorder",
+    n_salts: int = 1,
+    run_id: str | None = None,
+    plan: CompactionPlan | None = None,
+    fail_after_groups: int | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Run (or resume) a compaction; returns metrics.
+
+    ``run_id``: pass the same id to resume an interrupted run — groups with
+    a ``done`` lineage row are skipped, their recorded output reused.
+    ``fail_after_groups``: test hook — raise after N groups (simulated crash
+    BEFORE the commit; the table must still read at the old snapshot).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if plan is None:
+        plan = plan_compaction(table, target_file_size)
+    log = LineageLog(table.location)
+    done = log.done_tasks(run_id, "compact")
+
+    removed: set[str] = set()
+    added_paths: list[str] = []
+    executed = 0
+    skipped = 0
+    for group in plan.groups:
+        if group.group_id in done:
+            row = done[group.group_id]
+            added_paths.extend(row.output_paths or [])
+            removed.update(f.path for f in group.files)
+            skipped += 1
+            continue
+        if fail_after_groups is not None and executed >= fail_after_groups:
+            raise RuntimeError(f"injected failure after {executed} groups (run_id={run_id})")
+        out_paths = _rewrite_group(
+            spark, table, group, run_id, curve, target_file_size, n_salts
+        )
+        bytes_out = sum(os.path.getsize(p) for p in out_paths)
+        log.write(
+            LineageRow(
+                run_id=run_id,
+                op="compact",
+                partition_id=group.group_id,
+                files_in=len(group.files),
+                files_out=len(out_paths),
+                rows=group.rows_in,
+                bytes_in=group.bytes_in,
+                bytes_out=bytes_out,
+                snapshot_id=plan.snapshot_id,
+                status="done",
+                output_paths=out_paths,
+            )
+        )
+        removed.update(f.path for f in group.files)
+        added_paths.extend(out_paths)
+        executed += 1
+
+    if not plan.groups:
+        return {"groups": 0, "files_in": 0, "files_out": 0, "run_id": run_id}
+
+    added = mf.harvest_stats(added_paths)
+    snap = table.replace_files(
+        removed,
+        added,
+        operation="replace",
+        summary={"op": "compact", "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    return {
+        "groups": len(plan.groups),
+        "groups_executed": executed,
+        "groups_resumed": skipped,
+        "files_in": len(removed),
+        "files_out": len(added_paths),
+        "bytes_in": sum(g.bytes_in for g in plan.groups),
+        "bytes_out": sum(f.file_size_bytes for f in added),
+        "rows": sum(g.rows_in for g in plan.groups),
+        "snapshot_id": snap.snapshot_id,
+        "run_id": run_id,
+    }

@@ -1,0 +1,139 @@
+"""MERGE INTO (primary-key upsert) as a stats-pruned copy-on-write rewrite.
+
+The reference's upsert is a format flag: ``write.upsert.enabled=true`` turns
+every INSERT into an eq-delete+insert on the PK (IcebergCatalogSync.java:
+112-114; Arctic same, ArcticCatalogSync.java:129-131); Hudi locates the file
+group per key with an 8-bucket hash index (HudiCatalogSync.java:151-159).
+Our engine implements the semantics Spark-first (SURVEY.md §2.3 J1):
+
+1. **Last-writer-wins dedup** of the update batch on ``_seq``
+   (``row_number`` window — one shuffle of the small batch).
+2. **File pruning**: per-file doc_id min/max from the manifest joined
+   (broadcast, range-overlap theta join) against update keys → only files
+   that could contain an updated key are rewritten. At 10^12 sequences this
+   is the difference between rewriting GBs and rewriting the table.
+3. **COW rewrite**: ``matched_data LEFT ANTI JOIN winners`` (unchanged rows)
+   ``UNION ALL winners`` (updated + brand-new keys) → new files → one atomic
+   replace-files snapshot. The winners side is broadcast when small.
+
+Inserts need no existence check beyond the matched files: a key contained in
+ANY data file necessarily overlaps that file's min/max range, so keys
+missing from the matched set are guaranteed new.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..icelite import manifest as mf
+from ..icelite.table import IceliteTable
+from ..plans.lineage import LineageLog, LineageRow
+
+BROADCAST_THRESHOLD_ROWS = 2_000_000
+
+
+def merge_into(
+    spark: SparkSession,
+    table: IceliteTable,
+    updates: DataFrame,
+    key: str = "doc_id",
+    seq_col: str = "_seq",
+    run_id: str | None = None,
+    target_file_size: int = 128 * 1024 * 1024,
+    timestamp_ms: int | None = None,
+) -> dict:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snap = table.current_snapshot()
+    files = table.data_files(snap.snapshot_id) if snap else []
+
+    # 1. last-writer-wins within the batch
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    winners = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    winners = winners.cache()
+    n_updates = winners.count()
+    # broadcast only where winners participates in a join (anti/overlap);
+    # the union side uses the plain plan.
+    winners_j = F.broadcast(winners) if n_updates <= BROADCAST_THRESHOLD_ROWS else winners
+
+    # 2. stats-based file pruning: range-overlap join of update keys against
+    # per-file min/max (manifest stats). File stats are tiny → broadcast them;
+    # the scan side (update keys) never moves.
+    matched_paths: list[str] = []
+    prunable = [f for f in files if key in f.lower_bounds and key in f.upper_bounds]
+    prunable_paths = {f.path for f in prunable}
+    unprunable = [f for f in files if f.path not in prunable_paths]
+    if prunable:
+        stats_df = spark.createDataFrame(
+            [(f.path, str(f.lower_bounds[key]), str(f.upper_bounds[key])) for f in prunable],
+            schema="path string, kmin string, kmax string",
+        )
+        hit = (
+            winners_j.select(F.col(key).alias("_k"))
+            .join(
+                F.broadcast(stats_df),
+                (F.col("_k") >= F.col("kmin")) & (F.col("_k") <= F.col("kmax")),
+            )
+            .select("path")
+            .distinct()
+        )
+        matched_paths = [r.path for r in hit.collect()]
+    matched_paths.extend(f.path for f in unprunable)  # no stats → must rewrite
+
+    # 3. copy-on-write rewrite of matched files only
+    schema = table.schema
+    file_by_path = {f.path: f for f in files}
+    matched_bytes = sum(file_by_path[p].file_size_bytes for p in matched_paths)
+    n_out = max(1, -(-matched_bytes // target_file_size))
+    if matched_paths:
+        matched_data = spark.read.schema(schema).parquet(*matched_paths)
+        unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
+        new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))
+    else:
+        new_data = winners.select(*[f.name for f in schema.fields])
+
+    out_dir = os.path.join(table.location, "data", f"mg-{run_id}")
+    new_data.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    added = mf.harvest_stats(out_paths)
+    rows_out = sum(f.record_count for f in added)
+
+    new_snap = table.replace_files(
+        set(matched_paths),
+        added,
+        operation="merge",
+        summary={"op": "merge", "updates": str(n_updates), "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id,
+            op="merge",
+            partition_id=0,
+            files_in=len(matched_paths),
+            files_out=len(out_paths),
+            rows=rows_out,
+            bytes_in=matched_bytes,
+            bytes_out=sum(f.file_size_bytes for f in added),
+            snapshot_id=new_snap.snapshot_id,
+            status="done",
+            output_paths=out_paths,
+        )
+    )
+    return {
+        "updates": n_updates,
+        "files_matched": len(matched_paths),
+        "files_total": len(files),
+        "files_out": len(out_paths),
+        "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }

@@ -1,0 +1,229 @@
+"""Driver-contract query registry: Spark callable + DuckDB oracle per operator.
+
+Every implemented operator from SURVEY.md §2 gets an entry here; the driver
+runs the Spark side and the oracle side at sf0.01 and compares row count,
+schema, and order-insensitive value hashes. Column names are aliased
+identically on both sides.
+
+The maintenance queries operate on a REAL icelite warehouse: the tokens
+table is synthesized (sources/tokens.py — arithmetic generator expressible
+in DuckDB), committed as many small files across snapshots, then the FULL
+maintenance suite (compact → Z-order cluster → manifest rewrite → snapshot
+expire) and a MERGE INTO run before the scan — so an oracle match certifies
+the entire maintenance path end-to-end under token-array equality.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .icelite import Catalog
+from .operators.merge_into import merge_into
+from .plans.maintenance import run_full_maintenance
+from .sources.tokens import (
+    MERGE_FINAL_ORACLE_SQL,
+    TOKENS_ORACLE_SQL,
+    tokens_df,
+    updates_df,
+)
+from .sources.tpch import register_views
+
+# --------------------------------------------------------------------------
+# maintained-warehouse cache: build once per (process, sf_dir)
+# --------------------------------------------------------------------------
+
+_PREPARED: dict[str, dict] = {}
+
+
+def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once) a warehouse with a fully-maintained sequences table and a
+    merged variant; returns handles + pinned snapshot ids."""
+    key = os.path.abspath(sf_dir)
+    if key in _PREPARED:
+        return _PREPARED[key]
+    wh = os.path.join(
+        "/tmp", "icelite_queries", key.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = Catalog(wh)
+    df = tokens_df(spark, sf_dir)
+
+    # sequences: small-file appends (the reference's per-checkpoint cadence),
+    # then the full maintenance suite; snapshot history retained so pinned
+    # reads stay testable.
+    tbl = cat.create_table("sequences", df.schema)
+    for i in range(5):
+        tbl.append(df.filter(df.doc_id.cast("long") % 5 == i), max_records_per_file=64)
+    pre_maintenance_snapshot = tbl.current_snapshot().snapshot_id
+    run_full_maintenance(
+        spark, tbl, target_file_size=4 * 1024 * 1024, expire_keep_last=100
+    )
+    post_maintenance_snapshot = tbl.current_snapshot().snapshot_id
+
+    # merged: same table continued with a MERGE INTO upsert batch
+    merge_into(spark, tbl, updates_df(spark, sf_dir))
+
+    out = {
+        "warehouse": wh,
+        "table": tbl,
+        "pre_maintenance_snapshot": pre_maintenance_snapshot,
+        "post_maintenance_snapshot": post_maintenance_snapshot,
+    }
+    _PREPARED[key] = out
+    return out
+
+
+def _seq_scan_cols(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "tokens", "n_tok", "source")
+
+
+# --------------------------------------------------------------------------
+# maintenance-engine queries (icelite path end-to-end)
+# --------------------------------------------------------------------------
+
+def q_maint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-maintenance scan pinned BEFORE the merge — must equal the
+    synthesized table row-for-row under token-array equality (north_rule)."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table"].scan(spark, snapshot_id=p["post_maintenance_snapshot"]))
+
+
+def q_maint_scan_pre_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation: a reader pinned to the pre-compaction snapshot
+    resolves the OLD (small) files and still answers identically."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table"].scan(spark, snapshot_id=p["pre_maintenance_snapshot"]))
+
+
+def q_maint_agg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = prepared_warehouse(spark, sf_dir)
+    df = p["table"].scan(spark, snapshot_id=p["post_maintenance_snapshot"])
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+    )
+
+
+def q_maint_token_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the token arrays themselves — JVM-side fold
+    (F.aggregate), proving array content survived the rewrite pipeline."""
+    p = prepared_warehouse(spark, sf_dir)
+    df = p["table"].scan(spark, snapshot_id=p["post_maintenance_snapshot"])
+    return df.select(
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("tok_sum"),
+        F.col("n_tok"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("tok_sum").alias("token_value_sum"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+def q_merge_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current table after MERGE INTO (stats-pruned COW upsert)."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table"].scan(spark))
+
+
+def q_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = prepared_warehouse(spark, sf_dir)
+    return (
+        p["table"].scan(spark)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tok"))
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton interleave correctness, oracle-checked: 3-bit dims derived
+    from SQL-expressible columns; the pandas UDF must equal the SQL
+    bit-interleave. (The production key uses 21-bit dims — unit-tested in
+    tests/test_zorder.py; the UDF code path here is identical.)"""
+    from .functions.zorder import morton_key_udf
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = docs.select(
+        F.col("doc_id"),
+        (F.col("n_chars") % 8).cast("long").alias("d0"),
+        (F.col("doc_id") % 8).cast("long").alias("d1"),
+        ((F.col("n_chars") / 4).cast("long") % 8).alias("d2"),
+    )
+    return d.select(
+        "doc_id", morton_key_udf("d0", "d1", "d2").alias("zkey")
+    )
+
+
+MAINT_ORACLES: dict[str, str] = {
+    "maint_scan": TOKENS_ORACLE_SQL,
+    "maint_scan_pre_compaction": TOKENS_ORACLE_SQL,
+    "maint_agg_by_source": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL})
+        SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+               min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        FROM seq GROUP BY source
+    """,
+    "maint_token_checksum": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL})
+        SELECT count(*) AS n_rows,
+               sum(list_sum(tokens)) AS token_value_sum,
+               sum(n_tok) AS total_tokens
+        FROM seq
+    """,
+    "merge_result": MERGE_FINAL_ORACLE_SQL,
+    "merge_agg": f"""
+        WITH final AS ({MERGE_FINAL_ORACLE_SQL})
+        SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok
+        FROM final GROUP BY source
+    """,
+    "zorder_key": """
+        SELECT doc_id,
+               list_sum(list_transform(range(3), i ->
+                 ((((n_chars % 8) >> i) & 1) << (3*i))
+               + ((((doc_id % 8) >> i) & 1) << (3*i + 1))
+               + (((((n_chars // 4) % 8) >> i) & 1) << (3*i + 2))
+               )) AS zkey
+        FROM documents
+    """,
+}
+
+
+# --------------------------------------------------------------------------
+# registry assembly
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import queries_relational as qr
+    from . import queries_pipeline as qp
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "maint_scan": q_maint_scan,
+        "maint_scan_pre_compaction": q_maint_scan_pre_compaction,
+        "maint_agg_by_source": q_maint_agg_by_source,
+        "maint_token_checksum": q_maint_token_checksum,
+        "merge_result": q_merge_result,
+        "merge_agg": q_merge_agg,
+        "zorder_key": q_zorder_key,
+    }
+    out.update(qr.QUERIES)
+    out.update(qp.QUERIES)
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    from . import queries_relational as qr
+    from . import queries_pipeline as qp
+
+    out = dict(MAINT_ORACLES)
+    out.update(qr.ORACLES)
+    out.update(qp.ORACLES)
+    return out
+
+
+__all__ = ["build_queries", "build_oracles", "prepared_warehouse", "register_views"]

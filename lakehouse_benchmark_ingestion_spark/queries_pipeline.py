@@ -1,0 +1,374 @@
+"""Training-data pipeline operators over documents/embeddings fixtures.
+
+The operators a 100 TB token pipeline needs beyond table maintenance:
+text analysis (token counting, quality scoring, language ID,
+fingerprinting), deduplication, and embedding similarity search. Everything
+stays in JVM built-ins (split/regexp/aggregate/transform/zip_with); the
+oracles replicate the arithmetic exactly in DuckDB (same fold order, same
+integer hashes), so matches are bit-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tpch import load_table
+
+HASH_P = 2147483647  # 2^31-1, rolling-hash modulus (fits int64 everywhere)
+HASH_B = 31
+
+
+# ---- token counting ---------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization; per-language totals."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_ws_tokens"),
+        F.min(toks).alias("min_ws_tokens"),
+        F.max(toks).alias("max_ws_tokens"),
+    )
+
+
+# ---- quality scoring ---------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / uppercase ratios — integer counts only, so the
+    oracle matches exactly (ratios are derivable by the consumer)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[\.,;:!\?]", "")
+    )
+    n_space = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), r" ", ""))
+    n_upper = F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), r"[A-Z]", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_len"),
+        n_punct.alias("n_punct"),
+        n_space.alias("n_space"),
+        n_upper.alias("n_upper"),
+        (F.length("text") >= 100).cast("int").alias("passes_min_len"),
+    )
+
+
+# ---- language ID (stopword-hit heuristic) ------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " de la "],
+}
+
+
+def _hits(col, needle):
+    # number of occurrences of needle
+    return (
+        (F.length(col) - F.length(F.regexp_replace(col, needle, "")))
+        / F.length(F.lit(needle))
+    ).cast("int")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language scores. Emits per-language hit counts —
+    deterministic integers — plus the argmax prediction with a fixed
+    tiebreak order."""
+    d = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = F.lit(0)
+        for m in markers:
+            total = total + _hits(padded, m)
+        scores[lang] = total
+    out = d.select("doc_id", "lang", *[scores[l].alias(f"score_{l}") for l in _LANG_MARKERS])
+    # argmax with deterministic tiebreak: en > de > fr > es > unknown(zh/other)
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("score_de") >= F.col("score_fr"))
+            & (F.col("score_de") >= F.col("score_es"))
+            & (F.col("score_de") > 0),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("score_fr") >= F.col("score_es")) & (F.col("score_fr") > 0), F.lit("fr")
+        )
+        .when(F.col("score_es") > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return out.withColumn("predicted_lang", pred)
+
+
+# ---- document fingerprinting (rolling hash) -----------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the document characters — a JVM-side
+    left fold (F.aggregate over transform(sequence)), zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * HASH_B + c.cast("long")) % HASH_P,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---- similarity search: brute-force cosine top-k ------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for probe vectors (vec_id%50==0).
+
+    The scale path: probes broadcast, corpus scanned once, per-row vector
+    math via JVM zip_with/aggregate folds (identical fold order to the
+    oracle's list_transform+sequential sum → bit-identical doubles), then a
+    per-probe row_number window. Similarity is rounded to 6 dp and ties
+    break on neighbor id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    pairs = F.broadcast(probes).crossJoin(cand).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---- near-duplicate pairs by embedding cosine ---------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4 (threshold chosen off any boundary).
+    At 100 TB this becomes LSH-bucketed (operators/similarity.py); the
+    brute-force variant is the correctness baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    sim = _dot(F.col("av"), F.col("bv")) / (
+        F.sqrt(_dot(F.col("av"), F.col("av"))) * F.sqrt(_dot(F.col("bv"), F.col("bv")))
+    )
+    return pairs.select("a_id", "b_id", F.round(sim, 6).alias("cosine")).filter(
+        F.col("cosine") >= 0.4
+    )
+
+
+# ---- n-gram Jaccard near-dup ---------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard for same-lang doc pairs with close lengths.
+    |A∩B| and |A∪B| are integer set sizes → exact oracle match."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    )
+    docs = d.select("doc_id", "lang", "n_chars", grams.alias("g"))
+    a = docs.select(
+        F.col("doc_id").alias("a_id"), "lang", F.col("n_chars").alias("a_len"), F.col("g").alias("ga")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("b_len"),
+        F.col("g").alias("gb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("a_len") - F.col("b_len")) <= 5),
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    uni = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "lang",
+        inter.alias("n_common_grams"),
+        uni.alias("n_union_grams"),
+    ).filter(F.col("n_common_grams") * 5 >= F.col("n_union_grams"))  # jaccard >= 0.2
+
+
+# ---- multimodal plumbing: binary columns + typed metadata ----------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads (UTF-8 blobs standing in for image/audio bytes)
+    with typed metadata extracted JVM-side. The decode/feature-extract path
+    over mapInPandas lives in operators/multimodal.py (stubbed decoders —
+    no codec libs in this container); this query checks the schema/bytes
+    plumbing end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_byte"),
+        (F.length(payload) - F.col("n_chars")).alias("multibyte_overhead"),
+    )
+
+
+QUERIES = {
+    "pipe_token_count": q_token_count,
+    "pipe_quality_score": q_quality_score,
+    "pipe_lang_id": q_lang_id,
+    "pipe_fingerprint": q_fingerprint,
+    "pipe_ann_topk": q_ann_topk,
+    "pipe_embedding_neardup": q_embedding_neardup,
+    "pipe_ngram_jaccard": q_ngram_jaccard,
+    "pipe_multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "pipe_token_count": r"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
+               min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_ws_tokens,
+               max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_ws_tokens
+        FROM documents GROUP BY lang
+    """,
+    "pipe_quality_score": r"""
+        SELECT doc_id, lang,
+               length(text) AS n_len,
+               length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+               length(text) - length(replace(text, ' ', '')) AS n_space,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+               CAST(length(text) >= 100 AS INT) AS passes_min_len
+        FROM documents
+    """,
+    "pipe_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                 (h, c) -> (h * {HASH_B} + c) % {HASH_P}
+               ) AS fingerprint
+        FROM documents
+    """,
+    "pipe_multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               ascii(substr(text, 1, 1)) AS first_byte,
+               octet_length(encode(text)) - n_chars AS multibyte_overhead
+        FROM documents
+    """,
+    "pipe_ngram_jaccard": """
+        WITH docs AS (
+          SELECT doc_id, lang, n_chars,
+                 list_distinct(list_transform(
+                   range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 3))) AS g
+          FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+               len(list_intersect(a.g, b.g)) AS n_common_grams,
+               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS n_union_grams
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 5
+        WHERE len(list_intersect(a.g, b.g)) * 5
+              >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+    """,
+    # lang_id oracle constructed programmatically below
+    # ann oracles built below (shared dot-product SQL)
+}
+
+
+def _dot_sql(av: str, bv: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
+    )
+
+
+_SIM = f"round({_dot_sql('q.qv', 'c.cv')} / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.cv', 'c.cv')})), 6)"
+
+ORACLES["pipe_ann_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id, {_SIM} AS cosine
+           FROM q, c WHERE q.query_id <> c.neighbor_id
+         )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+"""
+
+_SIM_AB = f"round({_dot_sql('a.av', 'b.bv')} / (sqrt({_dot_sql('a.av', 'a.av')}) * sqrt({_dot_sql('b.bv', 'b.bv')})), 6)"
+
+ORACLES["pipe_embedding_neardup"] = f"""
+    SELECT * FROM (
+      WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings),
+           b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings)
+      SELECT a_id, b_id, {_SIM_AB} AS cosine
+      FROM a, b WHERE a_id < b_id
+    ) WHERE cosine >= 0.4
+"""
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    padded = "' ' || lower(text) || ' '"
+    parts = [
+        f"CAST((length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)} AS INT)"
+        for m in markers
+    ]
+    return " + ".join(parts)
+
+
+_pred_sql = """
+    CASE
+      WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+      WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+      WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+      WHEN score_es > 0 THEN 'es'
+      ELSE 'unknown'
+    END
+"""
+
+ORACLES["pipe_lang_id"] = f"""
+    SELECT *, {_pred_sql} AS predicted_lang FROM (
+      SELECT doc_id, lang,
+             {_lang_score_sql(_LANG_MARKERS['en'])} AS score_en,
+             {_lang_score_sql(_LANG_MARKERS['de'])} AS score_de,
+             {_lang_score_sql(_LANG_MARKERS['fr'])} AS score_fr,
+             {_lang_score_sql(_LANG_MARKERS['es'])} AS score_es
+      FROM documents
+    )
+"""

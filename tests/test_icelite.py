@@ -1,0 +1,121 @@
+"""Table-format core: create/append/scan, commit atomicity, catalog."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog, IceliteTable
+from lakehouse_benchmark_ingestion_spark.icelite import metadata as md
+from tests.conftest import SF_SMOKE
+
+
+def test_create_append_scan(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table("t", df.schema)
+    assert cat.list_tables() == ["t"]
+    assert tbl.current_snapshot() is None
+    assert tbl.scan(spark).count() == 0  # empty table scans cleanly
+
+    tbl.append(df)
+    assert tbl.scan(spark).count() == 500
+    snap = tbl.current_snapshot()
+    assert snap.operation == "append" and snap.parent_id is None
+
+    tbl.append(df.limit(10))
+    assert tbl.scan(spark).count() == 510
+    assert tbl.current_snapshot().parent_id == snap.snapshot_id
+    # snapshot-pinned read still sees the old row count
+    assert tbl.scan(spark, snapshot_id=snap.snapshot_id).count() == 500
+
+
+def test_schema_roundtrip(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("t", df.schema)
+    assert tbl.schema == df.schema
+
+
+def test_manifest_stats_harvested(spark, sequences_table):
+    files = sequences_table.data_files()
+    assert len(files) == 20  # 5 appends x 4 files (128 rows / 32 per file)
+    for f in files:
+        assert f.record_count > 0 and f.file_size_bytes > 0
+        assert "doc_id" in f.lower_bounds and "doc_id" in f.upper_bounds
+        assert "n_tok" in f.lower_bounds and "source" in f.lower_bounds
+        assert f.lower_bounds["doc_id"] <= f.upper_bounds["doc_id"]
+        # tokens (nested) must NOT be statted (SURVEY.md §7.3)
+        assert "tokens" not in f.lower_bounds
+
+
+def test_commit_optimistic_conflict(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE).limit(5)
+    tbl = Catalog(warehouse).create_table("t", df.schema)
+    tbl.append(df)
+
+    calls = {"n": 0}
+
+    def racing_mutate(meta):
+        # first attempt: simulate a concurrent winner claiming the version
+        if calls["n"] == 0:
+            calls["n"] += 1
+            v = md.current_version(tbl.location)
+            path = os.path.join(md.metadata_dir(tbl.location), f"v{v+1}.metadata.json")
+            with open(path, "w") as f:
+                f.write("{}")
+            # make the hint agree so the retry re-reads cleanly
+            import json
+
+            with open(path, "w") as f:
+                json.dump(meta.to_dict(), f)
+            with open(os.path.join(md.metadata_dir(tbl.location), "version-hint.text"), "w") as f:
+                f.write(str(v + 1))
+        meta.properties["touched"] = "yes"
+        return meta
+
+    new_meta = md.commit(tbl.location, racing_mutate)
+    assert new_meta.properties["touched"] == "yes"
+    assert calls["n"] == 1  # retried exactly once
+
+
+def test_drop_and_recreate(spark, warehouse):
+    """Idempotent drop+recreate DDL (IcebergCatalogSync.java:79-109)."""
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE).limit(5)
+    cat = Catalog(warehouse)
+    cat.create_table("t", df.schema)
+    cat.drop_table("t")
+    cat.drop_table("t")  # idempotent
+    assert cat.list_tables() == []
+    t = cat.create_table("t", df.schema)
+    t.append(df)
+    assert t.scan(spark).count() == 5
+
+
+def test_file_filter_pruning(spark, sequences_table):
+    """Stats-based file pruning returns the same rows as a full-scan filter."""
+    files = sequences_table.data_files()
+    pruned = sequences_table.scan(
+        spark,
+        file_filter=lambda f: f.lower_bounds["doc_id"] <= "2" and "1" <= f.upper_bounds["doc_id"],
+    )
+    full = sequences_table.scan(spark)
+    want = full.filter((F.col("doc_id") >= "1") & (F.col("doc_id") <= "2")).count()
+    got = pruned.filter((F.col("doc_id") >= "1") & (F.col("doc_id") <= "2")).count()
+    assert got == want
+    # and pruning actually dropped files
+    kept = [
+        f
+        for f in files
+        if f.lower_bounds["doc_id"] <= "2" and "1" <= f.upper_bounds["doc_id"]
+    ]
+    assert len(kept) < len(files)
