@@ -1,0 +1,219 @@
+"""Headline benchmark: maintenance-suite throughput on the tokens table.
+
+Prints ONE JSON line:
+  {"metric": "maintenance_suite_wall", "value": <sec>, "unit": "sec",
+   "queries": {...per-phase/query seconds...}, "sf": <sf>,
+   "gb_per_hour": ..., "seq_per_sec": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[<n>] parallelism (default 32)
+  BENCH_REPLICATE      tokens-table scale multiplier (default 64)
+
+--scaling: run the same job in two fresh subprocesses at local[8] and
+local[32] (the sandbox's N vs 4N evidence protocol, BASELINE.md) and
+print both plus the efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "64"))
+
+
+def run_bench() -> dict:
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.clustering import cluster
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+    from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import expire_snapshots
+    from lakehouse_benchmark_ingestion_spark.operators.manifest_rewrite import rewrite_manifests
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+    from lakehouse_benchmark_ingestion_spark.session import get_spark
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df, updates_df
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # split the big post-compaction files into enough scan tasks to
+            # feed all cores at bench scale (a real cluster keeps the 128 MB
+            # default over TB inputs — thousands of tasks come free there)
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # zstd: the production codec at 100 TB (much better ratio than
+            # snappy; the extra CPU parallelizes where I/O does not)
+            "spark.sql.parquet.compression.codec": "zstd",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- JIT warmup (untimed): run the whole suite once at replicate=1 so
+    # the timed phases measure steady-state codegen, not compiler warmup.
+    wwh = f"/tmp/bench_warm_{CPUS}"
+    shutil.rmtree(wwh, ignore_errors=True)
+    wdf = tokens_df(spark, SF_DIR, replicate=1)
+    wtbl = Catalog(wwh).create_table("sequences", wdf.schema)
+    wtbl.append(wdf, num_files=8)
+    compact(spark, wtbl, target_file_size=256 * 1024, max_concurrent_groups=4)
+    cluster(spark, wtbl, target_file_size=256 * 1024)
+    merge_into(spark, wtbl, updates_df(spark, SF_DIR))
+    shutil.rmtree(wwh, ignore_errors=True)
+
+    wh = f"/tmp/bench_wh_{CPUS}"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = Catalog(wh)
+    df = tokens_df(spark, SF_DIR, replicate=REPLICATE)
+
+    # ---- ingest: many small files across snapshots (the reference's 60 s
+    # checkpoint cadence pathology, MainRunner.java:86) — not part of the
+    # timed maintenance metric, but timed for context.
+    t0 = time.time()
+    tbl = cat.create_table("sequences", df.schema)
+    # fixed file count — the input layout must be IDENTICAL at every
+    # parallelism level for the N-vs-4N scaling comparison to be valid
+    for i in range(4):
+        part = df.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == i)
+        tbl.append(part, num_files=64)
+    t_ingest = time.time() - t0
+
+    files0 = tbl.data_files()
+    n_files0 = len(files0)
+    bytes_in = sum(f.file_size_bytes for f in files0)
+    rows_in = sum(f.record_count for f in files0)
+
+    timings: dict[str, float] = {"ingest": round(t_ingest, 3)}
+
+    # ---- the timed maintenance suite -------------------------------------
+    # ~10-15 groups at bench scale: enough concurrent jobs to saturate both
+    # parallelism levels, few enough that Spark's fixed per-job latency
+    # (which no amount of cores removes) stays a small fraction of the wall.
+    # few WIDE group jobs: bins of up to 128 MB range-split into 8 MB files
+    # → full shuffle width inside each job, negligible fixed job latency
+    target = 8 * 1024 * 1024
+    t0 = time.time()
+    m_compact = compact(
+        spark, tbl, target_file_size=target,
+        max_group_size=128 * 1024 * 1024, max_concurrent_groups=8,
+    )
+    timings["compact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cluster(spark, tbl, target_file_size=target)
+    timings["cluster"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    rewrite_manifests(tbl)
+    timings["rewrite_manifests"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    expire_snapshots(tbl, keep_last=1)
+    timings["expire_snapshots"] = round(time.time() - t0, 3)
+
+    maintenance_wall = timings["compact"] + timings["cluster"] + timings["rewrite_manifests"] + timings["expire_snapshots"]
+
+    # ---- MERGE INTO -------------------------------------------------------
+    t0 = time.time()
+    merge_into(spark, tbl, updates_df(spark, SF_DIR))
+    timings["merge"] = round(time.time() - t0, 3)
+
+    # ---- post-maintenance scan latency -------------------------------------
+    t0 = time.time()
+    agg = tbl.scan(spark).groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    ).collect()
+    timings["scan_agg_by_source"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # explode+sum beats an aggregate() fold ~9x (measured): stays in
+    # whole-stage codegen instead of the interpreted lambda path
+    full = (
+        tbl.scan(spark)
+        .select(F.explode("tokens").alias("t"))
+        .agg(F.sum("t").alias("cksum"))
+        .collect()
+    )
+    timings["scan_token_checksum"] = round(time.time() - t0, 3)
+
+    # ---- stats-pruned point scan (clustered table → few files) ------------
+    t0 = time.time()
+    probe = "42" if REPLICATE == 1 else "42-0"
+    hit = tbl.scan(
+        spark,
+        file_filter=lambda f: f.lower_bounds.get("doc_id", "") <= probe
+        and probe <= f.upper_bounds.get("doc_id", "￿"),
+    ).filter(F.col("doc_id") == probe).count()
+    timings["point_lookup_pruned"] = round(time.time() - t0, 3)
+
+    gb = bytes_in / 1e9
+    out = {
+        "metric": "maintenance_suite_wall",
+        "value": round(maintenance_wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": CPUS,
+        "replicate": REPLICATE,
+        "rows": rows_in,
+        "files_before": n_files0,
+        "files_after_compact": m_compact.get("files_out"),
+        "bytes_in": bytes_in,
+        "gb_per_hour": round(gb / (maintenance_wall / 3600), 2),
+        "seq_per_sec": round(rows_in / maintenance_wall, 1),
+        "point_lookup_rows": hit,
+        "scan_rows": agg and sum(r.n for r in agg),
+        "token_checksum": full[0]["cksum"],
+    }
+    shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+def run_scaling(repeats: int = 2) -> None:
+    """N vs 4N evidence: identical job + input at two parallelism levels,
+    fresh JVM per leg, min-of-N walls (minimum is robust to noisy-neighbor
+    interference on a shared host). Two pairs are reported — (2, 8) and
+    (4, 16) — because this single VM's shared memory bandwidth saturates
+    near 16 threads (measured: a pure scan gains only ~2.1x from 4→16
+    threads while pure-ALU python scales ~4x); a real 4N-executor cluster
+    adds bandwidth with every node, which one box cannot emulate. All legs
+    stay within the 16 physical cores (32 logical = SMT)."""
+    levels = [2, 8, 4, 16]
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for r in range(repeats):
+        for cpus in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+            )
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+    best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
+    out = {f"local{c}": best[c] for c in levels}
+    out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}
+    for n, n4 in ((2, 8), (4, 16)):
+        sp = best[n]["value"] / best[n4]["value"]
+        out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
+        out[f"scaling_efficiency_{n}_{n4}"] = round(sp / 4, 3)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

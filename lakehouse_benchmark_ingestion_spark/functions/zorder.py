@@ -103,6 +103,35 @@ def hilbert_key_udf(d0: pd.Series, d1: pd.Series, d2: pd.Series) -> pd.Series:
     return pd.Series(h.astype(np.int64))
 
 
+_SPREAD_STEPS = [
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def _spread3_col(x: Column) -> Column:
+    """Catalyst-expression twin of _spread3 — pure JVM bit math, so plans
+    that must re-evaluate the key (e.g. repartitionByRange's boundary
+    sampler) never pay a second Python pass."""
+    x = x.bitwiseAND(F.lit(DIM_MASK).cast("long"))
+    for shift, mask in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask).cast("long"))
+    return x
+
+
+def morton_key_cols(d0: Column, d1: Column, d2: Column) -> Column:
+    """63-bit Morton code as a built-in expression tree (whole-stage
+    codegen). Bit-identical to morton_key_udf — equality is unit-tested."""
+    return (
+        _spread3_col(d0)
+        .bitwiseOR(F.shiftleft(_spread3_col(d1), 1))
+        .bitwiseOR(F.shiftleft(_spread3_col(d2), 2))
+    )
+
+
 def _dim_cols() -> tuple[Column, Column, Column]:
     """JVM-side 21-bit dimension prep for (source, n_tok, hash(doc_id)).
 
@@ -120,8 +149,20 @@ def _dim_cols() -> tuple[Column, Column, Column]:
     return src, ntk, doc
 
 
-def with_cluster_key(df: DataFrame, curve: str = "zorder", key_col: str = "_ckey") -> DataFrame:
-    """Append the 64-bit interleaved clustering key column."""
+def with_cluster_key(
+    df: DataFrame, curve: str = "zorder", key_col: str = "_ckey", impl: str = "auto"
+) -> DataFrame:
+    """Append the 64-bit interleaved clustering key column.
+
+    Morton defaults to the Catalyst expression (fastest: codegen, no
+    Python boundary, safe to re-evaluate in range samplers); ``impl=
+    "pandas"`` forces the vectorized pandas UDF (numpy) — both are
+    bit-identical. Hilbert always uses the pandas UDF (the Skilling state
+    machine has no reasonable expression-tree form).
+    """
     src, ntk, doc = _dim_cols()
-    udf = morton_key_udf if curve in ("zorder", "morton", "z") else hilbert_key_udf
-    return df.withColumn(key_col, udf(src, ntk, doc))
+    if curve in ("zorder", "morton", "z"):
+        if impl == "pandas":
+            return df.withColumn(key_col, morton_key_udf(src, ntk, doc))
+        return df.withColumn(key_col, morton_key_cols(src, ntk, doc))
+    return df.withColumn(key_col, hilbert_key_udf(src, ntk, doc))

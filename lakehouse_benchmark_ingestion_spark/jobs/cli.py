@@ -1,0 +1,187 @@
+"""spark-submit entry point for every maintenance operation.
+
+Usage (north_rule packaging):
+
+    zip -r engine.zip lakehouse_benchmark_ingestion_spark
+    spark-submit --py-files engine.zip \
+        lakehouse_benchmark_ingestion_spark/jobs/cli.py <command> [options]
+
+Commands mirror the reference's operational surface (MainRunner's CLI,
+MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
+
+    create-table   --warehouse W --table T [--from-documents DIR [--replicate K]]
+    ingest         --warehouse W --table T --from-documents DIR [--appends N]
+    compact        --warehouse W --table T [--target-mb N] [--curve zorder|hilbert]
+                   [--salts N] [--run-id ID] [--concurrency N]
+    cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
+    rewrite-manifests --warehouse W --table T
+    expire         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
+    merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
+    full           --warehouse W --table T [--target-mb N]   (whole suite)
+    scan           --warehouse W --table T [--snapshot-id N] [--limit N]
+    history        --warehouse W --table T
+
+Every command prints one JSON metrics line (machine-parseable, like the
+lineage rows the north_rule requires).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="icelite")
+    p.add_argument("command")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", default="sequences")
+    p.add_argument("--from-documents")
+    p.add_argument("--replicate", type=int, default=1)
+    p.add_argument("--appends", type=int, default=4)
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--salts", type=int, default=1)
+    p.add_argument("--run-id")
+    p.add_argument("--concurrency", type=int, default=8)
+    p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument("--older-than-ms", type=int)
+    p.add_argument("--updates-parquet")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--snapshot-id", type=int)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--cpus", type=int)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.session import get_spark
+
+    spark = get_spark(f"icelite-{args.command}")
+    cat = Catalog(args.warehouse)
+    target = args.target_mb * 1024 * 1024
+    out: dict = {"command": args.command, "table": args.table}
+
+    if args.command == "create-table":
+        from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+        if not args.from_documents:
+            p.error("create-table requires --from-documents")
+        df = tokens_df(spark, args.from_documents, replicate=args.replicate)
+        tbl = cat.create_table(args.table, df.schema)
+        out["location"] = tbl.location
+
+    elif args.command == "ingest":
+        from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+        tbl = cat.load_table(args.table)
+        df = tokens_df(spark, args.from_documents, replicate=args.replicate)
+        for i in range(args.appends):
+            part = df.filter(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(args.appends)) == i
+            )
+            snap = tbl.append(part)
+            out[f"snapshot_{i}"] = snap.snapshot_id
+
+    elif args.command == "compact":
+        from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+        out.update(
+            compact(
+                spark,
+                cat.load_table(args.table),
+                target_file_size=target,
+                curve=args.curve,
+                n_salts=args.salts,
+                run_id=args.run_id,
+                max_concurrent_groups=args.concurrency,
+            )
+        )
+
+    elif args.command == "cluster":
+        from lakehouse_benchmark_ingestion_spark.operators.clustering import cluster
+
+        out.update(
+            cluster(
+                spark,
+                cat.load_table(args.table),
+                curve=args.curve,
+                target_file_size=target,
+                n_salts=args.salts,
+                run_id=args.run_id,
+            )
+        )
+
+    elif args.command == "rewrite-manifests":
+        from lakehouse_benchmark_ingestion_spark.operators.manifest_rewrite import rewrite_manifests
+
+        out.update(rewrite_manifests(cat.load_table(args.table), run_id=args.run_id))
+
+    elif args.command == "expire":
+        from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import expire_snapshots
+
+        out.update(
+            expire_snapshots(
+                cat.load_table(args.table),
+                keep_last=args.keep_last,
+                older_than_ms=args.older_than_ms,
+                run_id=args.run_id,
+            )
+        )
+
+    elif args.command == "merge":
+        from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+        if not args.updates_parquet:
+            p.error("merge requires --updates-parquet")
+        updates = spark.read.parquet(args.updates_parquet)
+        out.update(
+            merge_into(
+                spark, cat.load_table(args.table), updates, key=args.key, run_id=args.run_id
+            )
+        )
+
+    elif args.command == "full":
+        from lakehouse_benchmark_ingestion_spark.plans.maintenance import run_full_maintenance
+
+        out.update(
+            run_full_maintenance(
+                spark, cat.load_table(args.table), target_file_size=target,
+                curve=args.curve, n_salts=args.salts, run_id=args.run_id,
+            )
+        )
+
+    elif args.command == "scan":
+        tbl = cat.load_table(args.table)
+        df = tbl.scan(spark, snapshot_id=args.snapshot_id)
+        out["rows"] = df.count()
+        out["sample"] = [
+            {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
+            for r in df.limit(args.limit).collect()
+        ]
+
+    elif args.command == "history":
+        tbl = cat.load_table(args.table)
+        out["snapshots"] = [
+            {
+                "id": s.snapshot_id,
+                "parent": s.parent_id,
+                "op": s.operation,
+                "ts": s.timestamp_ms,
+                "manifests": len(s.manifests),
+                "summary": s.summary,
+            }
+            for s in tbl.history()
+        ]
+
+    else:
+        p.error(f"unknown command {args.command!r}")
+
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

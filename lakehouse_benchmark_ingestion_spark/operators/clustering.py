@@ -48,6 +48,8 @@ def cluster(
     n_out = max(1, -(-bytes_in // target_file_size))
 
     df = spark.read.schema(table.schema).parquet(*[f.path for f in files])
+    # zorder uses the Catalyst morton expression — the range sampler
+    # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
     if n_salts > 1:
         df = df.withColumn("_salt", salt_expr("doc_id", n_salts))

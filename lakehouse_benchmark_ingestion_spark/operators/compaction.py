@@ -64,18 +64,26 @@ def plan_compaction(
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     min_input_files: int = 2,
     small_file_threshold: float = 0.75,
+    max_group_size: int | None = None,
 ) -> CompactionPlan:
     """Greedy first-fit-decreasing bin packing of small files.
 
     Files already >= ``small_file_threshold * target`` are left alone
     (rewriting them buys nothing). Candidates are sorted descending and
-    packed into bins of ~target size; a bin with fewer than
-    ``min_input_files`` inputs is dropped (rewrite amplification guard).
-    Deterministic given the snapshot — resume re-derives the identical plan.
+    packed into bins of ~``max_group_size`` (default 8× target — cf.
+    Iceberg's rewrite max-file-group-size vs target-file-size split); each
+    group's rewrite job then range-splits into ceil(bytes/target) output
+    files, so one group-job is itself a WIDE job — few jobs (fixed job
+    latency stays negligible) but full shuffle parallelism. A bin with
+    fewer than ``min_input_files`` inputs is dropped (rewrite amplification
+    guard). Deterministic given the snapshot — resume re-derives the
+    identical plan.
     """
     snap = table.current_snapshot()
     if snap is None:
         return CompactionPlan(snapshot_id=-1, target_file_size=target_file_size)
+    if max_group_size is None:
+        max_group_size = 8 * target_file_size
     files = table.data_files(snap.snapshot_id)
     small = [f for f in files if f.file_size_bytes < small_file_threshold * target_file_size]
     small.sort(key=lambda f: (-f.file_size_bytes, f.path))
@@ -85,7 +93,7 @@ def plan_compaction(
     for f in small:
         placed = False
         for i in range(len(bins)):
-            if bin_sizes[i] + f.file_size_bytes <= target_file_size:
+            if bin_sizes[i] + f.file_size_bytes <= max_group_size:
                 bins[i].append(f)
                 bin_sizes[i] += f.file_size_bytes
                 placed = True
@@ -119,7 +127,11 @@ def _rewrite_group(
     df = with_cluster_key(df, curve=curve)
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
-    if n_salts > 1:
+    if n_out == 1:
+        # single-output groups skip the range-sampling job: plain shuffle
+        # to one partition, then in-partition sort — same file contents
+        df = df.repartition(1)
+    elif n_salts > 1:
         # salt INSIDE the range-partition key, OUTSIDE the sort key
         # (SURVEY.md §7.3): duplicate-ckey hot spots split across salts,
         # while each output file stays internally ckey-sorted.
@@ -146,37 +158,46 @@ def compact(
     plan: CompactionPlan | None = None,
     fail_after_groups: int | None = None,
     timestamp_ms: int | None = None,
+    max_concurrent_groups: int = 8,
+    max_group_size: int | None = None,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
+
+    Group rewrites are submitted CONCURRENTLY (thread pool → Spark's
+    scheduler interleaves the jobs), so many small group-jobs keep all
+    executors busy — the driver-side analogue of Hudi's compaction task
+    parallelism (hudi.compaction.tasks, HudiCatalogSync.java:175). Each
+    group still checkpoints its own lineage row atomically.
 
     ``run_id``: pass the same id to resume an interrupted run — groups with
     a ``done`` lineage row are skipped, their recorded output reused.
     ``fail_after_groups``: test hook — raise after N groups (simulated crash
-    BEFORE the commit; the table must still read at the old snapshot).
+    BEFORE the commit; the table must still read at the old snapshot);
+    forces serial execution so the cut point is deterministic.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
-        plan = plan_compaction(table, target_file_size)
+        plan = plan_compaction(table, target_file_size, max_group_size=max_group_size)
     log = LineageLog(table.location)
     done = log.done_tasks(run_id, "compact")
 
     removed: set[str] = set()
     added_paths: list[str] = []
-    executed = 0
     skipped = 0
+    todo: list[CompactionGroup] = []
     for group in plan.groups:
         if group.group_id in done:
             row = done[group.group_id]
             added_paths.extend(row.output_paths or [])
             removed.update(f.path for f in group.files)
             skipped += 1
-            continue
-        if fail_after_groups is not None and executed >= fail_after_groups:
-            raise RuntimeError(f"injected failure after {executed} groups (run_id={run_id})")
+        else:
+            todo.append(group)
+
+    def run_one(group: CompactionGroup) -> list[str]:
         out_paths = _rewrite_group(
             spark, table, group, run_id, curve, target_file_size, n_salts
         )
-        bytes_out = sum(os.path.getsize(p) for p in out_paths)
         log.write(
             LineageRow(
                 run_id=run_id,
@@ -186,15 +207,34 @@ def compact(
                 files_out=len(out_paths),
                 rows=group.rows_in,
                 bytes_in=group.bytes_in,
-                bytes_out=bytes_out,
+                bytes_out=sum(os.path.getsize(p) for p in out_paths),
                 snapshot_id=plan.snapshot_id,
                 status="done",
                 output_paths=out_paths,
             )
         )
-        removed.update(f.path for f in group.files)
-        added_paths.extend(out_paths)
-        executed += 1
+        return out_paths
+
+    executed = 0
+    if fail_after_groups is not None:
+        for group in todo:
+            if executed >= fail_after_groups:
+                raise RuntimeError(
+                    f"injected failure after {executed} groups (run_id={run_id})"
+                )
+            out_paths = run_one(group)
+            removed.update(f.path for f in group.files)
+            added_paths.extend(out_paths)
+            executed += 1
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(max_concurrent_groups, len(todo)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for group, out_paths in zip(todo, pool.map(run_one, todo)):
+                removed.update(f.path for f in group.files)
+                added_paths.extend(out_paths)
+                executed += 1
 
     if not plan.groups:
         return {"groups": 0, "files_in": 0, "files_out": 0, "run_id": run_id}

@@ -1,0 +1,222 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash (word-hash sign aggregation), and n-gram Jaccard
+verification. All hot paths are JVM built-ins (higher-order array functions,
+explode+groupBy); Python never sees a row.
+
+Scale notes (10^12 docs):
+  - shingling + minhash are per-row map work — embarrassingly parallel;
+  - the only shuffle is the LSH band-bucket groupBy (key = (band, hash));
+    buckets are tiny except pathological near-identical clusters, which
+    AQE skew-split handles;
+  - candidate verification joins docs back by id — sort-merge on doc_id,
+    prunable by the same file stats MERGE uses.
+
+Two hash families:
+  - ``xxhash64`` (default): fastest, JVM built-in;
+  - ``poly``: the polynomial rolling hash (functions shared with the DuckDB
+    oracles, which cannot evaluate xxhash64) — same algorithm, checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_P = 2147483647  # 2^31 - 1
+HASH_B = 31
+
+# MinHash permutation parameters: (a*h + b) mod P over the shingle hash.
+# Odd multipliers, fixed seeds — deterministic across engines and runs.
+MINHASH_PERMS = [(2 * i + 1, 104729 * (i + 1) % HASH_P) for i in range(16)]
+
+
+def char_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Character n-gram array (1-based substring — same in DuckDB)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text._jc.toString()}) - {n - 1}, 1)),"
+        f" i -> substring({text._jc.toString()}, i, {n}))"
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def _shingles_sql(col: str, n: int = 3) -> Column:
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), i -> substring({col}, i, {n}))"
+    )
+    return F.array_distinct(grams)
+
+
+def poly_hash(c: Column) -> Column:
+    """Rolling-hash a string column (JVM fold; mirrors the oracle's
+    list_reduce)."""
+    codes = F.expr(
+        f"transform(sequence(1, length({c._jc.toString()})), i -> ascii(substring({c._jc.toString()}, i, 1)))"
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda h, ch: (h * HASH_B + ch.cast("long")) % HASH_P
+    )
+
+
+def _poly_hash_of(g: Column) -> Column:
+    """Polynomial fold of one (lambda-bound) string column — nestable inside
+    transform(); mirrors the oracle's list_reduce bit-for-bit."""
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length(g)), lambda i: F.ascii(g.substr(i, F.lit(1)))),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * HASH_B + ch.cast("long")) % HASH_P,
+    )
+
+
+def shingle_hashes(text_col: str, n: int = 3, hash_fn: str = "xxhash64") -> Column:
+    """Array of int64 hashes in [0, P), one per distinct shingle."""
+    grams = _shingles_sql(text_col, n)
+    if hash_fn == "xxhash64":
+        return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_P)))
+    return F.transform(grams, _poly_hash_of)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    n_perms: int = 16,
+    hash_fn: str = "xxhash64",
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an array<long> MinHash signature column.
+
+    signature[j] = min over shingles s of (a_j * H(s) + b_j) mod P.
+    ``hash_fn="poly"`` uses the DuckDB-matchable rolling hash.
+    """
+    hashes = shingle_hashes(text_col, n, hash_fn)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(HASH_P)))
+            )
+            for a, b in MINHASH_PERMS[:n_perms]
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    Returns (a_id, b_id) with a < b, distinct. The band groupBy is the only
+    shuffle; self-join happens within tiny buckets via collect_list (guarded
+    by a size cap with explode of combinations).
+    """
+    n_perms = len(MINHASH_PERMS)
+    n_bands = n_perms // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        *[F.element_at(F.col(sig_col), b * band_size + j + 1) for j in range(band_size)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    grouped = exploded.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+    return pairs.distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → LSH candidates →
+    exact n-gram Jaccard verification of candidates only."""
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n=n)
+    cands = lsh_candidate_pairs(sig, id_col=id_col)
+    docs = df.select(
+        F.col(id_col), _shingles_sql(text_col, n).alias("_grams")
+    )
+    a = docs.select(F.col(id_col).alias("a_id"), F.col("_grams").alias("ga"))
+    b = docs.select(F.col(id_col).alias("b_id"), F.col("_grams").alias("gb"))
+    verified = (
+        cands.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("uni", F.size("ga") + F.size("gb") - F.col("inter"))
+        .filter(F.col("inter") >= F.col("uni") * jaccard_threshold)
+        .select("a_id", "b_id", "inter", "uni")
+    )
+    return verified
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 31,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Word-level SimHash via explode + per-bit sign aggregation.
+
+    hash each whitespace word (poly hash — oracle-matchable), then
+    bit j of the signature = 1 iff sum over words of (2*bit_j(h) - 1) > 0.
+    explode+groupBy keeps it in codegen; the shuffle key is the doc id.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    h = F.aggregate(
+        F.expr("transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1)))"),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * HASH_B + ch.cast("long")) % HASH_P,
+    )
+    hashed = words.select(id_col, h.alias("h"))
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = bit_sums.select(
+        id_col,
+        sum(
+            [F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(n_bits)],
+            F.lit(0).cast("long"),
+        ).alias(out_col),
+    )
+    return sig
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one survivor (min id) per content hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )

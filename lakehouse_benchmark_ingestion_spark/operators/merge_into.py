@@ -64,14 +64,27 @@ def merge_into(
     # the union side uses the plain plan.
     winners_j = F.broadcast(winners) if n_updates <= BROADCAST_THRESHOLD_ROWS else winners
 
-    # 2. stats-based file pruning: range-overlap join of update keys against
-    # per-file min/max (manifest stats). File stats are tiny → broadcast them;
-    # the scan side (update keys) never moves.
+    # 2. stats-based file pruning: range-overlap of update keys against
+    # per-file min/max (manifest stats). Two paths:
+    #   - small update set (the common upsert shape): collect the sorted
+    #     distinct keys once and binary-search each file's [min,max] on the
+    #     driver — O(files · log keys), no extra Spark job;
+    #   - huge update set: distributed range-overlap join with the tiny
+    #     file-stats side broadcast (keys never move).
     matched_paths: list[str] = []
     prunable = [f for f in files if key in f.lower_bounds and key in f.upper_bounds]
     prunable_paths = {f.path for f in prunable}
     unprunable = [f for f in files if f.path not in prunable_paths]
-    if prunable:
+    if prunable and n_updates <= BROADCAST_THRESHOLD_ROWS:
+        import bisect
+
+        keys_sorted = sorted(r[0] for r in winners.select(key).distinct().collect())
+        for f in prunable:
+            lo, hi = str(f.lower_bounds[key]), str(f.upper_bounds[key])
+            i = bisect.bisect_left(keys_sorted, lo)
+            if i < len(keys_sorted) and keys_sorted[i] <= hi:
+                matched_paths.append(f.path)
+    elif prunable:
         stats_df = spark.createDataFrame(
             [(f.path, str(f.lower_bounds[key]), str(f.upper_bounds[key])) for f in prunable],
             schema="path string, kmin string, kmax string",
@@ -100,8 +113,11 @@ def merge_into(
     else:
         new_data = winners.select(*[f.name for f in schema.fields])
 
+    # range-partition the rewrite on the key: keeps every task busy (a
+    # coalesce here would collapse the join's parallelism into n_out tasks)
+    # AND gives the new files disjoint key ranges → future merges prune well.
     out_dir = os.path.join(table.location, "data", f"mg-{run_id}")
-    new_data.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    new_data.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
     out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     added = mf.harvest_stats(out_paths)
     rows_out = sum(f.record_count for f in added)
@@ -128,6 +144,7 @@ def merge_into(
             output_paths=out_paths,
         )
     )
+    winners.unpersist()
     return {
         "updates": n_updates,
         "files_matched": len(matched_paths),

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — probes broadcast against one corpus
+scan, vector math in JVM zip_with/aggregate folds. Scale path: LSH with
+deterministic random-hyperplane signatures — candidates only within matching
+buckets, then exact re-scoring (recall < 1, measured by tests against the
+brute-force truth).
+
+At 10^12 rows the brute-force variant is the per-bucket verifier, not the
+global scan; the bucket groupBy is the only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic hyperplane weights: w(p, d) in [-0.5, 0.5)
+#   w = ((p * 8191 + d) * 2654435761 mod 1000003) / 1000003 - 0.5
+_W_MOD = 1000003
+_W_MUL = 2654435761
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [
+            (((p * 8191 + d) * _W_MUL) % _W_MOD) / _W_MOD - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with multiply + sequential fold (bit-stable
+    and identical to the DuckDB oracle's evaluation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast probes × corpus scan, per-probe window.
+
+    probes must have columns (query_id, qv)."""
+    cand = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pairs = F.broadcast(probes).crossJoin(cand).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = bits of sign(v · w_p).
+
+    Weights are literal arrays (deterministic), the dot products run in
+    zip_with folds — one map pass, no shuffle, no Python.
+    """
+    planes = hyperplane_weights(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        wcol = F.array(*[F.lit(x) for x in w])
+        bit = (dot(F.col(vec_col), wcol) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_tables(
+    df: DataFrame,
+    vec_col: str,
+    n_tables: int = 8,
+    band_size: int = 4,
+    dim: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """OR-amplified LSH: L independent tables of b hyperplanes each; a row
+    lands in one bucket per table (exploded). Candidates = rows sharing a
+    bucket in ANY table — collision prob 1-(1-(1-θ/π)^b)^L, tunable for the
+    recall/candidate-count tradeoff. One map pass + explode; no Python."""
+    entries = []
+    for t in range(n_tables):
+        # deterministic distinct planes per (table, band position)
+        bucket = F.lit(0).cast("long")
+        for j in range(band_size):
+            wrow = _table_plane(t, j, dim)
+            wcol = F.array(*[F.lit(x) for x in wrow])
+            bit = (dot(F.col(vec_col), wcol) > 0).cast("long")
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt"))
+        )
+    return df.withColumn("_e", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("_e.tbl").alias("lsh_table"), F.col("_e.bkt").alias(out_col)
+    )
+
+
+def _table_plane(t: int, j: int, dim: int) -> list[float]:
+    """Deterministic hyperplane for table t, position j."""
+    p = t * 101 + j
+    return [
+        (((p * 8191 + d) * _W_MUL) % _W_MOD) / _W_MOD - 0.5 for d in range(dim)
+    ]
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_tables: int = 8,
+    band_size: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share a bucket in ANY of the L hash
+    tables; exact cosine re-scoring on candidates only. probes: (query_id, qv)."""
+    corpus = lsh_tables(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        n_tables,
+        band_size,
+        dim,
+    )
+    probes_b = lsh_tables(probes, "qv", n_tables, band_size, dim)
+    pairs = (
+        F.broadcast(probes_b)
+        .join(corpus, ["lsh_table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()  # de-dup candidates found in several tables
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs above a cosine threshold (brute force — the correctness
+    baseline the LSH path is measured against)."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.select(
+        "a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -372,3 +372,280 @@ ORACLES["pipe_lang_id"] = f"""
       FROM documents
     )
 """
+
+
+# ============================================================================
+# dedup / similarity / multimodal / streaming queries (second batch)
+# ============================================================================
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (poly-hash family → DuckDB-matchable bit-for-bit)."""
+    from .operators.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    return minhash_signature(d, "text", n=3, n_perms=16, hash_fn="poly").select(
+        "doc_id", "minhash"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d.select("doc_id", "text"))
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (deterministic weights)."""
+    from .operators.similarity import lsh_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_signature(e, n_planes=8, dim=64).select("vec_id", "lsh_bucket")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (xxhash64 family — fastest; no SQL
+    oracle, driver records rows-only)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return minhash_dedup_pairs(d, jaccard_threshold=0.5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall measured vs brute force in
+    tests; rows-only here)."""
+    from .operators.similarity import lsh_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_ann_topk(e, probes, k=5, n_tables=8, band_size=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (rows-only: the
+    byte-level kernel is not SQL-expressible)."""
+    from .operators.multimodal import extract_features, synth_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(synth_media_table(d))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads; per-doc chunk accounting is
+    oracle-checkable (chunk bytes must sum back to payload bytes)."""
+    from .operators.multimodal import frame_sample, synth_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(d)
+    return (
+        frame_sample(media, frame_every=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_bytes").alias("total_frame_bytes"),
+        )
+    )
+
+
+def q_stream_ingested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming ingest (availableNow, one snapshot per
+    micro-batch) then scan — must equal the batch-synthesized table."""
+    import shutil
+    import tempfile
+
+    from .icelite import Catalog
+    from .sources.tokens import tokens_df
+    from .streaming.incremental import drop_parquet_batches, stream_ingest_files
+
+    df = tokens_df(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="icelite_stream_")
+    try:
+        tbl = Catalog(base).create_table("seq_stream", df.schema)
+        drop_parquet_batches(df, f"{base}/drops", n_batches=3)
+        stream_ingest_files(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", mode="append"
+        )
+        out = tbl.scan(spark).select("doc_id", "tokens", "n_tok", "source")
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES.update(
+    {
+        "pipe_minhash_signature": q_minhash_signature,
+        "pipe_simhash": q_simhash,
+        "pipe_lsh_buckets": q_lsh_buckets,
+        "pipe_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "pipe_ann_lsh": q_ann_lsh,
+        "pipe_multimodal_features": q_multimodal_features,
+        "pipe_frame_sample": q_frame_sample,
+        "stream_ingested_scan": q_stream_ingested_scan,
+    }
+)
+
+# ---- oracles for the second batch -------------------------------------------
+
+_POLY_HASH_G = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(g) + 1), "
+    "i -> CAST(ascii(substr(g, CAST(i AS INT), 1)) AS BIGINT))), "
+    f"(h, c) -> (h * {HASH_B} + c) % {HASH_P})"
+)
+
+_NGRAMS_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), "
+    "i -> substr(text, CAST(i AS INT), 3)))"
+)
+
+from .operators.dedup import MINHASH_PERMS  # noqa: E402
+
+_MINHASH_COLS = ", ".join(
+    f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {HASH_P}))"
+    for a, b in MINHASH_PERMS
+)
+
+ORACLES["pipe_minhash_signature"] = f"""
+    SELECT doc_id, [{_MINHASH_COLS}] AS minhash FROM (
+      SELECT doc_id,
+             list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
+      FROM documents
+    )
+"""
+
+_WORD_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(w) + 1), "
+    "i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))), "
+    f"(h, c) -> (h * {HASH_B} + c) % {HASH_P})"
+)
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(31)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(31)
+)
+
+ORACLES["pipe_simhash"] = rf"""
+    SELECT doc_id, {_SIMHASH_COMBINE} AS simhash FROM (
+      SELECT doc_id, {_SIMHASH_BITSUMS} FROM (
+        SELECT doc_id, {_WORD_HASH} AS h FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        )
+      ) GROUP BY doc_id
+    )
+"""
+
+# LSH bucket oracle: weights derived arithmetically (identical doubles)
+_LSH_DOT = (
+    "list_sum(list_transform(range(64), d -> CAST(embedding[d + 1] AS DOUBLE) * "
+    "((((({p} * 8191 + d) * 2654435761) % 1000003) / 1000003.0) - 0.5)))"
+)
+_LSH_BUCKET = " + ".join(
+    "(CASE WHEN " + _LSH_DOT.format(p=p) + f" > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+    for p in range(8)
+)
+ORACLES["pipe_lsh_buckets"] = f"""
+    SELECT vec_id, {_LSH_BUCKET} AS lsh_bucket FROM embeddings
+"""
+
+ORACLES["pipe_frame_sample"] = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS total_frame_bytes
+    FROM documents
+"""
+
+from .sources.tokens import TOKENS_ORACLE_SQL as _TOK  # noqa: E402
+
+ORACLES["stream_ingested_scan"] = _TOK
+
+
+# ============================================================================
+# third batch: semi-structured decode (S3 analogue) + grouped-map UDF surface
+# ============================================================================
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events.props payload — the batch analogue of the
+    reference's Debezium SourceRecord→RowData deserialize
+    (SyncDbFunction.java:137-164): typed extraction + metadata columns."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )
+
+
+def q_source_median_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) surface: exact per-source median of n_tok
+    computed in a vectorized pandas kernel — deterministic definition
+    (sorted, lower-middle element) so the SQL oracle matches exactly."""
+    import pandas as pd
+
+    from .sources.tokens import tokens_df
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_tok"].sort_values().to_numpy()
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(v)],
+                "median_ntok": [int(v[(len(v) - 1) // 2])],
+                "p90_ntok": [int(v[min(len(v) - 1, (len(v) * 9) // 10)])],
+            }
+        )
+
+    df = tokens_df(spark, sf_dir)
+    return df.groupBy("source").applyInPandas(
+        kernel, "source string, n_docs long, median_ntok int, p90_ntok int"
+    )
+
+
+QUERIES.update(
+    {
+        "pipe_events_props_json": q_events_props_json,
+        "pipe_source_median_ntok": q_source_median_ntok,
+    }
+)
+
+ORACLES["pipe_events_props_json"] = """
+    SELECT event_type, count(*) AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+from .sources.tokens import TOKENS_ORACLE_SQL as _TOK2  # noqa: E402
+
+ORACLES["pipe_source_median_ntok"] = f"""
+    WITH seq AS ({_TOK2}),
+    ranked AS (
+      SELECT source, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM seq
+    )
+    SELECT source,
+           max(n) AS n_docs,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_tok END) AS median_ntok,
+           max(CASE WHEN rn = least(n, (n * 9) // 10 + 1) THEN n_tok END) AS p90_ntok
+    FROM ranked GROUP BY source
+"""

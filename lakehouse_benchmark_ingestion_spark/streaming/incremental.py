@@ -1,0 +1,91 @@
+"""Structured-Streaming ingest into icelite — the CDC-tail analogue.
+
+The reference tails a MySQL binlog with Flink-CDC and commits one Iceberg
+snapshot per 60 s checkpoint (SyncDbFunction.java:77-86, MainRunner.java:86).
+Our engine's equivalent: a Structured Streaming source (file stream over
+parquet drops, or any readStream) driven through ``foreachBatch``, where
+each micro-batch either APPENDS (insert-only feeds) or MERGEs (upsert feeds
+with a ``_seq`` column) into the table — one snapshot per micro-batch, same
+exactly-once shape (a micro-batch that fails before commit leaves the table
+on the previous snapshot; Spark replays it from the checkpoint).
+
+``Trigger.AvailableNow`` drains a backlog deterministically — that is what
+the tests and the streaming query use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..icelite.table import IceliteTable
+from ..operators.merge_into import merge_into
+
+
+def stream_ingest_files(
+    spark: SparkSession,
+    table: IceliteTable,
+    source_dir: str,
+    checkpoint_dir: str,
+    mode: str = "append",  # append | merge
+    key: str = "doc_id",
+    seq_col: str = "_seq",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> int:
+    """Stream parquet drops from ``source_dir`` into the table.
+
+    Returns the number of micro-batches committed. One icelite snapshot per
+    micro-batch (the reference's checkpoint==commit cadence).
+    """
+    schema = table.schema if mode == "append" else None
+    reader = spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # merge feeds carry the extra _seq column
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        base = table.schema
+        schema = StructType(list(base.fields) + [StructField(seq_col, LongType(), False)])
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+
+    batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if mode == "append":
+            table.append(batch_df)
+        else:
+            merge_into(spark, table, batch_df, key=key, seq_col=seq_col)
+        batches["n"] += 1
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode not used in tests
+        q = writer.start()
+    return batches["n"]
+
+
+def drop_parquet_batches(
+    df: DataFrame, out_dir: str, n_batches: int, key_col: str = "doc_id"
+) -> list[str]:
+    """Test helper: split df into n deterministic parquet drop-files."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n_batches):
+        p = os.path.join(out_dir, f"drop-{i:04d}")
+        df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_batches)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths

@@ -1,0 +1,61 @@
+"""spark-submit CLI surface (jobs/cli.py) — in-process invocation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lakehouse_benchmark_ingestion_spark.jobs.cli import main
+from tests.conftest import SF_SMOKE
+
+
+def run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_cli_lifecycle(spark, warehouse, capsys, tmp_path):
+    r = run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    assert r["command"] == "create-table"
+
+    r = run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "3")
+    assert r["snapshot_2"] == 3
+
+    r = run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "1")
+    assert r["files_in"] == 3 and r["files_out"] >= 1
+
+    r = run(capsys, "cluster", "--warehouse", warehouse, "--target-mb", "1")
+    assert r["files_out"] >= 1
+
+    r = run(capsys, "rewrite-manifests", "--warehouse", warehouse)
+    r = run(capsys, "expire", "--warehouse", warehouse, "--keep-last", "1")
+    assert r["expired"] >= 1
+
+    # merge from a parquet updates file
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import updates_df
+
+    upath = str(tmp_path / "updates")
+    updates_df(spark, SF_SMOKE).write.parquet(upath)
+    r = run(capsys, "merge", "--warehouse", warehouse, "--updates-parquet", upath)
+    assert r["updates"] > 0
+
+    r = run(capsys, "scan", "--warehouse", warehouse, "--limit", "2")
+    assert r["rows"] == 572 and len(r["sample"]) == 2
+
+    r = run(capsys, "history", "--warehouse", warehouse)
+    ops = [s["op"] for s in r["snapshots"]]
+    assert "merge" in ops
+
+
+def test_cli_full_suite(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    r = run(capsys, "full", "--warehouse", warehouse, "--target-mb", "1")
+    assert "compact" in r and "expire_snapshots" in r
+
+
+def test_cli_rejects_unknown_command(warehouse):
+    with pytest.raises(SystemExit):
+        main(["frobnicate", "--warehouse", warehouse])

@@ -139,12 +139,15 @@ def test_rewrite_manifests_pure_metadata(spark, sequences_table):
 
 def test_resume_skips_finished_groups(spark, sequences_table):
     tbl = sequences_table
-    plan = plan_compaction(tbl, target_file_size=64 * 1024)
+    plan = plan_compaction(tbl, target_file_size=64 * 1024, max_group_size=64 * 1024)
     assert len(plan.groups) >= 3, "need multiple groups for a meaningful resume test"
     run_id = "resumetest001"
 
     with pytest.raises(RuntimeError, match="injected failure"):
-        compact(spark, tbl, target_file_size=64 * 1024, run_id=run_id, fail_after_groups=2)
+        compact(
+            spark, tbl, target_file_size=64 * 1024, max_group_size=64 * 1024,
+            run_id=run_id, fail_after_groups=2,
+        )
 
     # crash happened BEFORE commit: readers still on the old snapshot
     assert len(tbl.data_files()) == 20
@@ -154,7 +157,9 @@ def test_resume_skips_finished_groups(spark, sequences_table):
     outputs_first_run = {p for row in done.values() for p in row.output_paths}
 
     # resume with the same run_id
-    metrics = compact(spark, tbl, target_file_size=64 * 1024, run_id=run_id)
+    metrics = compact(
+        spark, tbl, target_file_size=64 * 1024, max_group_size=64 * 1024, run_id=run_id
+    )
     assert metrics["groups_resumed"] == 2
     assert metrics["groups_executed"] == len(plan.groups) - 2
     # finished groups were NOT recompacted: their output files are reused verbatim
@@ -188,8 +193,8 @@ def test_compaction_plan_binpacking_invariants(spark, sequences_table):
         for f in g.files:
             assert f.path not in seen  # disjoint
             seen.add(f.path)
-        # bins don't absurdly overflow target (single file may exceed)
-        assert g.bytes_in <= target or len(g.files) == 1
+        # bins respect the max group size (single file may exceed)
+        assert g.bytes_in <= 8 * target or len(g.files) == 1
     # plan is deterministic
     plan2 = plan_compaction(tbl, target_file_size=target)
     assert [[f.path for f in g.files] for g in plan.groups] == [

@@ -1,0 +1,85 @@
+"""Structured-Streaming ingest into icelite (CDC-tail analogue)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df, updates_df
+from lakehouse_benchmark_ingestion_spark.streaming.incremental import (
+    drop_parquet_batches,
+    stream_ingest_files,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_append_one_snapshot_per_batch(spark, warehouse, tmp_path):
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("sequences", df.schema)
+    drop_parquet_batches(df, str(tmp_path / "drops"), n_batches=3)
+    n = stream_ingest_files(
+        spark,
+        tbl,
+        str(tmp_path / "drops" / "drop-*"),
+        str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    assert n == 3
+    # one snapshot per micro-batch (the reference's checkpoint==commit cadence)
+    assert len(tbl.history()) == 3
+    assert tbl.scan(spark).count() == 500
+    # content equals the batch source exactly
+    assert tbl.scan(spark).exceptAll(df).count() == 0
+
+
+def test_stream_merge_mode_applies_upserts(spark, warehouse, tmp_path):
+    base = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("sequences", base.schema)
+    tbl.append(base)
+    upd = updates_df(spark, SF_SMOKE)
+    drop_parquet_batches(upd, str(tmp_path / "drops"), n_batches=2)
+    n = stream_ingest_files(
+        spark,
+        tbl,
+        str(tmp_path / "drops" / "drop-*"),
+        str(tmp_path / "ckpt"),
+        mode="merge",
+    )
+    assert n == 2
+    # final state equals a single batch MERGE of the full update set
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    wh2 = str(tmp_path / "wh2")
+    tbl2 = Catalog(wh2).create_table("sequences", base.schema)
+    tbl2.append(base)
+    merge_into(spark, tbl2, upd)
+    a = tbl.scan(spark).orderBy("doc_id").collect()
+    b = tbl2.scan(spark).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_stream_resume_from_checkpoint(spark, warehouse, tmp_path):
+    """Drain 2 drops, then add 2 more and re-run with the SAME checkpoint:
+    only the new files are ingested (no duplicates)."""
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("sequences", df.schema)
+    drops = str(tmp_path / "drops")
+    paths = drop_parquet_batches(df, drops, n_batches=4)
+    import os
+    import shutil
+
+    # renamed dirs must NOT match the drop-* glob while held back
+    held_back = [
+        os.path.join(os.path.dirname(p), "hold-" + os.path.basename(p)) for p in paths[2:]
+    ]
+    for src, dst in zip(paths[2:], held_back):
+        shutil.move(src, dst)
+    ck = str(tmp_path / "ckpt")
+    n1 = stream_ingest_files(spark, tbl, drops + "/drop-*", ck, mode="append")
+    assert n1 == 2
+    for src, dst in zip(held_back, paths[2:]):
+        shutil.move(src, dst)
+    n2 = stream_ingest_files(spark, tbl, drops + "/drop-*", ck, mode="append")
+    assert n2 == 2
+    assert tbl.scan(spark).count() == 500
+    assert tbl.scan(spark).exceptAll(df).count() == 0
