@@ -120,8 +120,11 @@ def run_bench() -> dict:
     maintenance_wall = timings["compact"] + timings["cluster"] + timings["rewrite_manifests"] + timings["expire_snapshots"]
 
     # ---- MERGE INTO -------------------------------------------------------
+    # same file-size target as the suite: without it the COW rewrite needs
+    # only ceil(bytes/128MB) output partitions — a one-task write at bench
+    # scale (at 100 TB the default is right; the target only sets sizing)
     t0 = time.time()
-    merge_into(spark, tbl, updates_df(spark, SF_DIR))
+    merge_into(spark, tbl, updates_df(spark, SF_DIR), target_file_size=target)
     timings["merge"] = round(time.time() - t0, 3)
 
     # ---- post-maintenance scan latency -------------------------------------
@@ -175,22 +178,33 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(repeats: int = 2) -> None:
-    """N vs 4N evidence: identical job + input at two parallelism levels,
-    fresh JVM per leg, min-of-N walls (minimum is robust to noisy-neighbor
-    interference on a shared host). Two pairs are reported — (2, 8) and
-    (4, 16) — because this single VM's shared memory bandwidth saturates
-    near 16 threads (measured: a pure scan gains only ~2.1x from 4→16
-    threads while pure-ALU python scales ~4x); a real 4N-executor cluster
-    adds bandwidth with every node, which one box cannot emulate. All legs
-    stay within the 16 physical cores (32 logical = SMT)."""
-    levels = [2, 8, 4, 16]
+def run_scaling() -> None:
+    """N vs 4N evidence: identical job + identical input at two parallelism
+    levels, fresh JVM per leg, legs interleaved across repeats, min-of-N
+    walls (minimum is robust to noisy-neighbor interference on a shared
+    host — this sandbox shows multi-x load spikes from co-tenants).
+
+    The pair defaults to (4, 16): both legs inside the 16 PHYSICAL cores
+    (32 logical = SMT, which adds ~15-25% not 2x, so an 8→32 comparison
+    would structurally understate efficiency), and the input is scaled 4x
+    over the headline bench (SCALING_REPLICATE=256 → per-task compute
+    dominates Spark's fixed per-job/per-task latency, which no number of
+    cores removes and which a real 4N-node cluster amortizes over TB-sized
+    inputs). Override with SCALING_LEVELS=2,8 / SCALING_REPEATS / etc."""
+    levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")]
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    # 1024 → ~0.4 GB zstd / 5.1M sequences → ~50 output files at the 8 MB
+    # bench target, so the rewrite stage is ~3x wider than the big leg's
+    # core count. Anything much smaller and output width (not the engine)
+    # caps the big leg — measured: replicate=256 gives only 12 write tasks.
+    replicate = os.environ.get("SCALING_REPLICATE", "1024")
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for r in range(repeats):
         for cpus in levels:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
+                BENCH_REPLICATE=replicate,
                 SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
             )
             p = subprocess.run(
@@ -205,10 +219,14 @@ def run_scaling(repeats: int = 2) -> None:
     best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
     out = {f"local{c}": best[c] for c in levels}
     out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}
-    for n, n4 in ((2, 8), (4, 16)):
-        sp = best[n]["value"] / best[n4]["value"]
-        out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
-        out[f"scaling_efficiency_{n}_{n4}"] = round(sp / 4, 3)
+    n, n4 = min(levels), max(levels)
+    ratio = n4 / n
+    sp = best[n]["value"] / best[n4]["value"]
+    out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
+    out[f"scaling_efficiency_{n}_{n4}"] = round(sp / ratio, 3)
+    tp = {c: best[c]["gb_per_hour"] for c in levels}
+    out["gb_per_hour"] = {f"local{c}": tp[c] for c in levels}
+    out["seq_per_sec"] = {f"local{c}": best[c]["seq_per_sec"] for c in levels}
     print(json.dumps(out, indent=1))
 
 

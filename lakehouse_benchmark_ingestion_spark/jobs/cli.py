@@ -19,6 +19,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
     full           --warehouse W --table T [--target-mb N]   (whole suite)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
+    changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
     history        --warehouse W --table T
 
 Every command prints one JSON metrics line (machine-parseable, like the
@@ -50,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--updates-parquet")
     p.add_argument("--key", default="doc_id")
     p.add_argument("--snapshot-id", type=int)
+    p.add_argument("--from-snapshot", type=int)
+    p.add_argument("--to-snapshot", type=int)
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cpus", type=int)
     args = p.parse_args(argv)
@@ -161,6 +164,21 @@ def main(argv: list[str] | None = None) -> int:
             {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
             for r in df.limit(args.limit).collect()
         ]
+
+    elif args.command == "changes":
+        from lakehouse_benchmark_ingestion_spark.operators.changes import snapshot_changes
+
+        if args.from_snapshot is None:
+            p.error("changes requires --from-snapshot")
+        tbl = cat.load_table(args.table)
+        to_id = args.to_snapshot or tbl.current_snapshot().snapshot_id
+        ch = snapshot_changes(spark, tbl, args.from_snapshot, to_id)
+        counts = {r["change_type"]: r["n"] for r in
+                  ch.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+        out["from_snapshot"] = args.from_snapshot
+        out["to_snapshot"] = to_id
+        out["inserts"] = counts.get("insert", 0)
+        out["deletes"] = counts.get("delete", 0)
 
     elif args.command == "history":
         tbl = cat.load_table(args.table)

@@ -169,6 +169,99 @@ def lsh_ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    n_cells: int,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector its ``n_cells`` nearest coarse-quantizer cells.
+
+    IVF (inverted-file) coarse quantization: ``centroids`` is a small
+    driver-side list of (cid, vector); each row scores all K centroids with
+    JVM fold cosines (centroid vectors inlined as literal arrays — zero
+    shuffle, zero Python) and keeps the top ``n_cells`` ids via a sorted
+    array of (cosine, -cid) structs. At 10^12 rows this map-only pass is the
+    whole assignment cost; the centroids themselves would come from a
+    sampled k-means — here they are a deterministic corpus sample so the
+    DuckDB oracle can replay the exact algorithm.
+
+    ``out_col`` holds an ``array<bigint>`` of cell ids (length n_cells).
+    """
+    entries = []
+    for cid, w in centroids:
+        wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
+        # mirror the oracle exactly: both operands cast to double BEFORE
+        # multiply (float32*float32-then-cast would round differently)
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), wcol, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        vv = F.aggregate(
+            F.zip_with(F.col(vec_col), F.col(vec_col), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ww = sum(float(x) * float(x) for x in w)
+        c = F.round(d / (F.sqrt(vv) * F.lit(ww) ** 0.5), 6)
+        entries.append(F.struct(c.alias("c"), F.lit(-cid).cast("long").alias("nid")))
+    ranked = F.sort_array(F.array(*entries), asc=False)
+    cells = F.transform(
+        F.slice(ranked, 1, n_cells), lambda s: -s["nid"]
+    )
+    return df.withColumn(out_col, cells)
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest cell;
+    each probe searches its ``nprobe`` nearest cells; exact cosine re-scoring
+    on the visited cells only (1/K-ish of the corpus per probe).
+
+    Centroids: the ``n_centroids`` lowest-id corpus vectors (deterministic
+    stand-in for a k-means sample — the structure of the plan is identical).
+    probes must have columns (query_id, qv).
+    """
+    cents = [
+        (r[0], list(r[1]))
+        for r in df.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    ]
+    corpus = ivf_cells(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cents,
+        "cv",
+        n_cells=1,
+    ).withColumn("cell", F.col("cell")[0])
+    probed = ivf_cells(probes, cents, "qv", n_cells=nprobe).withColumnRenamed(
+        "cell", "cells"
+    )
+    pairs = (
+        F.broadcast(probed)
+        .join(corpus, F.array_contains(F.col("cells"), F.col("cell")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -141,6 +141,23 @@ def q_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changes scan (CDC diff) across the MERGE INTO commit:
+    rows the merge inserted/overwrote vs rows it replaced/deleted. Reads
+    only files added or removed between the two snapshots (manifest-pruned —
+    operators/changes.py), the consumer-side twin of the reference's
+    binlog-CDC produce path (SyncDbFunction.java:77-86)."""
+    from .operators.changes import snapshot_changes
+
+    p = prepared_warehouse(spark, sf_dir)
+    return snapshot_changes(
+        spark,
+        p["table"],
+        from_snapshot_id=p["post_maintenance_snapshot"],
+        to_snapshot_id=p["table"].current_snapshot().snapshot_id,
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -177,6 +194,15 @@ MAINT_ORACLES: dict[str, str] = {
         FROM seq
     """,
     "merge_result": MERGE_FINAL_ORACLE_SQL,
+    "maint_changes": f"""
+        WITH initial AS ({TOKENS_ORACLE_SQL}),
+             final AS ({MERGE_FINAL_ORACLE_SQL})
+        SELECT *, 'insert' AS change_type
+        FROM (SELECT * FROM final EXCEPT ALL SELECT * FROM initial)
+        UNION ALL
+        SELECT *, 'delete' AS change_type
+        FROM (SELECT * FROM initial EXCEPT ALL SELECT * FROM final)
+    """,
     "merge_agg": f"""
         WITH final AS ({MERGE_FINAL_ORACLE_SQL})
         SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok
@@ -209,6 +235,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_token_checksum": q_maint_token_checksum,
         "merge_result": q_merge_result,
         "merge_agg": q_merge_agg,
+        "maint_changes": q_maint_changes,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

@@ -169,6 +169,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-3: corpus vectors binned into their
+    nearest of 8 coarse cells (deterministic centroid sample, assignment via
+    literal-array JVM folds — map-only, zero shuffle); probes search their 2
+    nearest cells and re-score exactly. The oracle replays the identical
+    algorithm, so the match certifies the cell assignment AND the probe
+    routing, not just the final cosines. Scale path vs pipe_ann_lsh: cells
+    shrink the candidate set ~K/nprobe-fold; at 10^12 rows the cell id
+    becomes the table's partition key so a probe touches nprobe partitions."""
+    from .operators.similarity import ivf_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_ann_topk(e, probes, k=3, n_centroids=8, nprobe=2).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
 # ---- near-duplicate pairs by embedding cosine ---------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +267,7 @@ QUERIES = {
     "pipe_lang_id": q_lang_id,
     "pipe_fingerprint": q_fingerprint,
     "pipe_ann_topk": q_ann_topk,
+    "pipe_ann_ivf": q_ann_ivf,
     "pipe_embedding_neardup": q_embedding_neardup,
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_multimodal_meta": q_multimodal_meta,
@@ -328,6 +349,38 @@ ORACLES["pipe_ann_topk"] = f"""
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
       FROM scored
+    ) WHERE rk <= 3
+"""
+
+ORACLES["pipe_ann_ivf"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         scored AS (
+           SELECT e.vec_id, c.cid,
+                  round({_dot_sql('e.v', 'c.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('c.cv', 'c.cv')})), 6) AS ccos
+           FROM e, c
+         ),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+           FROM scored
+         ),
+         corpus_cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ranked WHERE rn = 1),
+         probe_cell AS (SELECT vec_id AS query_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (
+           SELECT p.query_id, cc.neighbor_id
+           FROM probe_cell p JOIN corpus_cell cc USING (cell)
+           WHERE p.query_id <> cc.neighbor_id
+         ),
+         rescored AS (
+           SELECT cand.query_id, cand.neighbor_id, {_SIM.replace('q.qv', 'q.embedding').replace('c.cv', 'n.embedding')} AS cosine
+           FROM cand
+           JOIN embeddings q ON q.vec_id = cand.query_id
+           JOIN embeddings n ON n.vec_id = cand.neighbor_id
+         )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM rescored
     ) WHERE rk <= 3
 """
 

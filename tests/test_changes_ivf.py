@@ -1,0 +1,150 @@
+"""Tests: snapshot_changes (incremental CDC diff) and IVF ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# snapshot_changes
+# ---------------------------------------------------------------------------
+
+def test_changes_across_merge(spark, sequences_table):
+    """Diff across a MERGE commit = updates (delete+insert pairs) + inserts."""
+    from lakehouse_benchmark_ingestion_spark.operators.changes import snapshot_changes
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import updates_df
+
+    tbl = sequences_table
+    before_id = tbl.current_snapshot().snapshot_id
+    before = tbl.scan(spark).select("doc_id", "tokens", "n_tok", "source").cache()
+    merge_into(spark, tbl, updates_df(spark, SF_SMOKE))
+    after_id = tbl.current_snapshot().snapshot_id
+    after = tbl.scan(spark).select("doc_id", "tokens", "n_tok", "source").cache()
+
+    ch = snapshot_changes(spark, tbl, before_id, after_id).cache()
+    ins = ch.filter(F.col("change_type") == "insert").drop("change_type")
+    dele = ch.filter(F.col("change_type") == "delete").drop("change_type")
+
+    # inserts = after - before, deletes = before - after (multiset equality)
+    assert ins.exceptAll(after.exceptAll(before)).count() == 0
+    assert after.exceptAll(before).exceptAll(ins).count() == 0
+    assert dele.exceptAll(before.exceptAll(after)).count() == 0
+    assert before.exceptAll(after).exceptAll(dele).count() == 0
+
+    # an updated key shows both a delete and an insert; a brand-new key only
+    # an insert
+    upd_keys = {r.doc_id for r in dele.select("doc_id").distinct().collect()}
+    ins_keys = {r.doc_id for r in ins.select("doc_id").distinct().collect()}
+    assert upd_keys <= ins_keys  # every overwritten key got its new version
+    new_keys = ins_keys - upd_keys
+    assert all(int(k) >= 1000000 for k in new_keys)
+    before.unpersist(); after.unpersist(); ch.unpersist()
+
+
+def test_changes_empty_between_content_identical_snapshots(spark, sequences_table):
+    """Compaction rewrites files but changes no rows → empty diff (and the
+    diff job scans only the rewritten files, not the whole table)."""
+    from lakehouse_benchmark_ingestion_spark.operators.changes import snapshot_changes
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+    tbl = sequences_table
+    before_id = tbl.current_snapshot().snapshot_id
+    compact(spark, tbl, target_file_size=1024 * 1024)
+    after_id = tbl.current_snapshot().snapshot_id
+    assert after_id != before_id
+    assert snapshot_changes(spark, tbl, before_id, after_id).count() == 0
+
+
+def test_changes_prunes_untouched_files(spark, warehouse):
+    """MERGE rewrites only the stats-matched files, and the changes scan
+    reads only files added/removed between the snapshots."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.changes import snapshot_changes
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE)
+    # three files with LEXICALLY disjoint doc_id ranges (doc_id is a string
+    # key; manifest min/max bounds compare lexically)
+    ids = sorted(r.doc_id for r in df.select("doc_id").collect())
+    third = len(ids) // 3
+    parts = [ids[:third], ids[third : 2 * third], ids[2 * third :]]
+    tbl = Catalog(warehouse).create_table("sequences", df.schema)
+    for p in parts:
+        tbl.append(df.filter(F.col("doc_id").isin(p)), num_files=1)
+    before_id = tbl.current_snapshot().snapshot_id
+
+    # update 10 keys that all live in the FIRST file's range
+    upd = (
+        df.filter(F.col("doc_id").isin(parts[0][:10]))
+        .withColumn("source", F.lit("moved"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    m = merge_into(spark, tbl, upd)
+    after_id = tbl.current_snapshot().snapshot_id
+
+    assert m["files_matched"] == 1  # stats pruning skipped 2 of 3 files
+    old = {f.path for f in tbl.data_files(before_id)}
+    new = {f.path for f in tbl.data_files(after_id)}
+    assert len(old - new) == 1 and len(old & new) == 2
+
+    # plan-level: the diff reads exactly the touched files, nothing else
+    ch = snapshot_changes(spark, tbl, before_id, after_id)
+    scanned = {p.removeprefix("file://") for p in ch.inputFiles()}
+    assert scanned <= ((old - new) | (new - old))
+    n = ch.groupBy("change_type").count().collect()
+    counts = {r["change_type"]: r["count"] for r in n}
+    assert counts["insert"] == 10 and counts["delete"] == 10
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_cells_shape(spark):
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import ivf_cells
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        (r[0], list(r[1]))
+        for r in e.select("vec_id", "embedding").filter(F.col("vec_id") < 4).collect()
+    ]
+    out = ivf_cells(
+        e.select(F.col("embedding").alias("v"), "vec_id"), cents, "v", n_cells=2
+    )
+    rows = out.select("vec_id", "cell").collect()
+    assert all(len(r.cell) == 2 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r.cell)
+    # a centroid's own vector must rank its cell first
+    own = {r.vec_id: r.cell[0] for r in rows if r.vec_id < 4}
+    assert own == {i: i for i in range(4)}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of 8 cells must recover a solid fraction of the
+    true top-3 (structure check, not a tight bound)."""
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, probes, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(e, probes, k=3, n_centroids=8, nprobe=2).collect()
+    }
+    assert truth  # sanity
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # every approximate neighbor must be a real corpus row, never self
+    assert all(q != n for q, n in approx)
