@@ -155,6 +155,18 @@ def run_bench() -> dict:
     ).filter(F.col("doc_id") == probe).count()
     timings["point_lookup_pruned"] = round(time.time() - t0, 3)
 
+    # ---- pure-CPU kernel probe (not part of the suite wall): xxhash64 over
+    # a generated range — no storage, no shuffle. Separates "does the ENGINE
+    # serialize anything" from this single box's shared memory-bandwidth
+    # ceiling: a real 4N-node cluster scales bandwidth with nodes, one VM
+    # cannot. Near-linear kernel scaling + sublinear suite scaling ⇒ the
+    # residual gap is the box, not the job structure.
+    t0 = time.time()
+    spark.range(0, 400_000_000, 1, CPUS * 4).selectExpr(
+        "bit_xor(xxhash64(id, id * 31, id + 7)) AS h"  # xor: no ANSI overflow
+    ).collect()
+    timings["kernel_cpu"] = round(time.time() - t0, 3)
+
     gb = bytes_in / 1e9
     out = {
         "metric": "maintenance_suite_wall",
@@ -224,6 +236,10 @@ def run_scaling() -> None:
     sp = best[n]["value"] / best[n4]["value"]
     out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
     out[f"scaling_efficiency_{n}_{n4}"] = round(sp / ratio, 3)
+    k_n = min(d["queries"]["kernel_cpu"] for d in runs[n])
+    k_n4 = min(d["queries"]["kernel_cpu"] for d in runs[n4])
+    out["kernel_cpu_sec"] = {f"local{n}": k_n, f"local{n4}": k_n4}
+    out["kernel_scaling_efficiency"] = round((k_n / k_n4) / ratio, 3)
     tp = {c: best[c]["gb_per_hour"] for c in levels}
     out["gb_per_hour"] = {f"local{c}": tp[c] for c in levels}
     out["seq_per_sec"] = {f"local{c}": best[c]["seq_per_sec"] for c in levels}

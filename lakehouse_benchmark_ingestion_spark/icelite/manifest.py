@@ -30,6 +30,10 @@ from .metadata import metadata_dir
 STATS_MAX_COLS = 12
 
 
+CONTENT_DATA = "data"
+CONTENT_EQ_DELETES = "eq-deletes"  # Iceberg v2 equality-delete file analogue
+
+
 @dataclass
 class DataFile:
     path: str  # absolute
@@ -38,6 +42,12 @@ class DataFile:
     # column name -> (min, max) for scalar columns only
     lower_bounds: dict = field(default_factory=dict)
     upper_bounds: dict = field(default_factory=dict)
+    # Iceberg v2 concepts powering merge-on-read (IcebergCatalogSync.java:
+    # 112-115 `format-version=2` + `write.upsert.enabled`): an eq-delete
+    # file holds deleted KEYS and applies to data files with a strictly
+    # smaller data sequence number.
+    content: str = CONTENT_DATA
+    sequence_number: int = 0
 
     def to_row(self) -> dict:
         return {
@@ -46,6 +56,8 @@ class DataFile:
             "record_count": self.record_count,
             "lower_bounds_json": _bounds_to_json(self.lower_bounds),
             "upper_bounds_json": _bounds_to_json(self.upper_bounds),
+            "content": self.content,
+            "sequence_number": self.sequence_number,
         }
 
 
@@ -68,6 +80,8 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("record_count", pa.int64(), nullable=False),
         pa.field("lower_bounds_json", pa.string(), nullable=False),
         pa.field("upper_bounds_json", pa.string(), nullable=False),
+        pa.field("content", pa.string(), nullable=False),
+        pa.field("sequence_number", pa.int64(), nullable=False),
     ]
 )
 
@@ -138,6 +152,9 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
                 record_count=row["record_count"],
                 lower_bounds=_bounds_from_json(row["lower_bounds_json"]),
                 upper_bounds=_bounds_from_json(row["upper_bounds_json"]),
+                # manifests written before the MOR feature lack these
+                content=row.get("content", CONTENT_DATA),
+                sequence_number=row.get("sequence_number", 0),
             )
         )
     return out

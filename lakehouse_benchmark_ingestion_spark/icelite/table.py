@@ -72,11 +72,26 @@ class IceliteTable:
     def history(self) -> list[md.Snapshot]:
         return sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
 
-    def data_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+    def all_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        """Every manifest entry — data files AND eq-delete files."""
         snap = self.meta.snapshot(snapshot_id)
         if snap is None:
             return []
         return mf.read_manifests(self.location, snap.manifests)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_DATA]
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_EQ_DELETES]
+
+    def next_sequence_number(self) -> int:
+        """Data sequence number for the NEXT commit (single-writer; mirrors
+        Iceberg's commit-assigned sequence, simplified to max+1 over the
+        current snapshot's files)."""
+        return 1 + max(
+            (f.sequence_number for f in self.all_files()), default=0
+        )
 
     # ---- write path ------------------------------------------------------
     def _write_data(
@@ -117,6 +132,9 @@ class IceliteTable:
         """
         paths = self._write_data(df, max_records_per_file, num_files)
         stats = mf.harvest_stats(paths, stat_columns)
+        seq = self.next_sequence_number()
+        for s in stats:
+            s.sequence_number = seq
         manifest_name = mf.write_manifest(self.location, stats)
         return self._commit_snapshot("append", add_manifests=[manifest_name], timestamp_ms=timestamp_ms)
 
@@ -207,19 +225,27 @@ class IceliteTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         file_filter=None,
+        merge_key: str = "doc_id",
     ) -> DataFrame:
         """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
 
         ``file_filter(DataFile) -> bool`` enables stats-based file pruning
         (the metadata-level partition pruning of SURVEY.md §4.1) before Spark
         ever opens a file; Catalyst's own predicate pushdown + column pruning
-        then applies inside each file.
+        then applies inside each file. If the snapshot carries eq-delete
+        files (merge-on-read MERGE INTO), they are applied here — the
+        read-side half of the v2 upsert contract (icelite/mor.py).
         """
         files = self.data_files(snapshot_id)
         if file_filter is not None:
             files = [f for f in files if file_filter(f)]
         schema = self.schema
-        if not files:
+        deletes = self.delete_files(snapshot_id)
+        if deletes:
+            from . import mor
+
+            df = mor.mor_scan(spark, schema, files, deletes, key=merge_key)
+        elif not files:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*[f.path for f in files])

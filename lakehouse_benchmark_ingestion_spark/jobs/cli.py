@@ -17,6 +17,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     rewrite-manifests --warehouse W --table T
     expire         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
     merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
+                   [--strategy cow|mor]   (mor = eq-delete + insert, no rewrite)
     full           --warehouse W --table T [--target-mb N]   (whole suite)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
@@ -50,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
     p.add_argument("--key", default="doc_id")
+    p.add_argument("--strategy", default="cow", choices=["cow", "mor"])
     p.add_argument("--snapshot-id", type=int)
     p.add_argument("--from-snapshot", type=int)
     p.add_argument("--to-snapshot", type=int)
@@ -142,7 +144,8 @@ def main(argv: list[str] | None = None) -> int:
         updates = spark.read.parquet(args.updates_parquet)
         out.update(
             merge_into(
-                spark, cat.load_table(args.table), updates, key=args.key, run_id=args.run_id
+                spark, cat.load_table(args.table), updates, key=args.key,
+                run_id=args.run_id, strategy=args.strategy,
             )
         )
 

@@ -34,20 +34,28 @@ def snapshot_changes(
     """Row-level diff ``to - from``: rows with ``insert`` appear only in the
     newer snapshot, ``delete`` only in the older (an update = delete+insert
     pair on the same key). Multiset semantics via ``exceptAll``."""
-    old_files = {f.path for f in table.data_files(from_snapshot_id)}
-    new_files = {f.path for f in table.data_files(to_snapshot_id)}
-    removed = sorted(old_files - new_files)
-    added = sorted(new_files - old_files)
-
     schema = table.schema
     cols = [f.name for f in schema.fields]
 
-    def read(paths: list[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], schema).select(*cols)
-        return spark.read.schema(schema).parquet(*paths).select(*cols)
+    if table.delete_files(from_snapshot_id) or table.delete_files(to_snapshot_id):
+        # merge-on-read snapshots: an eq-delete file changes rows WITHOUT
+        # removing data files, so the file-level diff shortcut is invalid —
+        # diff the delete-applied scans instead (mor_scan still prunes at
+        # file level inside each snapshot's read)
+        before = table.scan(spark, snapshot_id=from_snapshot_id).select(*cols)
+        after = table.scan(spark, snapshot_id=to_snapshot_id).select(*cols)
+    else:
+        old_files = {f.path for f in table.data_files(from_snapshot_id)}
+        new_files = {f.path for f in table.data_files(to_snapshot_id)}
+        removed = sorted(old_files - new_files)
+        added = sorted(new_files - old_files)
 
-    before, after = read(removed), read(added)
+        def read(paths: list[str]) -> DataFrame:
+            if not paths:
+                return spark.createDataFrame([], schema).select(*cols)
+            return spark.read.schema(schema).parquet(*paths).select(*cols)
+
+        before, after = read(removed), read(added)
     inserts = after.exceptAll(before).withColumn(change_col, F.lit("insert"))
     deletes = before.exceptAll(after).withColumn(change_col, F.lit("delete"))
     return inserts.unionByName(deletes)

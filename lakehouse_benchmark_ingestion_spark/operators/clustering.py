@@ -43,11 +43,20 @@ def cluster(
     files = table.data_files(snap.snapshot_id)
     if not files:
         return {"files_in": 0, "files_out": 0, "run_id": run_id}
+    del_files = table.delete_files(snap.snapshot_id)
+    new_seq = table.next_sequence_number()
     bytes_in = sum(f.file_size_bytes for f in files)
     rows_in = sum(f.record_count for f in files)
     n_out = max(1, -(-bytes_in // target_file_size))
 
-    df = spark.read.schema(table.schema).parquet(*[f.path for f in files])
+    if del_files:
+        # global rewrite MATERIALIZES outstanding eq-deletes (merge-on-read
+        # debt is retired here): read delete-applied, drop the delete files
+        from ..icelite.mor import mor_scan
+
+        df = mor_scan(spark, table.schema, files, del_files)
+    else:
+        df = spark.read.schema(table.schema).parquet(*[f.path for f in files])
     # zorder uses the Catalyst morton expression — the range sampler
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
@@ -63,6 +72,8 @@ def cluster(
     out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
 
     added = mf.harvest_stats(out_paths)
+    for s in added:
+        s.sequence_number = new_seq
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id,
@@ -79,7 +90,7 @@ def cluster(
         )
     )
     new_snap = table.replace_files(
-        {f.path for f in files},
+        {f.path for f in files} | {d.path for d in del_files},
         added,
         operation="replace",
         summary={"op": "cluster", "curve": curve, "run-id": run_id},

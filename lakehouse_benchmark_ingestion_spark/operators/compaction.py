@@ -120,10 +120,18 @@ def _rewrite_group(
     curve: str,
     target_file_size: int,
     n_salts: int,
+    delete_files: list[mf.DataFile] | None = None,
 ) -> list[str]:
     """Distributed rewrite of one group; returns output file paths."""
     schema = table.schema
-    df = spark.read.schema(schema).parquet(*[f.path for f in group.files])
+    if delete_files:
+        # materialize outstanding eq-deletes (merge-on-read commits) for
+        # this group's files while rewriting — outputs are delete-free
+        from ..icelite.mor import mor_scan
+
+        df = mor_scan(spark, schema, group.files, delete_files)
+    else:
+        df = spark.read.schema(schema).parquet(*[f.path for f in group.files])
     df = with_cluster_key(df, curve=curve)
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
@@ -178,6 +186,8 @@ def compact(
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
         plan = plan_compaction(table, target_file_size, max_group_size=max_group_size)
+    del_files = table.delete_files()
+    new_seq = table.next_sequence_number()
     log = LineageLog(table.location)
     done = log.done_tasks(run_id, "compact")
 
@@ -196,7 +206,8 @@ def compact(
 
     def run_one(group: CompactionGroup) -> list[str]:
         out_paths = _rewrite_group(
-            spark, table, group, run_id, curve, target_file_size, n_salts
+            spark, table, group, run_id, curve, target_file_size, n_salts,
+            delete_files=del_files,
         )
         log.write(
             LineageRow(
@@ -240,8 +251,23 @@ def compact(
         return {"groups": 0, "files_in": 0, "files_out": 0, "run_id": run_id}
 
     added = mf.harvest_stats(added_paths)
+    for s in added:
+        s.sequence_number = new_seq
+
+    # eq-delete GC: a delete file is dead once no surviving data file has a
+    # smaller sequence number (rewritten outputs carry new_seq >= its seq,
+    # and their rows were delete-applied during the group read)
+    survivors = [
+        f for f in table.data_files(plan.snapshot_id) if f.path not in removed
+    ]
+    dead_deletes = {
+        d.path
+        for d in del_files
+        if all(f.sequence_number >= d.sequence_number for f in survivors)
+    }
+
     snap = table.replace_files(
-        removed,
+        removed | dead_deletes,
         added,
         operation="replace",
         summary={"op": "compact", "run-id": run_id},

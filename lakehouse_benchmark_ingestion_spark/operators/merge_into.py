@@ -46,7 +46,17 @@ def merge_into(
     run_id: str | None = None,
     target_file_size: int = 128 * 1024 * 1024,
     timestamp_ms: int | None = None,
+    strategy: str = "cow",
 ) -> dict:
+    """``strategy="cow"``: stats-pruned copy-on-write rewrite (default).
+    ``strategy="mor"``: merge-on-read — write the update batch as new data
+    files plus an equality-delete file of the batch keys; NO existing file
+    is rewritten and readers apply the deletes at scan time (icelite/mor.py)
+    — exactly the write-side behavior the reference configures with
+    ``format-version=2`` + ``write.upsert.enabled`` (IcebergCatalogSync.java:
+    112-115): every upsert row becomes eq-delete + insert. COW pays at write
+    (rewrite matched files), MOR pays at read (anti-join) until compaction
+    materializes the deletes."""
     run_id = run_id or uuid.uuid4().hex[:12]
     snap = table.current_snapshot()
     files = table.data_files(snap.snapshot_id) if snap else []
@@ -60,6 +70,13 @@ def merge_into(
     )
     winners = winners.cache()
     n_updates = winners.count()
+
+    if strategy == "mor":
+        return _merge_mor(
+            spark, table, winners, n_updates, key, run_id, target_file_size, timestamp_ms
+        )
+    if strategy != "cow":
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     # broadcast only where winners participates in a join (anti/overlap);
     # the union side uses the plain plan.
     winners_j = F.broadcast(winners) if n_updates <= BROADCAST_THRESHOLD_ROWS else winners
@@ -103,11 +120,19 @@ def merge_into(
 
     # 3. copy-on-write rewrite of matched files only
     schema = table.schema
+    seq = table.next_sequence_number()
     file_by_path = {f.path: f for f in files}
     matched_bytes = sum(file_by_path[p].file_size_bytes for p in matched_paths)
     n_out = max(1, -(-matched_bytes // target_file_size))
     if matched_paths:
-        matched_data = spark.read.schema(schema).parquet(*matched_paths)
+        # apply any outstanding eq-delete files (a prior merge-on-read
+        # commit) while reading — rewritten rows must not resurrect
+        from ..icelite.mor import mor_scan
+
+        matched_data = mor_scan(
+            spark, schema, [file_by_path[p] for p in matched_paths],
+            table.delete_files(), key=key,
+        )
         unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
         new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))
     else:
@@ -120,6 +145,8 @@ def merge_into(
     new_data.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
     out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     added = mf.harvest_stats(out_paths)
+    for s in added:
+        s.sequence_number = seq
     rows_out = sum(f.record_count for f in added)
 
     new_snap = table.replace_files(
@@ -151,6 +178,91 @@ def merge_into(
         "files_total": len(files),
         "files_out": len(out_paths),
         "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _merge_mor(
+    spark: SparkSession,
+    table: IceliteTable,
+    winners: DataFrame,
+    n_updates: int,
+    key: str,
+    run_id: str,
+    target_file_size: int,
+    timestamp_ms: int | None,
+) -> dict:
+    """Write-side of merge-on-read: batch → new data files + eq-delete file.
+
+    Work is O(batch size) regardless of table size — at 10^12 sequences this
+    is the only upsert shape whose cost does not grow with the table. The
+    deferred cost lands on readers (mor_scan anti-join) and is retired by
+    the next compaction/clustering pass, which materializes the deletes.
+    """
+    schema = table.schema
+    seq = table.next_sequence_number()
+
+    # estimate output sizing from current table stats (bytes/row)
+    data_files = table.data_files()
+    if data_files and sum(f.record_count for f in data_files) > 0:
+        row_bytes = sum(f.file_size_bytes for f in data_files) / sum(
+            f.record_count for f in data_files
+        )
+    else:
+        row_bytes = 512.0
+    n_out = max(1, -(-int(n_updates * row_bytes) // target_file_size))
+
+    out_dir = os.path.join(table.location, "data", f"mgm-{run_id}")
+    cols = [f.name for f in schema.fields]
+    winners.select(*cols).repartitionByRange(n_out, key).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+    del_dir = os.path.join(table.location, "data", f"mgm-{run_id}-deletes")
+    winners.select(key).repartitionByRange(
+        max(1, n_updates // 5_000_000 + 1), key
+    ).write.mode("overwrite").parquet(del_dir)
+    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+
+    added = mf.harvest_stats(out_paths)
+    dels = mf.harvest_stats(del_paths, stat_columns=[key])
+    for s in added:
+        s.sequence_number = seq
+    for s in dels:
+        s.content = mf.CONTENT_EQ_DELETES
+        s.sequence_number = seq
+
+    new_snap = table.replace_files(
+        set(),
+        added + dels,
+        operation="merge-mor",
+        summary={"op": "merge-mor", "updates": str(n_updates), "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id,
+            op="merge-mor",
+            partition_id=0,
+            files_in=0,
+            files_out=len(out_paths) + len(del_paths),
+            rows=sum(f.record_count for f in added),
+            bytes_in=0,
+            bytes_out=sum(f.file_size_bytes for f in added + dels),
+            snapshot_id=new_snap.snapshot_id,
+            status="done",
+            output_paths=out_paths + del_paths,
+        )
+    )
+    winners.unpersist()
+    return {
+        "updates": n_updates,
+        "files_matched": 0,
+        "files_out": len(out_paths),
+        "delete_files_out": len(del_paths),
+        "rows_out": sum(f.record_count for f in added),
         "snapshot_id": new_snap.snapshot_id,
         "run_id": run_id,
     }

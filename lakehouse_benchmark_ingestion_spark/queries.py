@@ -68,11 +68,25 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     # merged: same table continued with a MERGE INTO upsert batch
     merge_into(spark, tbl, updates_df(spark, sf_dir))
 
+    # sequences_mor: the SAME upsert applied merge-on-read (eq-delete +
+    # insert, the reference's v2 upsert mode, IcebergCatalogSync.java:
+    # 112-115), then a compaction that materializes the deletes
+    from .operators.compaction import compact
+
+    tbl_mor = cat.create_table("sequences_mor", df.schema)
+    for i in range(5):
+        tbl_mor.append(df.filter(df.doc_id.cast("long") % 5 == i), max_records_per_file=64)
+    merge_into(spark, tbl_mor, updates_df(spark, sf_dir), strategy="mor")
+    mor_read_snapshot = tbl_mor.current_snapshot().snapshot_id
+    compact(spark, tbl_mor, target_file_size=4 * 1024 * 1024)
+
     out = {
         "warehouse": wh,
         "table": tbl,
         "pre_maintenance_snapshot": pre_maintenance_snapshot,
         "post_maintenance_snapshot": post_maintenance_snapshot,
+        "table_mor": tbl_mor,
+        "mor_read_snapshot": mor_read_snapshot,
     }
     _PREPARED[key] = out
     return out
@@ -141,6 +155,26 @@ def q_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_mor_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE INTO, read through the eq-delete anti-join
+    (icelite/mor.py) — snapshot pinned BEFORE the compaction, so the oracle
+    match certifies the read-side delete application itself."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(
+        p["table_mor"].scan(spark, snapshot_id=p["mor_read_snapshot"])
+    )
+
+
+def q_merge_mor_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same table after compaction materialized the eq-deletes: plain data
+    files only (the delete files were GC'd in the same commit), and the scan
+    must STILL equal the declarative merge oracle."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_mor"]
+    assert not tbl.delete_files(), "compaction should have retired all eq-deletes"
+    return _seq_scan_cols(tbl.scan(spark))
+
+
 def q_maint_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes scan (CDC diff) across the MERGE INTO commit:
     rows the merge inserted/overwrote vs rows it replaced/deleted. Reads
@@ -194,6 +228,8 @@ MAINT_ORACLES: dict[str, str] = {
         FROM seq
     """,
     "merge_result": MERGE_FINAL_ORACLE_SQL,
+    "merge_mor_result": MERGE_FINAL_ORACLE_SQL,
+    "merge_mor_materialized": MERGE_FINAL_ORACLE_SQL,
     "maint_changes": f"""
         WITH initial AS ({TOKENS_ORACLE_SQL}),
              final AS ({MERGE_FINAL_ORACLE_SQL})
@@ -235,6 +271,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_token_checksum": q_maint_token_checksum,
         "merge_result": q_merge_result,
         "merge_agg": q_merge_agg,
+        "merge_mor_result": q_merge_mor_result,
+        "merge_mor_materialized": q_merge_mor_materialized,
         "maint_changes": q_maint_changes,
         "zorder_key": q_zorder_key,
     }
