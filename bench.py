@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "64"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "256"))
 
 
 def run_bench() -> dict:

@@ -532,8 +532,51 @@ def q_stream_ingested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState (custom stateful
+    streaming operator, streaming/sessions.py): drain the events fixture in
+    3 TIME-ORDERED micro-batches, append each batch's CLOSED sessions to an
+    icelite table, scan. The oracle replays the same closed-session
+    semantics declaratively (lag + cumulative-sum sessionization), so the
+    match certifies the stateful kernel and its cross-batch state carry."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .icelite import Catalog
+    from .streaming.sessions import SESSION_SCHEMA, sessionize_stream
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="icelite_sessions_")
+    try:
+        sliced = events.withColumn(
+            "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
+        for k in range(1, 4):
+            sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(
+                1
+            ).write.parquet(f"{base}/drops/drop-{k:04d}")
+        tbl = Catalog(base).create_table("sessions", SESSION_SCHEMA)
+        sessionize_stream(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", gap_seconds=3600
+        )
+        out = tbl.scan(spark).select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES.update(
     {
+        "stream_sessions": q_stream_sessions,
         "pipe_minhash_signature": q_minhash_signature,
         "pipe_simhash": q_simhash,
         "pipe_lsh_buckets": q_lsh_buckets,
@@ -622,6 +665,36 @@ ORACLES["pipe_frame_sample"] = """
 from .sources.tokens import TOKENS_ORACLE_SQL as _TOK  # noqa: E402
 
 ORACLES["stream_ingested_scan"] = _TOK
+
+# declarative closed-session twin of the stateful kernel: lag + cumsum
+# sessionization; a session is closed iff a later session exists for its user
+ORACLES["stream_sessions"] = """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > CAST(3600 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS newsess
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, sum(newsess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+"""
 
 
 # ============================================================================
