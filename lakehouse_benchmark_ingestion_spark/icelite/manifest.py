@@ -48,6 +48,9 @@ class DataFile:
     # smaller data sequence number.
     content: str = CONTENT_DATA
     sequence_number: int = 0
+    # hash-bucket id when the table is bucketed (reference J3: Hudi bucket
+    # index, HudiCatalogSync.java:151-159); -1 = unbucketed
+    bucket: int = -1
 
     def to_row(self) -> dict:
         return {
@@ -58,6 +61,7 @@ class DataFile:
             "upper_bounds_json": _bounds_to_json(self.upper_bounds),
             "content": self.content,
             "sequence_number": self.sequence_number,
+            "bucket": self.bucket,
         }
 
 
@@ -82,6 +86,7 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("upper_bounds_json", pa.string(), nullable=False),
         pa.field("content", pa.string(), nullable=False),
         pa.field("sequence_number", pa.int64(), nullable=False),
+        pa.field("bucket", pa.int64(), nullable=False),
     ]
 )
 
@@ -155,6 +160,7 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
                 # manifests written before the MOR feature lack these
                 content=row.get("content", CONTENT_DATA),
                 sequence_number=row.get("sequence_number", 0),
+                bucket=row.get("bucket", -1),
             )
         )
     return out

@@ -93,6 +93,16 @@ class IceliteTable:
             (f.sequence_number for f in self.all_files()), default=0
         )
 
+    @property
+    def bucket_spec(self) -> tuple[str, int] | None:
+        """(key, n_buckets) when the table is hash-bucketed — the engine's
+        version of the reference's Hudi bucket index (INDEX_TYPE=BUCKET,
+        8 buckets on the PK, HudiCatalogSync.java:151-159)."""
+        props = self.meta.properties
+        if "bucket-key" in props and "bucket-n" in props:
+            return str(props["bucket-key"]), int(props["bucket-n"])
+        return None
+
     # ---- write path ------------------------------------------------------
     def _write_data(
         self,
@@ -130,8 +140,27 @@ class IceliteTable:
         (mirrors the reference's one-small-file-per-checkpoint cadence,
         MainRunner.java:86).
         """
-        paths = self._write_data(df, max_records_per_file, num_files)
-        stats = mf.harvest_stats(paths, stat_columns)
+        spec = self.bucket_spec
+        if spec is not None:
+            key, n = spec
+            from ..functions.hashing import bucket_expr
+
+            commit_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
+            out = df.withColumn("_b", bucket_expr(key, n)).repartition(n, "_b")
+            writer = out.write.mode("error").partitionBy("_b")
+            if max_records_per_file is not None:
+                writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+            writer.parquet(commit_dir)
+            paths = sorted(glob.glob(os.path.join(commit_dir, "_b=*", "part-*.parquet")))
+            bucket_of = {
+                p: int(p.split("_b=")[1].split(os.sep)[0]) for p in paths
+            }
+            stats = mf.harvest_stats(paths, stat_columns)
+            for s in stats:
+                s.bucket = bucket_of[s.path]
+        else:
+            paths = self._write_data(df, max_records_per_file, num_files)
+            stats = mf.harvest_stats(paths, stat_columns)
         seq = self.next_sequence_number()
         for s in stats:
             s.sequence_number = seq

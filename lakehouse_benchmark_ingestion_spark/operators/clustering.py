@@ -37,6 +37,12 @@ def cluster(
     timestamp_ms: int | None = None,
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
+    if table.bucket_spec is not None:
+        raise ValueError(
+            "global clustering would destroy the hash-bucket layout "
+            "(key->bucket routing); use compact() — it Z-sorts within each "
+            "bucket and never mixes buckets in a group"
+        )
     snap = table.current_snapshot()
     if snap is None:
         return {"files_in": 0, "files_out": 0, "run_id": run_id}

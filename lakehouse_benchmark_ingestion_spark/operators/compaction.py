@@ -42,6 +42,7 @@ DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg's default write target
 class CompactionGroup:
     group_id: int
     files: list[mf.DataFile]
+    bucket: int = -1  # preserved on outputs for hash-bucketed tables
 
     @property
     def bytes_in(self) -> int:
@@ -86,29 +87,39 @@ def plan_compaction(
         max_group_size = 8 * target_file_size
     files = table.data_files(snap.snapshot_id)
     small = [f for f in files if f.file_size_bytes < small_file_threshold * target_file_size]
-    small.sort(key=lambda f: (-f.file_size_bytes, f.path))
 
-    bins: list[list[mf.DataFile]] = []
-    bin_sizes: list[int] = []
+    # bucketed tables (Hudi-style bucket index): never mix buckets in one
+    # group — outputs must stay single-bucket so key→bucket routing holds
+    by_bucket: dict[int, list[mf.DataFile]] = {}
     for f in small:
-        placed = False
-        for i in range(len(bins)):
-            if bin_sizes[i] + f.file_size_bytes <= max_group_size:
-                bins[i].append(f)
-                bin_sizes[i] += f.file_size_bytes
-                placed = True
-                break
-        if not placed:
-            bins.append([f])
-            bin_sizes.append(f.file_size_bytes)
+        by_bucket.setdefault(f.bucket, []).append(f)
 
     plan = CompactionPlan(snapshot_id=snap.snapshot_id, target_file_size=target_file_size)
     gid = 0
-    for b in bins:
-        if len(b) < min_input_files:
-            continue
-        plan.groups.append(CompactionGroup(group_id=gid, files=sorted(b, key=lambda f: f.path)))
-        gid += 1
+    for bucket in sorted(by_bucket):
+        cand = sorted(by_bucket[bucket], key=lambda f: (-f.file_size_bytes, f.path))
+        bins: list[list[mf.DataFile]] = []
+        bin_sizes: list[int] = []
+        for f in cand:
+            placed = False
+            for i in range(len(bins)):
+                if bin_sizes[i] + f.file_size_bytes <= max_group_size:
+                    bins[i].append(f)
+                    bin_sizes[i] += f.file_size_bytes
+                    placed = True
+                    break
+            if not placed:
+                bins.append([f])
+                bin_sizes.append(f.file_size_bytes)
+        for b in bins:
+            if len(b) < min_input_files:
+                continue
+            plan.groups.append(
+                CompactionGroup(
+                    group_id=gid, files=sorted(b, key=lambda f: f.path), bucket=bucket
+                )
+            )
+            gid += 1
     return plan
 
 
@@ -193,12 +204,14 @@ def compact(
 
     removed: set[str] = set()
     added_paths: list[str] = []
+    bucket_by_path: dict[str, int] = {}
     skipped = 0
     todo: list[CompactionGroup] = []
     for group in plan.groups:
         if group.group_id in done:
             row = done[group.group_id]
             added_paths.extend(row.output_paths or [])
+            bucket_by_path.update({p: group.bucket for p in row.output_paths or []})
             removed.update(f.path for f in group.files)
             skipped += 1
         else:
@@ -236,6 +249,7 @@ def compact(
             out_paths = run_one(group)
             removed.update(f.path for f in group.files)
             added_paths.extend(out_paths)
+            bucket_by_path.update({p: group.bucket for p in out_paths})
             executed += 1
     elif todo:
         from concurrent.futures import ThreadPoolExecutor
@@ -245,6 +259,7 @@ def compact(
             for group, out_paths in zip(todo, pool.map(run_one, todo)):
                 removed.update(f.path for f in group.files)
                 added_paths.extend(out_paths)
+                bucket_by_path.update({p: group.bucket for p in out_paths})
                 executed += 1
 
     if not plan.groups:
@@ -253,6 +268,7 @@ def compact(
     added = mf.harvest_stats(added_paths)
     for s in added:
         s.sequence_number = new_seq
+        s.bucket = bucket_by_path.get(s.path, -1)
 
     # eq-delete GC: a delete file is dead once no surviving data file has a
     # smaller sequence number (rewritten outputs carry new_seq >= its seq,

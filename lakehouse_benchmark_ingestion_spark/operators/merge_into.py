@@ -77,6 +77,13 @@ def merge_into(
         )
     if strategy != "cow":
         raise ValueError(f"unknown merge strategy {strategy!r}")
+
+    spec = table.bucket_spec
+    if spec is not None and spec[0] == key and not table.delete_files():
+        return _merge_bucketed(
+            spark, table, winners, n_updates, spec, run_id, target_file_size,
+            timestamp_ms, files,
+        )
     # broadcast only where winners participates in a join (anti/overlap);
     # the union side uses the plain plan.
     winners_j = F.broadcast(winners) if n_updates <= BROADCAST_THRESHOLD_ROWS else winners
@@ -178,6 +185,133 @@ def merge_into(
         "files_total": len(files),
         "files_out": len(out_paths),
         "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _merge_bucketed(
+    spark: SparkSession,
+    table: IceliteTable,
+    winners: DataFrame,
+    n_updates: int,
+    spec: tuple[str, int],
+    run_id: str,
+    target_file_size: int,
+    timestamp_ms: int | None,
+    files: list[mf.DataFile],
+) -> dict:
+    """Hash-bucket co-located COW merge (the reference's Hudi bucket index,
+    HudiCatalogSync.java:151-159): every key lives in exactly one bucket, so
+    the upsert touches ONLY the buckets its keys hash into, each bucket is an
+    independent concurrent job (no global shuffle of table data — only the
+    small update batch moves), and each bucket's update slice rides a
+    broadcast anti-join. Per-bucket lineage rows make the run resumable with
+    the same run_id (finished buckets are skipped, like compaction groups).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..functions.hashing import bucket_expr
+
+    key, n_buckets = spec
+    schema = table.schema
+    cols = [f.name for f in schema.fields]
+    seq = table.next_sequence_number()
+
+    winners_b = winners.withColumn("_b", bucket_expr(key, n_buckets))
+    touched = sorted(
+        r["_b"] for r in winners_b.select("_b").distinct().collect()
+    )
+    by_bucket: dict[int, list[mf.DataFile]] = {}
+    for f in files:
+        by_bucket.setdefault(f.bucket, []).append(f)
+
+    log = LineageLog(table.location)
+    done = log.done_tasks(run_id, "merge-bucket")
+
+    removed: set[str] = set()
+    added: list[mf.DataFile] = []
+    resumed = 0
+
+    def run_one(b: int) -> tuple[int, list[str]]:
+        files_b = by_bucket.get(b, [])
+        upd_b = winners_b.filter(F.col("_b") == b).select(*cols)
+        if files_b:
+            data = spark.read.schema(schema).parquet(*[f.path for f in files_b])
+            unchanged = data.join(F.broadcast(upd_b.select(key)), key, "left_anti")
+            new_data = unchanged.unionByName(upd_b)
+        else:
+            new_data = upd_b
+        bytes_b = sum(f.file_size_bytes for f in files_b)
+        n_out = max(1, -(-bytes_b // target_file_size))
+        out_dir = os.path.join(table.location, "data", f"mgb-{run_id}-b{b:05d}")
+        new_data.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
+        out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        log.write(
+            LineageRow(
+                run_id=run_id,
+                op="merge-bucket",
+                partition_id=b,
+                files_in=len(files_b),
+                files_out=len(out_paths),
+                rows=sum(f.record_count for f in files_b),
+                bytes_in=bytes_b,
+                bytes_out=sum(os.path.getsize(p) for p in out_paths),
+                snapshot_id=table.current_snapshot().snapshot_id if table.current_snapshot() else -1,
+                status="done",
+                output_paths=out_paths,
+            )
+        )
+        return b, out_paths
+
+    todo = []
+    for b in touched:
+        if b in done:
+            row = done[b]
+            removed.update(f.path for f in by_bucket.get(b, []))
+            added_paths_b = row.output_paths or []
+            st = mf.harvest_stats(added_paths_b)
+            for s in st:
+                s.bucket = b
+            added.extend(st)
+            resumed += 1
+        else:
+            todo.append(b)
+
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            for b, out_paths in pool.map(run_one, todo):
+                removed.update(f.path for f in by_bucket.get(b, []))
+                st = mf.harvest_stats(out_paths)
+                for s in st:
+                    s.bucket = b
+                added.extend(st)
+
+    for s in added:
+        s.sequence_number = seq
+
+    new_snap = table.replace_files(
+        removed,
+        added,
+        operation="merge",
+        summary={
+            "op": "merge-bucketed",
+            "updates": str(n_updates),
+            "buckets": str(len(touched)),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+    )
+    winners.unpersist()
+    return {
+        "updates": n_updates,
+        "buckets_touched": len(touched),
+        "buckets_total": n_buckets,
+        "buckets_resumed": resumed,
+        "files_matched": len(removed),
+        "files_total": len(files),
+        "files_out": len(added),
+        "rows_out": sum(f.record_count for f in added),
         "snapshot_id": new_snap.snapshot_id,
         "run_id": run_id,
     }

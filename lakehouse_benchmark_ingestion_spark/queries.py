@@ -80,6 +80,18 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     mor_read_snapshot = tbl_mor.current_snapshot().snapshot_id
     compact(spark, tbl_mor, target_file_size=4 * 1024 * 1024)
 
+    # sequences_bucketed: hash-bucket index layout (the reference's Hudi
+    # bucket index, 8 buckets on the PK, HudiCatalogSync.java:151-159) —
+    # the same upsert runs as a bucket-pruned co-located merge
+    tbl_bkt = cat.create_table(
+        "sequences_bucketed",
+        df.schema,
+        properties={"bucket-key": "doc_id", "bucket-n": "8"},
+    )
+    for i in range(3):
+        tbl_bkt.append(df.filter(df.doc_id.cast("long") % 3 == i), max_records_per_file=64)
+    merge_into(spark, tbl_bkt, updates_df(spark, sf_dir))
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -87,6 +99,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "post_maintenance_snapshot": post_maintenance_snapshot,
         "table_mor": tbl_mor,
         "mor_read_snapshot": mor_read_snapshot,
+        "table_bucketed": tbl_bkt,
     }
     _PREPARED[key] = out
     return out
@@ -175,6 +188,15 @@ def q_merge_mor_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(tbl.scan(spark))
 
 
+def q_merge_bucketed_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned co-located MERGE (Hudi bucket-index analogue): keys
+    route to pmod(xxhash64(key), 8) buckets, only hashed buckets rewrite,
+    nothing but the update batch shuffles. Must equal the same declarative
+    merge oracle as the COW and MOR paths."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table_bucketed"].scan(spark))
+
+
 def q_maint_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental changes scan (CDC diff) across the MERGE INTO commit:
     rows the merge inserted/overwrote vs rows it replaced/deleted. Reads
@@ -230,6 +252,7 @@ MAINT_ORACLES: dict[str, str] = {
     "merge_result": MERGE_FINAL_ORACLE_SQL,
     "merge_mor_result": MERGE_FINAL_ORACLE_SQL,
     "merge_mor_materialized": MERGE_FINAL_ORACLE_SQL,
+    "merge_bucketed_result": MERGE_FINAL_ORACLE_SQL,
     "maint_changes": f"""
         WITH initial AS ({TOKENS_ORACLE_SQL}),
              final AS ({MERGE_FINAL_ORACLE_SQL})
@@ -273,6 +296,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_agg": q_merge_agg,
         "merge_mor_result": q_merge_mor_result,
         "merge_mor_materialized": q_merge_mor_materialized,
+        "merge_bucketed_result": q_merge_bucketed_result,
         "maint_changes": q_maint_changes,
         "zorder_key": q_zorder_key,
     }
