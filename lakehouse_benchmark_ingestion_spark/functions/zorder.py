@@ -132,7 +132,7 @@ def morton_key_cols(d0: Column, d1: Column, d2: Column) -> Column:
     )
 
 
-def _dim_cols() -> tuple[Column, Column, Column]:
+def _dim_cols(df: DataFrame | None = None) -> tuple[Column, Column, Column]:
     """JVM-side 21-bit dimension prep for (source, n_tok, hash(doc_id)).
 
     - source: xxhash64 masked to 21 bits — categorical grouping (equal values
@@ -141,11 +141,17 @@ def _dim_cols() -> tuple[Column, Column, Column]:
     - n_tok: clamped to 21 bits, preserving numeric order (range queries on
       sequence length stay local);
     - doc_id: xxhash64 masked — uniform spreading dimension.
+
+    A dim column missing from ``df`` (schema evolution renamed/dropped it)
+    degrades to a constant — the interleave stays valid on the remaining
+    dims instead of failing the rewrite.
     """
     mask = F.lit(DIM_MASK).cast("long")
-    src = F.xxhash64(F.col("source")).bitwiseAND(mask)
-    ntk = F.least(F.col("n_tok").cast("long"), mask)
-    doc = F.xxhash64(F.col("doc_id")).bitwiseAND(mask)
+    have = set(df.columns) if df is not None else {"source", "n_tok", "doc_id"}
+    zero = F.lit(0).cast("long")
+    src = F.xxhash64(F.col("source")).bitwiseAND(mask) if "source" in have else zero
+    ntk = F.least(F.col("n_tok").cast("long"), mask) if "n_tok" in have else zero
+    doc = F.xxhash64(F.col("doc_id")).bitwiseAND(mask) if "doc_id" in have else zero
     return src, ntk, doc
 
 
@@ -160,7 +166,7 @@ def with_cluster_key(
     bit-identical. Hilbert always uses the pandas UDF (the Skilling state
     machine has no reasonable expression-tree form).
     """
-    src, ntk, doc = _dim_cols()
+    src, ntk, doc = _dim_cols(df)
     if curve in ("zorder", "morton", "z"):
         if impl == "pandas":
             return df.withColumn(key_col, morton_key_udf(src, ntk, doc))

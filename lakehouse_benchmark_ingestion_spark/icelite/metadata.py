@@ -62,6 +62,11 @@ class TableMetadata:
     properties: dict = field(default_factory=dict)
     last_updated_ms: int = 0
     format_version: int = FORMAT_VERSION
+    # schema evolution: current column name -> prior names, oldest last.
+    # Data files written before a rename keep the old physical column; the
+    # alias-aware reader coalesces across eras (Iceberg does this with field
+    # IDs; name-lineage is the metadata-only equivalent for a JSON format).
+    column_aliases: dict = field(default_factory=dict)
 
     # ---- accessors -------------------------------------------------------
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
@@ -83,6 +88,7 @@ class TableMetadata:
             "snapshots": [s.to_dict() for s in self.snapshots],
             "properties": self.properties,
             "last_updated_ms": self.last_updated_ms,
+            "column_aliases": self.column_aliases,
         }
 
     @staticmethod
@@ -96,6 +102,7 @@ class TableMetadata:
             properties=dict(d.get("properties", {})),
             last_updated_ms=d.get("last_updated_ms", 0),
             format_version=d.get("format_version", FORMAT_VERSION),
+            column_aliases=dict(d.get("column_aliases", {})),
         )
 
 

@@ -43,15 +43,20 @@ def mor_scan(
     data_files: list[mf.DataFile],
     delete_files: list[mf.DataFile],
     key: str = "doc_id",
+    reader=None,
 ) -> DataFrame:
-    """Read ``data_files`` with ``delete_files`` applied (eq-delete join)."""
+    """Read ``data_files`` with ``delete_files`` applied (eq-delete join).
+
+    ``reader(paths) -> DataFrame`` overrides the physical read (the table's
+    alias-aware schema-evolution reader); defaults to a plain schema read."""
     cols = [f.name for f in schema.fields]
+    if reader is None:
+        def reader(paths):
+            return spark.read.schema(schema).parquet(*paths).select(*cols)
     if not data_files:
         return spark.createDataFrame([], schema).select(*cols)
     if not delete_files:
-        return spark.read.schema(schema).parquet(
-            *[f.path for f in data_files]
-        ).select(*cols)
+        return reader([f.path for f in data_files]).select(*cols)
 
     max_dseq = max(d.sequence_number for d in delete_files)
     clean = [
@@ -68,9 +73,7 @@ def mor_scan(
 
     parts: list[DataFrame] = []
     if clean:
-        parts.append(
-            spark.read.schema(schema).parquet(*[f.path for f in clean]).select(*cols)
-        )
+        parts.append(reader([f.path for f in clean]).select(*cols))
     if affected:
         # per-sequence read so each row knows its file's sequence number
         by_seq: dict[int, list[str]] = {}
@@ -79,9 +82,7 @@ def mor_scan(
         data = reduce(
             DataFrame.unionByName,
             [
-                spark.read.schema(schema)
-                .parquet(*paths)
-                .select(*cols, F.lit(seq).cast("long").alias(_FSEQ))
+                reader(paths).select(*cols, F.lit(seq).cast("long").alias(_FSEQ))
                 for seq, paths in sorted(by_seq.items())
             ],
         )

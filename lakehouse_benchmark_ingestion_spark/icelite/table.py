@@ -17,7 +17,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import manifest as mf
 from . import metadata as md
@@ -92,6 +92,88 @@ class IceliteTable:
         return 1 + max(
             (f.sequence_number for f in self.all_files()), default=0
         )
+
+    # ---- schema evolution (metadata-only commits) ------------------------
+    def add_column(self, name: str, dtype: str) -> None:
+        """Add a nullable column; files written earlier read as null."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        new_field = StructField(name, _parse_datatype_string(dtype), True)
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            s = StructType.fromJson(meta.schema_json)
+            if name in s.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            meta.schema_json = StructType(list(s.fields) + [new_field]).jsonValue()
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column (metadata-only; file bytes are untouched and simply
+        no longer projected — Iceberg drop-column semantics)."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            s = StructType.fromJson(meta.schema_json)
+            if name not in s.fieldNames():
+                raise ValueError(f"no column {name!r}")
+            meta.schema_json = StructType(
+                [f for f in s.fields if f.name != name]
+            ).jsonValue()
+            meta.column_aliases.pop(name, None)
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column; the old physical name is kept as an alias so
+        files from before the rename keep answering (read_files coalesces)."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            s = StructType.fromJson(meta.schema_json)
+            if old not in s.fieldNames():
+                raise ValueError(f"no column {old!r}")
+            if new in s.fieldNames():
+                raise ValueError(f"column {new!r} already exists")
+            meta.schema_json = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable) if f.name == old else f
+                    for f in s.fields
+                ]
+            ).jsonValue()
+            meta.column_aliases[new] = [old] + meta.column_aliases.pop(old, [])
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def read_files(self, spark: SparkSession, paths: list[str]):
+        """Read data files under the CURRENT schema, alias-aware: files from
+        before a rename carry the old physical column name — the read schema
+        is widened with the prior names and each renamed column resolves via
+        coalesce across its name lineage. Every scan and every rewrite path
+        (compaction, clustering, merge) reads through here, so maintenance
+        never loses renamed data."""
+        from pyspark.sql import functions as F
+
+        schema = self.schema
+        cols = [f.name for f in schema.fields]
+        if not paths:
+            return spark.createDataFrame([], schema).select(*cols)
+        aliases = self.meta.column_aliases
+        live = {n: olds for n, olds in aliases.items() if n in cols}
+        if not live:
+            return spark.read.schema(schema).parquet(*paths).select(*cols)
+        by_name = {f.name: f for f in schema.fields}
+        extra = [
+            StructField(o, by_name[n].dataType, True)
+            for n, olds in live.items()
+            for o in olds
+        ]
+        wide = StructType(list(schema.fields) + extra)
+        df = spark.read.schema(wide).parquet(*paths)
+        for n, olds in live.items():
+            df = df.withColumn(n, F.coalesce(F.col(n), *[F.col(o) for o in olds]))
+        return df.select(*cols)
 
     @property
     def bucket_spec(self) -> tuple[str, int] | None:
@@ -273,11 +355,12 @@ class IceliteTable:
         if deletes:
             from . import mor
 
-            df = mor.mor_scan(spark, schema, files, deletes, key=merge_key)
-        elif not files:
-            df = spark.createDataFrame([], schema)
+            df = mor.mor_scan(
+                spark, schema, files, deletes, key=merge_key,
+                reader=lambda paths: self.read_files(spark, paths),
+            )
         else:
-            df = spark.read.schema(schema).parquet(*[f.path for f in files])
+            df = self.read_files(spark, [f.path for f in files])
         if columns:
             df = df.select(*columns)
         return df

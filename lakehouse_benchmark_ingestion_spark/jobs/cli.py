@@ -21,6 +21,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     full           --warehouse W --table T [--target-mb N]   (whole suite)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
+    add-column     --warehouse W --table T --column NAME --type DDL
+    drop-column    --warehouse W --table T --column NAME
+    rename-column  --warehouse W --table T --column OLD --to-name NEW
     history        --warehouse W --table T
 
 Every command prints one JSON metrics line (machine-parseable, like the
@@ -57,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-snapshot", type=int)
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--cpus", type=int)
+    p.add_argument("--column")
+    p.add_argument("--type", dest="col_type")
+    p.add_argument("--to-name")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -182,6 +188,22 @@ def main(argv: list[str] | None = None) -> int:
         out["to_snapshot"] = to_id
         out["inserts"] = counts.get("insert", 0)
         out["deletes"] = counts.get("delete", 0)
+
+    elif args.command in ("add-column", "drop-column", "rename-column"):
+        tbl = cat.load_table(args.table)
+        if not args.column:
+            p.error(f"{args.command} requires --column")
+        if args.command == "add-column":
+            if not args.col_type:
+                p.error("add-column requires --type")
+            tbl.add_column(args.column, args.col_type)
+        elif args.command == "drop-column":
+            tbl.drop_column(args.column)
+        else:
+            if not args.to_name:
+                p.error("rename-column requires --to-name")
+            tbl.rename_column(args.column, args.to_name)
+        out["schema"] = [f.name for f in tbl.schema.fields]
 
     elif args.command == "history":
         tbl = cat.load_table(args.table)

@@ -51,9 +51,7 @@ def snapshot_changes(
         added = sorted(new_files - old_files)
 
         def read(paths: list[str]) -> DataFrame:
-            if not paths:
-                return spark.createDataFrame([], schema).select(*cols)
-            return spark.read.schema(schema).parquet(*paths).select(*cols)
+            return table.read_files(spark, paths).select(*cols)
 
         before, after = read(removed), read(added)
     inserts = after.exceptAll(before).withColumn(change_col, F.lit("insert"))

@@ -60,9 +60,12 @@ def cluster(
         # debt is retired here): read delete-applied, drop the delete files
         from ..icelite.mor import mor_scan
 
-        df = mor_scan(spark, table.schema, files, del_files)
+        df = mor_scan(
+            spark, table.schema, files, del_files,
+            reader=lambda paths: table.read_files(spark, paths),
+        )
     else:
-        df = spark.read.schema(table.schema).parquet(*[f.path for f in files])
+        df = table.read_files(spark, [f.path for f in files])
     # zorder uses the Catalyst morton expression — the range sampler
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)

@@ -140,9 +140,12 @@ def _rewrite_group(
         # this group's files while rewriting — outputs are delete-free
         from ..icelite.mor import mor_scan
 
-        df = mor_scan(spark, schema, group.files, delete_files)
+        df = mor_scan(
+            spark, schema, group.files, delete_files,
+            reader=lambda paths: table.read_files(spark, paths),
+        )
     else:
-        df = spark.read.schema(schema).parquet(*[f.path for f in group.files])
+        df = table.read_files(spark, [f.path for f in group.files])
     df = with_cluster_key(df, curve=curve)
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil

@@ -139,6 +139,7 @@ def merge_into(
         matched_data = mor_scan(
             spark, schema, [file_by_path[p] for p in matched_paths],
             table.delete_files(), key=key,
+            reader=lambda paths: table.read_files(spark, paths),
         )
         unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
         new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))
@@ -237,7 +238,7 @@ def _merge_bucketed(
         files_b = by_bucket.get(b, [])
         upd_b = winners_b.filter(F.col("_b") == b).select(*cols)
         if files_b:
-            data = spark.read.schema(schema).parquet(*[f.path for f in files_b])
+            data = table.read_files(spark, [f.path for f in files_b])
             unchanged = data.join(F.broadcast(upd_b.select(key)), key, "left_anti")
             new_data = unchanged.unionByName(upd_b)
         else:
