@@ -70,7 +70,9 @@ def run_bench() -> dict:
     wh = f"/tmp/bench_wh_{CPUS}"
     shutil.rmtree(wh, ignore_errors=True)
     cat = Catalog(wh)
-    df = tokens_df(spark, SF_DIR, replicate=REPLICATE)
+    # cache: the 4 ingest appends each filter this — regeneration (crossJoin
+    # + per-row transform()) would otherwise run 4x
+    df = tokens_df(spark, SF_DIR, replicate=REPLICATE).persist()
 
     # ---- ingest: many small files across snapshots (the reference's 60 s
     # checkpoint cadence pathology, MainRunner.java:86) — not part of the
@@ -166,6 +168,18 @@ def run_bench() -> dict:
         "bit_xor(xxhash64(id, id * 31, id + 7)) AS h"  # xor: no ANSI overflow
     ).collect()
     timings["kernel_cpu"] = round(time.time() - t0, 3)
+
+    df.unpersist()
+
+    # ---- merge-on-read upsert + delete-applied scan (extra visibility;
+    # not part of the headline maintenance wall): the O(batch) write path
+    # and what its deferred read-side anti-join costs before compaction.
+    t0 = time.time()
+    merge_into(spark, tbl, updates_df(spark, SF_DIR), strategy="mor")
+    timings["merge_mor"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    tbl.scan(spark).groupBy("source").agg(F.count("*").alias("n")).collect()
+    timings["scan_after_mor"] = round(time.time() - t0, 3)
 
     gb = bytes_in / 1e9
     out = {
