@@ -176,7 +176,104 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- multi-join volume shipping (TPC-H Q7 shape) ----------------------------
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier-nation x customer-nation shipping volume: a 5-way join
+    (lineitem-orders-customer + supplier, both sides to nation) with a
+    year-sliced aggregate. The two nation dims broadcast (tiny); the
+    l-o and o-c joins shuffle on their keys; AQE handles skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q14 shape): promo vs total revenue per
+    month — numerator/denominator kept as separate decimal sums (exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    return joined.groupBy(
+        F.year("l_shipdate").alias("l_year"), F.month("l_shipdate").alias("l_month")
+    ).agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("promo_revenue"),
+        F.sum(vol).alias("total_revenue"),
+    )
+
+
+def q_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter (TPC-H Q18 shape): orders whose total quantity exceeds a
+    threshold — aggregate then HAVING, joined back to the customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+def q_supplier_exists_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS rewritten as a left-semi join: suppliers that
+    shipped at least one item of a large part (p_size >= 40)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    large_items = li.join(
+        F.broadcast(p.filter(F.col("p_size") >= 40).select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_suppkey").distinct()
+    return s.join(large_items, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+def q_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate: order totals by (segment, status)
+    with segment-level and grand totals (null-marked subtotal rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
+    "rel_nation_trade_volume": q_nation_trade_volume,
+    "rel_promo_share": q_promo_share,
+    "rel_big_orders_having": q_big_orders_having,
+    "rel_supplier_exists_part": q_supplier_exists_part,
+    "rel_mktsegment_rollup": q_mktsegment_rollup,
     "rel_pricing_summary": q_pricing_summary,
     "rel_region_rollup": q_region_rollup,
     "rel_order_revenue": q_order_revenue,
@@ -190,6 +287,57 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_nation_trade_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "rel_promo_share": """
+        SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(month(l_shipdate) AS INT) AS l_month,
+               sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    """,
+    "rel_big_orders_having": """
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT c_name, o_orderkey, o_orderdate, total_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "rel_supplier_exists_part": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size >= 40 AND l_suppkey = s.s_suppkey
+        )
+    """,
+    "rel_mktsegment_rollup": """
+        SELECT c_mktsegment, o_orderstatus,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+    """,
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
