@@ -330,6 +330,30 @@ class IceliteTable:
         return md.commit(self.location, mutate).snapshot()
 
     # ---- read path -------------------------------------------------------
+    @staticmethod
+    def _where_file_filter(where: dict):
+        """File-skipping predicate from simple column conditions: scalar =
+        equality, 2-tuple = inclusive range. A file survives iff every
+        condition's interval overlaps the file's [min,max] stats; files
+        lacking stats for a column are conservatively kept. Incomparable
+        types (stat vs predicate) also keep the file."""
+
+        def keep(f) -> bool:
+            for col, cond in where.items():
+                lo = f.lower_bounds.get(col)
+                hi = f.upper_bounds.get(col)
+                if lo is None or hi is None:
+                    continue
+                plo, phi = cond if isinstance(cond, tuple) else (cond, cond)
+                try:
+                    if (plo is not None and hi < plo) or (phi is not None and lo > phi):
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        return keep
+
     def scan(
         self,
         spark: SparkSession,
@@ -337,6 +361,7 @@ class IceliteTable:
         columns: list[str] | None = None,
         file_filter=None,
         merge_key: str = "doc_id",
+        where: dict | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
 
@@ -350,6 +375,9 @@ class IceliteTable:
         files = self.data_files(snapshot_id)
         if file_filter is not None:
             files = [f for f in files if file_filter(f)]
+        if where:
+            keep = self._where_file_filter(where)
+            files = [f for f in files if keep(f)]
         schema = self.schema
         deletes = self.delete_files(snapshot_id)
         if deletes:
@@ -361,6 +389,20 @@ class IceliteTable:
             )
         else:
             df = self.read_files(spark, [f.path for f in files])
+        if where:
+            # exact semantics: the file skip is a superset; Catalyst pushes
+            # these row filters into the Parquet reader as well
+            from pyspark.sql import functions as F
+
+            for col, cond in where.items():
+                if isinstance(cond, tuple):
+                    plo, phi = cond
+                    if plo is not None:
+                        df = df.filter(F.col(col) >= plo)
+                    if phi is not None:
+                        df = df.filter(F.col(col) <= phi)
+                else:
+                    df = df.filter(F.col(col) == cond)
         if columns:
             df = df.select(*columns)
         return df

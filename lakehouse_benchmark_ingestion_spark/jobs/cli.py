@@ -21,6 +21,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     full           --warehouse W --table T [--target-mb N]   (whole suite)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
+    remove-orphans --warehouse W --table T [--older-than-ms MS] [--dry-run]
     add-column     --warehouse W --table T --column NAME --type DDL
     drop-column    --warehouse W --table T --column NAME
     rename-column  --warehouse W --table T --column OLD --to-name NEW
@@ -63,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--column")
     p.add_argument("--type", dest="col_type")
     p.add_argument("--to-name")
+    p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -188,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
         out["to_snapshot"] = to_id
         out["inserts"] = counts.get("insert", 0)
         out["deletes"] = counts.get("delete", 0)
+
+    elif args.command == "remove-orphans":
+        from lakehouse_benchmark_ingestion_spark.operators.orphan_files import remove_orphan_files
+
+        out.update(
+            remove_orphan_files(
+                cat.load_table(args.table),
+                older_than_ms=args.older_than_ms if args.older_than_ms is not None else 3 * 24 * 3600 * 1000,
+                dry_run=args.dry_run,
+                run_id=args.run_id,
+            )
+        )
 
     elif args.command in ("add-column", "drop-column", "rename-column"):
         tbl = cat.load_table(args.table)

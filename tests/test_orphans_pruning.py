@@ -1,0 +1,84 @@
+"""Orphan-file GC + predicate-driven scan pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_remove_orphan_files(spark, sequences_table):
+    from lakehouse_benchmark_ingestion_spark.operators.orphan_files import (
+        remove_orphan_files,
+    )
+
+    tbl = sequences_table
+    n_rows = tbl.scan(spark).count()
+
+    # simulate a crash between write and commit: parquet landed, no snapshot
+    orphan_dir = os.path.join(tbl.location, "data", "aborted-commit")
+    tbl.scan(spark).limit(50).write.parquet(orphan_dir)
+    orphan_files = [
+        os.path.join(orphan_dir, n)
+        for n in os.listdir(orphan_dir)
+        if n.endswith(".parquet")
+    ]
+    assert orphan_files
+
+    # grace interval protects the "in-flight" write
+    r = remove_orphan_files(tbl, older_than_ms=3_600_000)
+    assert r["deleted"] == 0 and all(os.path.exists(p) for p in orphan_files)
+
+    # dry run reports, deletes nothing
+    r = remove_orphan_files(tbl, older_than_ms=0, dry_run=True)
+    assert r["orphans"] == len(orphan_files) and r["deleted"] == 0
+    assert all(os.path.exists(p) for p in orphan_files)
+
+    # real GC: orphans gone, referenced files and table answer intact
+    r = remove_orphan_files(tbl, older_than_ms=0)
+    assert r["deleted"] == len(orphan_files)
+    assert not os.path.exists(orphan_dir)  # empty commit dir swept
+    assert tbl.scan(spark).count() == n_rows
+    # historical snapshots still resolve (nothing referenced was touched)
+    first = tbl.history()[0].snapshot_id
+    assert tbl.scan(spark, snapshot_id=first).count() > 0
+
+
+def test_scan_where_prunes_and_filters(spark, warehouse):
+    """Range-partitioned layout (repartitionByRange on n_tok → disjoint
+    per-file min/max) + where= predicates: files skip via manifest stats,
+    rows stay exact. (Z-order files would NOT prune well on n_tok — the
+    values span ~8 of its 21 bits, so it only sets low-order key bits; range
+    layout is the right tool for single-column range predicates.)"""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("sequences", df.schema)
+    tbl.append(df.repartitionByRange(8, "n_tok", "doc_id"))
+    files_total = len(tbl.data_files())
+    assert files_total > 3
+
+    # range predicate on n_tok: file skip is visible AND rows are exact
+    expected = tbl.scan(spark).filter(
+        (F.col("n_tok") >= 100) & (F.col("n_tok") <= 120)
+    )
+    got = tbl.scan(spark, where={"n_tok": (100, 120)})
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    scanned = {p.removeprefix("file://") for p in got.inputFiles()}
+    assert 0 < len(scanned) < files_total, "no files were pruned"
+
+    # equality predicate on the key — on a key-ranged layout (disjoint
+    # doc_id bounds per file, the post-merge file shape)
+    tbl2 = Catalog(warehouse).create_table("by_key", df.schema)
+    tbl2.append(df.repartitionByRange(8, "doc_id"))
+    got1 = tbl2.scan(spark, where={"doc_id": "42"})
+    assert got1.count() == 1
+    assert len(got1.inputFiles()) < len(tbl2.data_files())
+
+    # open-ended range
+    lo = tbl.scan(spark, where={"n_tok": (200, None)})
+    assert lo.filter(F.col("n_tok") < 200).count() == 0
