@@ -8,11 +8,12 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[<n>] parallelism (default 32)
-  BENCH_REPLICATE      tokens-table scale multiplier (default 64)
+  BENCH_REPLICATE      tokens-table scale multiplier (default 256)
 
---scaling: run the same job in two fresh subprocesses at local[8] and
-local[32] (the sandbox's N vs 4N evidence protocol, BASELINE.md) and
-print both plus the efficiency.
+--scaling: interleaved min-of-3 legs at local[4] vs local[16] on a
+SCALING_REPLICATE=1024 input, fresh JVM per leg (the sandbox's N vs 4N
+evidence protocol — see BENCH.md for the measured result and the
+protocol rationale).
 """
 
 from __future__ import annotations

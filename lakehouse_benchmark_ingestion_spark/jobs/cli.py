@@ -20,6 +20,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--strategy cow|mor]   (mor = eq-delete + insert, no rewrite)
     full           --warehouse W --table T [--target-mb N]   (whole suite)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
+                   [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
     remove-orphans --warehouse W --table T [--older-than-ms MS] [--dry-run]
     add-column     --warehouse W --table T --column NAME --type DDL
@@ -65,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type", dest="col_type")
     p.add_argument("--to-name")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--where")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -169,7 +171,13 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.command == "scan":
         tbl = cat.load_table(args.table)
-        df = tbl.scan(spark, snapshot_id=args.snapshot_id)
+        where = None
+        if args.where:
+            where = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(args.where).items()
+            }
+        df = tbl.scan(spark, snapshot_id=args.snapshot_id, where=where)
         out["rows"] = df.count()
         out["sample"] = [
             {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
