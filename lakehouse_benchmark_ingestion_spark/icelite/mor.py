@@ -34,7 +34,14 @@ def _ranges_overlap(a: mf.DataFile, b: mf.DataFile, key: str) -> bool:
     blo, bhi = b.lower_bounds.get(key), b.upper_bounds.get(key)
     if None in (alo, ahi, blo, bhi):
         return True  # missing stats → must assume overlap
-    return str(alo) <= str(bhi) and str(blo) <= str(ahi)
+    # compare bounds NATIVELY: a lexicographic fallback on numeric keys would
+    # classify e.g. data [9,15] vs deletes [10,12] as disjoint ('9' > '12')
+    # and silently resurrect deleted rows. Incomparable types (mixed-type
+    # stats) → conservatively assume overlap, mirroring _where_file_filter.
+    try:
+        return alo <= bhi and blo <= ahi
+    except TypeError:
+        return True
 
 
 def mor_scan(
@@ -44,15 +51,24 @@ def mor_scan(
     delete_files: list[mf.DataFile],
     key: str = "doc_id",
     reader=None,
+    delete_reader=None,
 ) -> DataFrame:
     """Read ``data_files`` with ``delete_files`` applied (eq-delete join).
 
     ``reader(paths) -> DataFrame`` overrides the physical read (the table's
-    alias-aware schema-evolution reader); defaults to a plain schema read."""
+    alias-aware schema-evolution reader); defaults to a plain schema read.
+    ``delete_reader(paths) -> DataFrame`` likewise overrides the eq-delete
+    key read (alias-aware when the merge key was renamed after the delete
+    files were written); must yield a single column named ``key``."""
     cols = [f.name for f in schema.fields]
     if reader is None:
         def reader(paths):
             return spark.read.schema(schema).parquet(*paths).select(*cols)
+    if delete_reader is None:
+        key_type_str = schema[key].dataType.simpleString()
+
+        def delete_reader(paths):
+            return spark.read.schema(f"{key} {key_type_str}").parquet(*paths)
     if not data_files:
         return spark.createDataFrame([], schema).select(*cols)
     if not delete_files:
@@ -86,15 +102,13 @@ def mor_scan(
                 for seq, paths in sorted(by_seq.items())
             ],
         )
-        key_type = schema[key].dataType.simpleString()
         del_by_seq: dict[int, list[str]] = {}
         for d in delete_files:
             del_by_seq.setdefault(d.sequence_number, []).append(d.path)
         dels = reduce(
             DataFrame.unionByName,
             [
-                spark.read.schema(f"{key} {key_type}")
-                .parquet(*paths)
+                delete_reader(paths)
                 .select(key, F.lit(seq).cast("long").alias(_DSEQ))
                 for seq, paths in sorted(del_by_seq.items())
             ],

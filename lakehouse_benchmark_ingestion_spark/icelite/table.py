@@ -127,7 +127,10 @@ class IceliteTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """Rename a column; the old physical name is kept as an alias so
-        files from before the rename keep answering (read_files coalesces)."""
+        files from before the rename keep answering (read_files coalesces).
+        If the column is the recorded merge key, the property follows the
+        rename — outstanding eq-delete files keep applying because the
+        delete reader is alias-aware too (scan → _read_delete_keys)."""
 
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
             s = StructType.fromJson(meta.schema_json)
@@ -142,6 +145,8 @@ class IceliteTable:
                 ]
             ).jsonValue()
             meta.column_aliases[new] = [old] + meta.column_aliases.pop(old, [])
+            if meta.properties.get("merge-key") == old:
+                meta.properties["merge-key"] = new
             return meta
 
         md.commit(self.location, mutate)
@@ -174,6 +179,41 @@ class IceliteTable:
         for n, olds in live.items():
             df = df.withColumn(n, F.coalesce(F.col(n), *[F.col(o) for o in olds]))
         return df.select(*cols)
+
+    def recorded_merge_key(self) -> str | None:
+        """The equality-delete key persisted at merge-on-read commit time
+        (property ``merge-key``). Scans MUST apply outstanding eq-deletes
+        under this key — a caller-supplied different key would read the
+        delete parquet under the wrong column name, get all-null keys, and
+        silently resurrect deleted rows."""
+        v = self.meta.properties.get("merge-key")
+        return str(v) if v is not None else None
+
+    def _read_delete_keys(self, spark: SparkSession, key: str):
+        """Alias-aware eq-delete reader factory: delete files written before
+        a rename of the merge key carry the old physical column name; read
+        them with the widened schema and coalesce across the name lineage
+        (same contract as read_files)."""
+        key_field = self.schema[key]
+        olds = self.meta.column_aliases.get(key, [])
+
+        def read(paths: list[str]) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            if not olds:
+                return spark.read.schema(
+                    StructType([StructField(key, key_field.dataType, True)])
+                ).parquet(*paths)
+            wide = StructType(
+                [StructField(key, key_field.dataType, True)]
+                + [StructField(o, key_field.dataType, True) for o in olds]
+            )
+            df = spark.read.schema(wide).parquet(*paths)
+            return df.select(
+                F.coalesce(F.col(key), *[F.col(o) for o in olds]).alias(key)
+            )
+
+        return read
 
     @property
     def bucket_spec(self) -> tuple[str, int] | None:
@@ -256,6 +296,7 @@ class IceliteTable:
         operation: str = "replace",
         summary: dict | None = None,
         timestamp_ms: int | None = None,
+        set_properties: dict | None = None,
     ) -> md.Snapshot:
         """Commit a snapshot that atomically swaps removed files for added.
 
@@ -304,6 +345,8 @@ class IceliteTable:
             meta.snapshots.append(snap)
             meta.current_snapshot_id = sid
             meta.last_updated_ms = snap.timestamp_ms
+            if set_properties:
+                meta.properties.update(set_properties)
             return meta
 
         return md.commit(self.location, mutate).snapshot()
@@ -360,7 +403,7 @@ class IceliteTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         file_filter=None,
-        merge_key: str = "doc_id",
+        merge_key: str | None = None,
         where: dict | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
@@ -383,9 +426,20 @@ class IceliteTable:
         if deletes:
             from . import mor
 
+            recorded = self.recorded_merge_key()
+            if merge_key is None:
+                merge_key = recorded or "doc_id"
+            elif recorded is not None and merge_key != recorded:
+                raise ValueError(
+                    f"scan merge_key={merge_key!r} does not match the key the "
+                    f"outstanding eq-delete files were written under "
+                    f"({recorded!r}); reading them under the wrong column "
+                    f"would silently resurrect deleted rows"
+                )
             df = mor.mor_scan(
                 spark, schema, files, deletes, key=merge_key,
                 reader=lambda paths: self.read_files(spark, paths),
+                delete_reader=self._read_delete_keys(spark, merge_key),
             )
         else:
             df = self.read_files(spark, [f.path for f in files])

@@ -60,9 +60,11 @@ def cluster(
         # debt is retired here): read delete-applied, drop the delete files
         from ..icelite.mor import mor_scan
 
+        mor_key = table.recorded_merge_key() or "doc_id"
         df = mor_scan(
-            spark, table.schema, files, del_files,
+            spark, table.schema, files, del_files, key=mor_key,
             reader=lambda paths: table.read_files(spark, paths),
+            delete_reader=table._read_delete_keys(spark, mor_key),
         )
     else:
         df = table.read_files(spark, [f.path for f in files])

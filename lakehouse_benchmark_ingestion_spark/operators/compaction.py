@@ -140,9 +140,11 @@ def _rewrite_group(
         # this group's files while rewriting — outputs are delete-free
         from ..icelite.mor import mor_scan
 
+        mor_key = table.recorded_merge_key() or "doc_id"
         df = mor_scan(
-            spark, schema, group.files, delete_files,
+            spark, schema, group.files, delete_files, key=mor_key,
             reader=lambda paths: table.read_files(spark, paths),
+            delete_reader=table._read_delete_keys(spark, mor_key),
         )
     else:
         df = table.read_files(spark, [f.path for f in group.files])

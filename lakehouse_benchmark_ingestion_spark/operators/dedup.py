@@ -107,12 +107,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     band_size: int = 4,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
     Returns (a_id, b_id) with a < b, distinct. The band groupBy is the only
-    shuffle; self-join happens within tiny buckets via collect_list (guarded
-    by a size cap with explode of combinations).
+    shuffle; self-join happens within tiny buckets via collect_list.
+
+    ``max_bucket_size`` caps degenerate buckets (mass-duplicated boilerplate
+    is common in web corpora and would otherwise build an O(b²) row out of a
+    single collect_list): only the ``max_bucket_size`` smallest ids per
+    (band, bucket) — deterministic row_number over the bucket — enter the
+    pair expansion, bounding any bucket's cost at O(cap²). Docs dropped from
+    a giant bucket are near-exact duplicates of its survivors and are caught
+    by the exact-dedup pass (content-hash groupBy) anyway.
     """
     n_perms = len(MINHASH_PERMS)
     n_bands = n_perms // band_size
@@ -130,10 +138,18 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    from pyspark.sql import Window
+
     exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    grouped = exploded.groupBy("band", "bucket").agg(
+    wnd = Window.partitionBy("band", "bucket").orderBy(F.col(id_col))
+    capped = (
+        exploded.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+    grouped = capped.groupBy("band", "bucket").agg(
         F.collect_list(id_col).alias("ids")
     ).filter(F.size("ids") > 1)
     pairs = grouped.select(
@@ -154,11 +170,16 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → LSH candidates →
-    exact n-gram Jaccard verification of candidates only."""
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n=n)
-    cands = lsh_candidate_pairs(sig, id_col=id_col)
+    exact n-gram Jaccard verification of candidates only.
+
+    ``hash_fn="poly"`` makes every stage DuckDB-replayable (the driver
+    oracle); xxhash64 is the faster production default."""
+    sig = minhash_signature(df.select(id_col, text_col), text_col, n=n, hash_fn=hash_fn)
+    cands = lsh_candidate_pairs(sig, id_col=id_col, max_bucket_size=max_bucket_size)
     docs = df.select(
         F.col(id_col), _shingles_sql(text_col, n).alias("_grams")
     )

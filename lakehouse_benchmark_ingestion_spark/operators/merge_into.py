@@ -133,13 +133,17 @@ def merge_into(
     n_out = max(1, -(-matched_bytes // target_file_size))
     if matched_paths:
         # apply any outstanding eq-delete files (a prior merge-on-read
-        # commit) while reading — rewritten rows must not resurrect
+        # commit) while reading — rewritten rows must not resurrect. The
+        # deletes apply under the key RECORDED when they were written, which
+        # may differ from this merge's key.
         from ..icelite.mor import mor_scan
 
+        mor_key = table.recorded_merge_key() or key
         matched_data = mor_scan(
             spark, schema, [file_by_path[p] for p in matched_paths],
-            table.delete_files(), key=key,
+            table.delete_files(), key=mor_key,
             reader=lambda paths: table.read_files(spark, paths),
+            delete_reader=table._read_delete_keys(spark, mor_key),
         )
         unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
         new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))

@@ -262,6 +262,42 @@ def ivf_ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    band_size: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via OR-amplified LSH — the SCALE path (the plan
+    contains no crossJoin): rows are tagged with one bucket per hash table
+    (map-only), candidate pairs are a self-equi-join on (table, bucket) —
+    shuffle keyed on the bucket, each bucket joined locally — then exact
+    cosine re-scoring keeps pairs ≥ threshold. Recall < 1 by design
+    (pairs sharing no bucket are missed); ``neardup_pairs`` is the
+    brute-force verifier to measure that recall on samples."""
+    tagged = lsh_tables(
+        df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
+        "av", n_tables, band_size, dim,
+    )
+    other = tagged.select(
+        F.col("a_id").alias("b_id"), F.col("av").alias("bv"),
+        "lsh_table", "bucket",
+    )
+    pairs = (
+        tagged.join(other, ["lsh_table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "av", "b_id", "bv")
+        .distinct()  # a pair may collide in several tables
+    )
+    return pairs.select(
+        "a_id", "b_id",
+        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

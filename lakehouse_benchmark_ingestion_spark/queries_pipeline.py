@@ -10,6 +10,8 @@ integer hashes), so matches are bit-exact, not approximate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -28,8 +30,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(toks).alias("total_ws_tokens"),
-        F.min(toks).alias("min_ws_tokens"),
-        F.max(toks).alias("max_ws_tokens"),
+        F.min(toks).cast("long").alias("min_ws_tokens"),
+        F.max(toks).cast("long").alias("max_ws_tokens"),
     )
 
 
@@ -276,9 +278,9 @@ QUERIES = {
 ORACLES = {
     "pipe_token_count": r"""
         SELECT lang, count(*) AS n_docs,
-               sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
-               min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_ws_tokens,
-               max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_ws_tokens
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+               CAST(min(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS min_ws_tokens,
+               CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_ws_tokens
         FROM documents GROUP BY lang
     """,
     "pipe_quality_score": r"""
@@ -432,15 +434,17 @@ ORACLES["pipe_lang_id"] = f"""
 # ============================================================================
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (poly-hash family → DuckDB-matchable bit-for-bit)."""
+    """MinHash signatures (poly-hash family → DuckDB-matchable bit-for-bit),
+    exploded to (doc_id, perm, mh) — the driver's canonicalizer cannot hash
+    an array<long> result column, and the exploded shape certifies every
+    signature element individually."""
     from .operators.dedup import minhash_signature
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.col("text")
     )
-    return minhash_signature(d, "text", n=3, n_perms=16, hash_fn="poly").select(
-        "doc_id", "minhash"
-    )
+    sig = minhash_signature(d, "text", n=3, n_perms=16, hash_fn="poly")
+    return sig.select("doc_id", F.posexplode("minhash").alias("perm", "mh"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,14 +463,16 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline (xxhash64 family — fastest; no SQL
-    oracle, driver records rows-only)."""
+    """Full MinHash-LSH near-dup pipeline, poly-hash family end-to-end so the
+    DuckDB oracle replays signature → banding → Jaccard verification exactly.
+    The plan has NO crossJoin: the only shuffles are the band-bucket groupBy
+    and the candidate→doc joins keyed on doc_id."""
     from .operators.dedup import minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return minhash_dedup_pairs(d, jaccard_threshold=0.5)
+    return minhash_dedup_pairs(d, jaccard_threshold=0.5, hash_fn="poly")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,9 +487,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, probes, k=5, n_tables=8, band_size=4)
 
 
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via OR-amplified LSH — the certified SCALE path:
+    the plan contains no crossJoin (bucket-keyed self-equi-join only).
+    ``pipe_embedding_neardup`` (brute force) stays as the recall verifier.
+    The oracle replays the closed-form hyperplane buckets, so the match
+    certifies the bucketing itself, not just the cosines."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, threshold=0.4, n_tables=8, band_size=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (rows-only: the
-    byte-level kernel is not SQL-expressible)."""
+    """mapInPandas feature extraction over binary payloads. The kernel is the
+    deterministic byte-sum stand-in (real decoders are import-gated), which
+    IS SQL-expressible — the oracle recomputes the UTF-8 byte sum from the
+    code points — so the Arrow-batched plumbing is oracle-certified."""
     from .operators.multimodal import extract_features, synth_media_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -507,29 +527,42 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# streaming queries build their table ONCE per (process, sf_dir) under a
+# session-scoped dir that outlives the returned DataFrame — no .collect()
+# materialization in the query path (a driver OOM at scale).
+_STREAM_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _stream_workdir(sf_dir: str, name: str) -> str:
+    key = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return os.path.join("/tmp", "icelite_queries", key, name)
+
+
 def q_stream_ingested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest (availableNow, one snapshot per
-    micro-batch) then scan — must equal the batch-synthesized table."""
+    micro-batch) then scan — must equal the batch-synthesized table
+    (token arrays certified through the scalar digest)."""
     import shutil
-    import tempfile
 
     from .icelite import Catalog
-    from .sources.tokens import tokens_df
+    from .sources.tokens import TOK_DIGEST_SPARK, tokens_df
     from .streaming.incremental import drop_parquet_batches, stream_ingest_files
 
-    df = tokens_df(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="icelite_stream_")
-    try:
+    ck = ("ingest", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_ingest")
+        shutil.rmtree(base, ignore_errors=True)
+        df = tokens_df(spark, sf_dir)
         tbl = Catalog(base).create_table("seq_stream", df.schema)
         drop_parquet_batches(df, f"{base}/drops", n_batches=3)
         stream_ingest_files(
             spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", mode="append"
         )
-        out = tbl.scan(spark).select("doc_id", "tokens", "n_tok", "source")
-        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before rmtree
-        return out
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select(
+        "doc_id", "n_tok", "source", F.expr(TOK_DIGEST_SPARK).alias("tok_digest")
+    )
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,16 +573,17 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics declaratively (lag + cumulative-sum sessionization), so the
     match certifies the stateful kernel and its cross-batch state carry."""
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
     from .icelite import Catalog
     from .streaming.sessions import SESSION_SCHEMA, sessionize_stream
 
-    events = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="icelite_sessions_")
-    try:
+    ck = ("sessions", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_sessions")
+        shutil.rmtree(base, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
         sliced = events.withColumn(
             "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
         )
@@ -561,17 +595,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream(
             spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", gap_seconds=3600
         )
-        out = tbl.scan(spark).select(
-            "user_id",
-            "session_start",
-            "session_end",
-            "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # materialize
-        return out
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
 
 
 QUERIES.update(
@@ -582,6 +614,7 @@ QUERIES.update(
         "pipe_lsh_buckets": q_lsh_buckets,
         "pipe_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "pipe_ann_lsh": q_ann_lsh,
+        "pipe_neardup_lsh": q_neardup_lsh,
         "pipe_multimodal_features": q_multimodal_features,
         "pipe_frame_sample": q_frame_sample,
         "stream_ingested_scan": q_stream_ingested_scan,
@@ -610,11 +643,43 @@ _MINHASH_COLS = ", ".join(
 )
 
 ORACLES["pipe_minhash_signature"] = f"""
-    SELECT doc_id, [{_MINHASH_COLS}] AS minhash FROM (
-      SELECT doc_id,
+    SELECT doc_id, CAST(p AS INT) AS perm, CAST(sig[CAST(p AS INT) + 1] AS BIGINT) AS mh
+    FROM (
+      SELECT doc_id, [{_MINHASH_COLS}] AS sig FROM (
+        SELECT doc_id,
+               list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
+        FROM documents
+      )
+    ), range(0, 16) t(p)
+"""
+
+# full poly-hash MinHash-LSH pipeline: candidates share ALL 4 signature
+# values of at least one band (band b = elements 4b+1..4b+4 — identical to
+# the engine's xxhash64-bucketed banding, which buckets on exactly that
+# 4-tuple), then exact n-gram Jaccard ≥ 0.5 on candidates only.
+_BAND_MATCH = " OR ".join(
+    "(" + " AND ".join(f"a.s[{b * 4 + j + 1}] = b.s[{b * 4 + j + 1}]" for j in range(4)) + ")"
+    for b in range(4)
+)
+
+ORACLES["pipe_dedup_minhash_pairs"] = f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             {_NGRAMS_SQL} AS grams,
              list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
       FROM documents
+    ),
+    sig AS (SELECT doc_id, grams, [{_MINHASH_COLS}] AS s FROM h),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.grams AS ga, b.grams AS gb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
     )
+    SELECT a_id, b_id,
+           CAST(len(list_intersect(ga, gb)) AS INT) AS inter,
+           CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS INT) AS uni
+    FROM cand
+    WHERE len(list_intersect(ga, gb))
+          >= (len(ga) + len(gb) - len(list_intersect(ga, gb))) * 0.5
 """
 
 _WORD_HASH = (
@@ -655,6 +720,84 @@ ORACLES["pipe_lsh_buckets"] = f"""
     SELECT vec_id, {_LSH_BUCKET} AS lsh_bucket FROM embeddings
 """
 
+# ---- ANN-LSH + LSH near-dup oracles: replay the OR-amplified hash tables
+# with the closed-form hyperplane weights (operators/similarity._table_plane:
+# plane p = t*101 + j, w[d] = (((p*8191 + d)*2654435761) % 1000003)/1000003 - 0.5)
+
+
+def _tbl_bucket_sql(t: int, band_size: int = 4) -> str:
+    parts = []
+    for j in range(band_size):
+        p = t * 101 + j
+        dot = _LSH_DOT.format(p=p)
+        parts.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_BKS_8 = ", ".join(_tbl_bucket_sql(t) for t in range(8))
+_ANY_TABLE_MATCH = " OR ".join(f"q.bks[{t + 1}] = n.bks[{t + 1}]" for t in range(8))
+_SIM_QN = f"round({_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})), 6)"
+
+ORACLES["pipe_ann_lsh"] = f"""
+    WITH b AS (SELECT vec_id, embedding, [{_BKS_8}] AS bks FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv,
+             n.vec_id AS neighbor_id, n.embedding AS cv
+      FROM b q JOIN b n
+        ON q.vec_id % 50 = 0 AND q.vec_id <> n.vec_id AND ({_ANY_TABLE_MATCH})
+    ),
+    scored AS (SELECT query_id, neighbor_id, {_SIM_QN} AS cosine FROM cand)
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+_ANY_TABLE_MATCH_AB = " OR ".join(f"a.bks[{t + 1}] = b.bks[{t + 1}]" for t in range(8))
+_SIM_AVBV = f"round({_dot_sql('av', 'bv')} / (sqrt({_dot_sql('av', 'av')}) * sqrt({_dot_sql('bv', 'bv')})), 6)"
+
+ORACLES["pipe_neardup_lsh"] = f"""
+    WITH emb AS (SELECT vec_id, embedding, [{_BKS_8}] AS bks FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS a_id, a.embedding AS av,
+             b.vec_id AS b_id, b.embedding AS bv
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id AND ({_ANY_TABLE_MATCH_AB})
+    )
+    SELECT * FROM (SELECT a_id, b_id, {_SIM_AVBV} AS cosine FROM cand)
+    WHERE cosine >= 0.4
+"""
+
+
+# ---- multimodal feature oracle: the deterministic kernel (UTF-8 byte sum
+# mod 2^31-1) recomputed from code points — a char with code point u
+# contributes the sum of its UTF-8 bytes, a closed-form function of u.
+
+
+def _utf8_bytesum_case(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < 128 THEN {u} "
+        f"WHEN {u} < 2048 THEN 320 + ({u} // 64) + ({u} % 64) "
+        f"WHEN {u} < 65536 THEN 480 + ({u} // 4096) + (({u} // 64) % 64) + ({u} % 64) "
+        f"ELSE 624 + ({u} // 262144) + (({u} // 4096) % 64) + (({u} // 64) % 64) + ({u} % 64) END"
+    )
+
+
+_CHAR_BYTES = _utf8_bytesum_case("unicode(substr(text, CAST(i AS INT), 1))")
+
+ORACLES["pipe_multimodal_features"] = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                i -> CAST({_CHAR_BYTES} AS BIGINT))), 0) % 2147483647 AS BIGINT)
+             AS byte_sum_mod,
+           CAST(greatest(1, ceil(octet_length(encode(text)) / 64.0)) AS INT) AS n_frames
+    FROM documents
+"""
+
 ORACLES["pipe_frame_sample"] = """
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
@@ -663,8 +806,9 @@ ORACLES["pipe_frame_sample"] = """
 """
 
 from .sources.tokens import TOKENS_ORACLE_SQL as _TOK  # noqa: E402
+from .sources.tokens import digest_scan_sql as _digest_scan_sql  # noqa: E402
 
-ORACLES["stream_ingested_scan"] = _TOK
+ORACLES["stream_ingested_scan"] = _digest_scan_sql(_TOK)
 
 # declarative closed-session twin of the stateful kernel: lag + cumsum
 # sessionization; a session is closed iff a later session exists for its user
@@ -753,7 +897,7 @@ QUERIES.update(
 
 ORACLES["pipe_events_props_json"] = """
     SELECT event_type, count(*) AS n_events,
-           sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type

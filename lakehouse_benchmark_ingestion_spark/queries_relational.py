@@ -3,8 +3,14 @@
 Each query exercises one operator shape the engine relies on — scan+filter
 pushdown, broadcast/sort-merge joins, anti/semi joins, hash aggregation,
 window functions, set ops — with a DuckDB oracle. All float aggregates are
-cast to DECIMAL before summing so results are order-independent and
-bit-comparable across engines.
+cast to DECIMAL before summing so results are order-independent, then the
+FINAL value is cast to DOUBLE on both sides: the driver hashes pandas
+values, and Spark decimals surface as Decimal objects while DuckDB widened
+decimals surface as float64 — only a common terminal type hashes equal.
+(The decimal→double conversion of the same exact sum is correctly rounded
+in both engines, so the doubles are bit-identical.) Integer sums are BIGINT
+on the Spark side and CAST(... AS BIGINT) in the oracle (DuckDB sum() over
+integers returns HUGEINT → float64 in pandas).
 """
 
 from __future__ import annotations
@@ -26,12 +32,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -50,7 +56,7 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_acctbal"),
         )
     )
 
@@ -72,6 +78,7 @@ def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
         .filter(F.col("revenue") > 100000)
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )
 
 
@@ -114,7 +121,7 @@ def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("top_orderkey"),
-            F.col("o_totalprice").cast(DEC).alias("top_totalprice"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("top_totalprice"),
         )
     )
 
@@ -130,7 +137,7 @@ def q_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_orderpriority",
         "n_orders",
-        F.sum("n_orders").over(w).alias("status_total"),
+        F.sum("n_orders").over(w).cast("long").alias("status_total"),
     )
 
 
@@ -145,7 +152,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -200,7 +207,7 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(vol).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(vol).cast("double").alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
@@ -215,8 +222,8 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.year("l_shipdate").alias("l_year"), F.month("l_shipdate").alias("l_month")
     ).agg(
-        F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("promo_revenue"),
-        F.sum(vol).alias("total_revenue"),
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("promo_revenue"),
+        F.sum(vol).cast("double").alias("total_revenue"),
     )
 
 
@@ -234,7 +241,10 @@ def q_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
     )
 
 
@@ -263,7 +273,7 @@ def q_mktsegment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
 
@@ -290,8 +300,8 @@ ORACLES = {
     "rel_nation_trade_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -305,12 +315,12 @@ ORACLES = {
     "rel_promo_share": """
         SELECT CAST(year(l_shipdate) AS INT) AS l_year,
                CAST(month(l_shipdate) AS INT) AS l_month,
-               sum(CASE WHEN p_type LIKE 'PROMO%'
+               CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     """,
@@ -319,7 +329,7 @@ ORACLES = {
           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
           FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
         )
-        SELECT c_name, o_orderkey, o_orderdate, total_qty
+        SELECT c_name, o_orderkey, o_orderdate, CAST(total_qty AS DOUBLE) AS total_qty
         FROM big JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
@@ -334,15 +344,15 @@ ORACLES = {
     "rel_mktsegment_rollup": """
         SELECT c_mktsegment, o_orderstatus,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
     """,
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -350,18 +360,18 @@ ORACLES = {
     """,
     "rel_region_rollup": """
         SELECT r_name, count(*) AS n_customers,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
     """,
     "rel_order_revenue": """
         SELECT o_orderkey, o_orderdate, o_orderpriority,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
         GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        HAVING revenue > 100000
+        HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) > 100000
     """,
     "rel_customers_without_orders": """
         SELECT c_mktsegment, count(*) AS n_idle_customers
@@ -378,7 +388,7 @@ ORACLES = {
     """,
     "rel_top_order_per_customer": """
         SELECT o_custkey, o_orderkey AS top_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS top_totalprice
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_totalprice
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -387,7 +397,7 @@ ORACLES = {
     """,
     "rel_running_share": """
         SELECT o_orderstatus, o_orderpriority, n_orders,
-               sum(n_orders) OVER (PARTITION BY o_orderstatus) AS status_total
+               CAST(sum(n_orders) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS status_total
         FROM (
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
             FROM orders GROUP BY o_orderstatus, o_orderpriority
@@ -396,7 +406,7 @@ ORACLES = {
     "rel_events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2
     """,

@@ -97,6 +97,36 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# token-array digest: the driver's result canonicalizer cannot hash raw
+# array<int> columns (pandas sort_values → "unhashable type: list"), so
+# scan queries certify token-array equality through a position-weighted
+# scalar digest instead: digest = Σ tokens[i]·(i+1) (1-based weight). The
+# digest is order-sensitive, so any reorder/corruption of the array changes
+# it; both engines compute it with exact int64 arithmetic (max value
+# ~50257·n²/2 ≪ 2^63 for any realistic n_tok).
+# --------------------------------------------------------------------------
+
+TOK_DIGEST_SPARK = (
+    "aggregate(transform(tokens, (x, i) -> cast(x as bigint) * (i + 1)), "
+    "cast(0 as bigint), (a, b) -> a + b)"
+)
+
+# DuckDB lambda index is 1-based, so the weight is just ``i``.
+TOK_DIGEST_DUCK = (
+    "CAST(list_sum(list_transform(tokens, (x, i) -> CAST(x AS BIGINT) * i)) AS BIGINT)"
+)
+
+
+def digest_scan_sql(inner_sql: str) -> str:
+    """Wrap a (doc_id, tokens, n_tok, source) producing query with the
+    scalar-digest projection the driver-facing scan queries return."""
+    return (
+        f"SELECT doc_id, n_tok, source, {TOK_DIGEST_DUCK} AS tok_digest "
+        f"FROM ({inner_sql})"
+    )
+
+
 def updates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MERGE INTO input batch (FIXTURES.md §2).
 

@@ -1,50 +1,87 @@
 """Dev harness: cross-check every queries() entry against its oracle_sql()
 via DuckDB at a given sf, the way the driver does (row count + schema +
-order-insensitive value comparison). Run:
+order-insensitive value hash over pandas frames). STRICT on purpose:
 
-    python tools/verify_queries.py [sf_dir] [name_filter...]
+  - no list/array normalization — an array-typed result column must crash
+    here exactly like it crashes the driver's canonicalizer;
+  - no numeric coercion — int64 vs float64 vs Decimal-object are DIFFERENT
+    (DuckDB HUGEINT/DECIMAL surface as float64/object in pandas while Spark
+    sums surface as int64/Decimal; queries must cast both sides to the same
+    output type);
+  - timestamps are normalized to datetime64[us] on both sides (arrow/duckdb
+    unit jitter only — values still compared exactly).
+
+Run: python tools/verify_queries.py [sf_dir] [name_filter...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 FILTERS = sys.argv[2:]
 
 
-def norm(v):
-    if isinstance(v, Decimal):
-        return ("num", float(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("num", "nan")
-        return ("num", round(v, 9))
-    if isinstance(v, int):
-        return ("num", float(v))
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonicalization: columns sorted by name, rows sorted by
+    all columns (raises TypeError on unhashable cells — lists — just like
+    the driver), index reset."""
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif dt.startswith(("int", "uint")):
+            # pandas.util.hash_pandas_object (the driver) hashes all integer
+            # widths identically — int32 vs int64 is NOT a mismatch
+            df[c] = df[c].astype("int64")
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def rows_key(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = list(r)
-        out.append(tuple(norm(vals[i]) for i in order))
-    out.sort(key=repr)
+def _dtype_sig(df: pd.DataFrame) -> dict[str, str]:
+    out = {}
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt == "object" and len(df):
+            dt = f"object:{type(df[c].iloc[0]).__name__}"
+        out[c] = dt
     return out
+
+
+def compare(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
+    msgs: list[str] = []
+    if sorted(sp.columns) != sorted(du.columns):
+        return [f"columns differ: spark={sorted(sp.columns)} duck={sorted(du.columns)}"]
+    if len(sp) != len(du):
+        return [f"row count: spark={len(sp)} duck={len(du)}"]
+    try:
+        csp, cdu = _canon(sp.copy()), _canon(du.copy())
+    except TypeError as e:
+        return [f"CANON CRASH (array column → driver fail): {e}"]
+    ds, dd = _dtype_sig(csp), _dtype_sig(cdu)
+    for c in csp.columns:
+        if ds[c] != dd[c]:
+            msgs.append(f"dtype mismatch {c!r}: spark={ds[c]} duck={dd[c]}")
+    if msgs:
+        return msgs
+    neq = ~(csp.eq(cdu) | (csp.isna() & cdu.isna()))
+    bad_rows = neq.any(axis=1)
+    if bad_rows.any():
+        idx = list(csp.index[bad_rows])[:3]
+        msgs.append(f"{int(bad_rows.sum())} of {len(csp)} sorted rows differ")
+        for i in idx:
+            msgs.append(f"  spark: {csp.loc[i].to_dict()!r:.300}")
+            msgs.append(f"  duck : {cdu.loc[i].to_dict()!r:.300}")
+    return msgs
 
 
 def main():
@@ -72,45 +109,25 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sp = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"skip  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"skip  {name}: rows-only ({len(sp)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            du = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        ok = True
-        msgs = []
-        if sorted(scols) != sorted(dcols):
-            ok = False
-            msgs.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
-        elif len(srows) != len(drows):
-            ok = False
-            msgs.append(f"row count: spark={len(srows)} duck={len(drows)}")
-        else:
-            sk = rows_key(srows, scols)
-            dk = rows_key(drows, dcols)
-            if sk != dk:
-                ok = False
-                diff = [i for i, (a, b) in enumerate(zip(sk, dk)) if a != b]
-                msgs.append(f"{len(diff)} of {len(sk)} sorted rows differ")
-                for i in diff[:3]:
-                    msgs.append(f"  spark: {sk[i]!r:.300}")
-                    msgs.append(f"  duck : {dk[i]!r:.300}")
-        status = "ok  " if ok else "FAIL"
-        if not ok:
+        msgs = compare(sp, du)
+        status = "ok  " if not msgs else "FAIL"
+        if msgs:
             failures.append(name)
-        print(f"{status}  {name}  ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        print(f"{status}  {name}  ({len(sp)} rows, {time.time()-t0:.1f}s)")
         for m in msgs:
             print("      " + m)
     print()
