@@ -34,7 +34,13 @@ from ..icelite import manifest as mf
 from ..icelite.table import IceliteTable
 from ..plans.lineage import LineageLog, LineageRow
 
+# update batches up to this many rows ride broadcast joins (executor-side)
 BROADCAST_THRESHOLD_ROWS = 2_000_000
+# the driver-side bisect pruning path collects DISTINCT update keys to the
+# driver — bounded far lower than the broadcast threshold (2M Python string
+# keys is multi-GB of driver heap); bigger batches use the distributed
+# range-overlap join below, which never moves the keys
+DRIVER_PRUNE_THRESHOLD_ROWS = 100_000
 
 
 def merge_into(
@@ -79,7 +85,16 @@ def merge_into(
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
     spec = table.bucket_spec
-    if spec is not None and spec[0] == key and not table.delete_files():
+    if (
+        spec is not None
+        and spec[0] == key
+        and not table.delete_files()
+        # files with bucket == -1 (written before bucket properties existed,
+        # or with lost tags) are invisible to the per-bucket anti-join — an
+        # upsert of a key living there would duplicate. Fall through to the
+        # generic COW path, which rewrites by key-range overlap instead.
+        and all(f.bucket != -1 for f in files)
+    ):
         return _merge_bucketed(
             spark, table, winners, n_updates, spec, run_id, target_file_size,
             timestamp_ms, files,
@@ -99,30 +114,41 @@ def merge_into(
     prunable = [f for f in files if key in f.lower_bounds and key in f.upper_bounds]
     prunable_paths = {f.path for f in prunable}
     unprunable = [f for f in files if f.path not in prunable_paths]
-    if prunable and n_updates <= BROADCAST_THRESHOLD_ROWS:
+    if prunable and n_updates <= DRIVER_PRUNE_THRESHOLD_ROWS:
         import bisect
 
         keys_sorted = sorted(r[0] for r in winners.select(key).distinct().collect())
         for f in prunable:
-            lo, hi = str(f.lower_bounds[key]), str(f.upper_bounds[key])
-            i = bisect.bisect_left(keys_sorted, lo)
-            if i < len(keys_sorted) and keys_sorted[i] <= hi:
+            lo, hi = f.lower_bounds[key], f.upper_bounds[key]
+            # NATIVE comparison (stats round-trip JSON with native types);
+            # incomparable stat/key types → conservatively rewrite the file
+            try:
+                i = bisect.bisect_left(keys_sorted, lo)
+                if i < len(keys_sorted) and keys_sorted[i] <= hi:
+                    matched_paths.append(f.path)
+            except TypeError:
                 matched_paths.append(f.path)
     elif prunable:
-        stats_df = spark.createDataFrame(
-            [(f.path, str(f.lower_bounds[key]), str(f.upper_bounds[key])) for f in prunable],
-            schema="path string, kmin string, kmax string",
-        )
-        hit = (
-            winners_j.select(F.col(key).alias("_k"))
-            .join(
-                F.broadcast(stats_df),
-                (F.col("_k") >= F.col("kmin")) & (F.col("_k") <= F.col("kmax")),
+        key_dt = table.schema[key].dataType.simpleString()
+        try:
+            stats_df = spark.createDataFrame(
+                [(f.path, f.lower_bounds[key], f.upper_bounds[key]) for f in prunable],
+                schema=f"path string, kmin {key_dt}, kmax {key_dt}",
             )
-            .select("path")
-            .distinct()
-        )
-        matched_paths = [r.path for r in hit.collect()]
+        except Exception:  # stats not coercible to the key type → no pruning
+            stats_df = None
+            matched_paths.extend(f.path for f in prunable)
+        if stats_df is not None:
+            hit = (
+                winners_j.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(stats_df),
+                    (F.col("_k") >= F.col("kmin")) & (F.col("_k") <= F.col("kmax")),
+                )
+                .select("path")
+                .distinct()
+            )
+            matched_paths = [r.path for r in hit.collect()]
     matched_paths.extend(f.path for f in unprunable)  # no stats → must rewrite
 
     # 3. copy-on-write rewrite of matched files only
@@ -373,12 +399,22 @@ def _merge_mor(
         s.content = mf.CONTENT_EQ_DELETES
         s.sequence_number = seq
 
+    # persist the eq-delete key on the table: scans/compactions MUST apply
+    # these delete files under this exact column (a later scan defaulting to
+    # a different key would read all-null keys and resurrect deleted rows)
+    recorded = table.recorded_merge_key()
+    if recorded is not None and recorded != key and table.delete_files():
+        raise ValueError(
+            f"merge-on-read with key={key!r} but outstanding eq-delete files "
+            f"were written under {recorded!r}; compact first to materialize them"
+        )
     new_snap = table.replace_files(
         set(),
         added + dels,
         operation="merge-mor",
         summary={"op": "merge-mor", "updates": str(n_updates), "run-id": run_id},
         timestamp_ms=timestamp_ms,
+        set_properties={"merge-key": key},
     )
     LineageLog(table.location).write(
         LineageRow(

@@ -55,17 +55,34 @@ def remove_orphan_files(
     deleted = 0
     freed = 0
     if not dry_run:
+        emptied_dirs = set()
         for p in orphans:
             freed += os.path.getsize(p)
             os.remove(p)
+            emptied_dirs.add(os.path.dirname(p))
             deleted += 1
         # sweep commit dirs left with no parquet — only writer sidecars
-        # (_SUCCESS, .crc) remain after their data files were orphan-deleted
+        # (_SUCCESS, .crc) remain after their data files were orphan-deleted.
+        # Dirs this run just emptied are known-dead (their parquet passed the
+        # age check) and sweep unconditionally; any OTHER sidecar-only dir
+        # gets the same mtime grace as the parquet pass — an in-flight write
+        # may have created its dir/sidecars but not landed parquet yet, and
+        # ripping its scaffolding out would fail the commit.
         for dirpath, dirs, names in os.walk(data_root, topdown=False):
             if dirpath == data_root or dirs:
                 continue
             if any(n.endswith(".parquet") for n in names):
                 continue
+            if dirpath not in emptied_dirs:
+                newest_ms = max(
+                    [int(os.path.getmtime(dirpath) * 1000)]
+                    + [
+                        int(os.path.getmtime(os.path.join(dirpath, n)) * 1000)
+                        for n in names
+                    ]
+                )
+                if as_of - newest_ms < older_than_ms:
+                    continue  # possibly an in-flight commit's scaffolding
             for n in names:
                 os.remove(os.path.join(dirpath, n))
             os.rmdir(dirpath)
