@@ -138,6 +138,89 @@ def harvest_stats(paths: list[str], stat_columns: list[str] | None = None) -> li
         return list(ex.map(one, paths))
 
 
+# commits touching at least this many files harvest stats as a Spark job
+# instead of driver-side footer reads (harvest_stats_auto)
+DISTRIBUTED_HARVEST_MIN_FILES = 10_000
+
+
+def harvest_stats_distributed(
+    spark, paths: list[str], stat_columns: list[str] | None = None
+) -> list[DataFile]:
+    """Stats harvest as a distributed Spark job: one ``groupBy`` over the
+    hidden ``_metadata`` column — min/max/count per file computed by the
+    executors that can already see the data, never serialising file lists
+    through the driver's thread pool. For a 100k-file commit this is the
+    only harvest that scales; output is identical to ``harvest_stats``
+    (unit-tested equivalence)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(*paths)
+    wanted = stat_columns
+    if wanted is None:
+        scalar_ok = (
+            T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            T.FloatType, T.DoubleType, T.BooleanType, T.DateType,
+            T.TimestampType, T.TimestampNTZType, T.DecimalType,
+        )
+        wanted = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, scalar_ok)
+        ][:STATS_MAX_COLS]
+    aggs = [
+        F.count(F.lit(1)).alias("_rc"),
+        F.first(F.col("_metadata.file_size")).alias("_fs"),
+    ]
+    for c in wanted:
+        aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("_fp"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_path = {}
+    for r in rows:
+        p = r["_fp"]
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        by_path[os.path.abspath(p)] = r
+    out: list[DataFile] = []
+    for p in paths:
+        ap = os.path.abspath(p)
+        r = by_path.get(ap)
+        if r is None:  # zero-row file: no group emitted
+            out.append(
+                DataFile(path=ap, file_size_bytes=os.path.getsize(p), record_count=0)
+            )
+            continue
+        lowers = {c: r[f"_min_{c}"] for c in wanted if r[f"_min_{c}"] is not None}
+        uppers = {c: r[f"_max_{c}"] for c in wanted if r[f"_max_{c}"] is not None}
+        out.append(
+            DataFile(
+                path=ap,
+                file_size_bytes=r["_fs"],
+                record_count=r["_rc"],
+                lower_bounds=lowers,
+                upper_bounds=uppers,
+            )
+        )
+    return out
+
+
+def harvest_stats_auto(
+    paths: list[str],
+    stat_columns: list[str] | None = None,
+    spark=None,
+) -> list[DataFile]:
+    """Footer harvest for normal commits; the distributed job for huge ones
+    (>= DISTRIBUTED_HARVEST_MIN_FILES files and a session to run it)."""
+    if spark is not None and len(paths) >= DISTRIBUTED_HARVEST_MIN_FILES:
+        return harvest_stats_distributed(spark, paths, stat_columns)
+    return harvest_stats(paths, stat_columns)
+
+
 def write_manifest(location: str, files: list[DataFile]) -> str:
     """Write a manifest Parquet; returns its name relative to metadata/."""
     name = f"manifest-{uuid.uuid4().hex}.parquet"

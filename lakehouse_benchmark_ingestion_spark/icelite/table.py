@@ -277,12 +277,12 @@ class IceliteTable:
             bucket_of = {
                 p: int(p.split("_b=")[1].split(os.sep)[0]) for p in paths
             }
-            stats = mf.harvest_stats(paths, stat_columns)
+            stats = mf.harvest_stats_auto(paths, stat_columns, spark=df.sparkSession)
             for s in stats:
                 s.bucket = bucket_of[s.path]
         else:
             paths = self._write_data(df, max_records_per_file, num_files)
-            stats = mf.harvest_stats(paths, stat_columns)
+            stats = mf.harvest_stats_auto(paths, stat_columns, spark=df.sparkSession)
         seq = self.next_sequence_number()
         for s in stats:
             s.sequence_number = seq

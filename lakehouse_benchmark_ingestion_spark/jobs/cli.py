@@ -19,6 +19,18 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
                    [--strategy cow|mor]   (mor = eq-delete + insert, no rewrite)
     full           --warehouse W --table T [--target-mb N]   (whole suite)
+                   [--all]        maintain EVERY table the catalog lists
+                                  (the reference's whole-database sync loop,
+                                  BaseCatalogSync.java:63-101)
+                   [--if-needed]  evaluate the num-commits-OR-time trigger
+                                  policy first (HudiCatalogSync.java:172-175)
+                                  and skip tables with nothing due
+                   [--config F]   JSON: {"defaults": {policy+suite args},
+                                  "tables": {name: {policy overrides}}}
+    status         --warehouse W [--table T]   (monitoring surface: per-table
+                   file/small-file/byte counts, snapshot history, trigger
+                   decision — the engine's version of MainRunner's REST
+                   monitor port, MainRunner.java:145-212)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
@@ -67,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--to-name")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--where")
+    p.add_argument("--all", action="store_true", dest="all_tables")
+    p.add_argument("--if-needed", action="store_true")
+    p.add_argument("--config")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -160,14 +175,81 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     elif args.command == "full":
-        from lakehouse_benchmark_ingestion_spark.plans.maintenance import run_full_maintenance
-
-        out.update(
-            run_full_maintenance(
-                spark, cat.load_table(args.table), target_file_size=target,
-                curve=args.curve, n_salts=args.salts, run_id=args.run_id,
-            )
+        from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+            CompactionPolicy,
+            maintain_warehouse,
+            run_full_maintenance,
+            should_compact,
         )
+
+        conf: dict = {}
+        if args.config:
+            with open(args.config) as fh:
+                conf = json.load(fh)
+        defaults = dict(conf.get("defaults", {}))
+        target = int(defaults.pop("target_mb", args.target_mb)) * 1024 * 1024
+        curve = defaults.pop("curve", args.curve)
+        keep_last = int(defaults.pop("expire_keep_last", args.keep_last))
+        pol_fields = {
+            k: v for k, v in defaults.items()
+            if k in CompactionPolicy.__dataclass_fields__
+        }
+        policy = CompactionPolicy(**pol_fields) if pol_fields else None
+        per_table = {
+            name: CompactionPolicy(**{**pol_fields, **ov})
+            for name, ov in conf.get("tables", {}).items()
+        }
+        if args.all_tables:
+            out.pop("table", None)
+            out.update(
+                maintain_warehouse(
+                    spark, cat, if_needed=args.if_needed, policy=policy,
+                    per_table_policy=per_table or None,
+                    target_file_size=target, curve=curve, n_salts=args.salts,
+                    expire_keep_last=keep_last, run_id=args.run_id,
+                    max_concurrent_groups=args.concurrency,
+                )
+            )
+        else:
+            tbl = cat.load_table(args.table)
+            if args.if_needed:
+                decision = should_compact(
+                    tbl, per_table.get(args.table, policy)
+                )
+                out["decision"] = decision
+                if not decision["compact"]:
+                    print(json.dumps(out, default=str))
+                    return 0
+            out.update(
+                run_full_maintenance(
+                    spark, tbl, target_file_size=target, curve=curve,
+                    n_salts=args.salts, run_id=args.run_id,
+                    expire_keep_last=keep_last,
+                    max_concurrent_groups=args.concurrency,
+                )
+            )
+
+    elif args.command == "status":
+        from lakehouse_benchmark_ingestion_spark.plans.maintenance import should_compact
+
+        names = cat.list_tables()
+        tables_out = {}
+        for name in names:
+            tbl = cat.load_table(name)
+            files = tbl.data_files()
+            snaps = tbl.history()
+            tables_out[name] = {
+                "n_files": len(files),
+                "n_delete_files": len(tbl.delete_files()),
+                "bytes": sum(f.file_size_bytes for f in files),
+                "rows": sum(f.record_count for f in files),
+                "n_snapshots": len(snaps),
+                "last_operation": snaps[-1].operation if snaps else None,
+                "last_updated_ms": snaps[-1].timestamp_ms if snaps else None,
+                "trigger": should_compact(tbl),
+            }
+        out.pop("table", None)
+        out["tables"] = tables_out
 
     elif args.command == "scan":
         tbl = cat.load_table(args.table)

@@ -10,13 +10,21 @@ Arctic self-optimizing ArcticCatalogSync.java:121-128).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import SparkSession
 
+from ..icelite import metadata as md
 from ..icelite.table import IceliteTable
 from ..operators.clustering import cluster
 from ..operators.compaction import compact
 from ..operators.expire_snapshots import expire_snapshots
 from ..operators.manifest_rewrite import rewrite_manifests
+
+# snapshot operations that COUNT as maintenance (reset the trigger clock)
+# vs write commits (advance it)
+_MAINT_OPS = {"replace", "rewrite-manifests"}
+_WRITE_OPS = {"append", "merge", "merge-mor"}
 
 
 def run_full_maintenance(
@@ -27,15 +35,127 @@ def run_full_maintenance(
     n_salts: int = 1,
     expire_keep_last: int = 2,
     run_id: str | None = None,
+    max_concurrent_groups: int = 8,
 ) -> dict:
+    # per-table resource quota (the engine's analogue of Arctic's optimizer
+    # quota, ArcticCatalogSync.java:121-128 / ingestion-conf.yaml:21): a
+    # table property caps how much of the cluster THIS table's maintenance
+    # may take, regardless of what the invoking job asks for.
+    quota = table.meta.properties.get("maintenance.max-concurrent-groups")
+    if quota is not None:
+        max_concurrent_groups = min(max_concurrent_groups, int(quota))
     metrics: dict = {}
     metrics["compact"] = compact(
         spark, table, target_file_size=target_file_size, curve=curve,
         n_salts=n_salts, run_id=run_id,
+        max_concurrent_groups=max_concurrent_groups,
     )
-    metrics["cluster"] = cluster(
-        spark, table, curve=curve, target_file_size=target_file_size, n_salts=n_salts,
-    )
+    if table.bucket_spec is None:
+        metrics["cluster"] = cluster(
+            spark, table, curve=curve, target_file_size=target_file_size,
+            n_salts=n_salts,
+        )
     metrics["rewrite_manifests"] = rewrite_manifests(table)
     metrics["expire_snapshots"] = expire_snapshots(table, keep_last=expire_keep_last)
     return metrics
+
+
+@dataclass
+class CompactionPolicy:
+    """``num_commits OR time`` trigger, mirroring the reference's online
+    compaction config (HudiCatalogSync.java:172-175: trigger strategy
+    ``num_or_time``, delta_commits=1, delta_seconds=120), gated on there
+    being actual work (small files or outstanding eq-deletes)."""
+
+    min_small_files: int = 8              # work gate: this many small files...
+    small_file_bytes: int = 32 * 1024 * 1024  # ...below this size
+    max_commits: int = 1                  # trigger: write commits since maintenance
+    max_seconds: int = 120                # trigger: seconds since maintenance
+
+
+def should_compact(
+    table: IceliteTable,
+    policy: CompactionPolicy | None = None,
+    as_of_ms: int | None = None,
+) -> dict:
+    """Evaluate the trigger; returns a decision record a scheduler can log:
+    ``{"compact": bool, "reason": str, ...evidence}``."""
+    policy = policy or CompactionPolicy()
+    as_of = as_of_ms if as_of_ms is not None else md.now_ms()
+
+    history = table.history()
+    last_maint_ms = None
+    commits_since = 0
+    for s in history:  # ascending snapshot order
+        if s.operation in _MAINT_OPS:
+            last_maint_ms = s.timestamp_ms
+            commits_since = 0
+        elif s.operation in _WRITE_OPS:
+            commits_since += 1
+    if last_maint_ms is None:
+        last_maint_ms = history[0].timestamp_ms if history else as_of
+
+    files = table.data_files()
+    n_small = sum(1 for f in files if f.file_size_bytes < policy.small_file_bytes)
+    has_deletes = bool(table.delete_files())
+    seconds_since = max(0, (as_of - last_maint_ms) // 1000)
+
+    work = n_small >= policy.min_small_files or has_deletes
+    triggered = commits_since >= policy.max_commits or seconds_since >= policy.max_seconds
+    decision = bool(work and triggered)
+    if not work:
+        reason = f"no work: {n_small} small files (< {policy.min_small_files}), no deletes"
+    elif not triggered:
+        reason = (
+            f"not due: {commits_since} commits (< {policy.max_commits}), "
+            f"{seconds_since}s since maintenance (< {policy.max_seconds}s)"
+        )
+    else:
+        reason = (
+            f"due: {n_small} small files, deletes={has_deletes}, "
+            f"{commits_since} commits, {seconds_since}s since maintenance"
+        )
+    return {
+        "compact": decision,
+        "reason": reason,
+        "n_small_files": n_small,
+        "n_files": len(files),
+        "has_deletes": has_deletes,
+        "commits_since_maintenance": commits_since,
+        "seconds_since_maintenance": seconds_since,
+    }
+
+
+def maintain_warehouse(
+    spark: SparkSession,
+    catalog,
+    tables: list[str] | None = None,
+    if_needed: bool = False,
+    policy: CompactionPolicy | None = None,
+    per_table_policy: dict[str, CompactionPolicy] | None = None,
+    as_of_ms: int | None = None,
+    **suite_kwargs,
+) -> dict:
+    """Whole-warehouse maintenance driver: discover every table in the
+    catalog and run the full suite per table — the engine twin of the
+    reference's whole-database sync loop, which iterates listTables() and
+    fans one job out per table (BaseCatalogSync.java:63-101,
+    SyncDbFunction.java:62-75). ``if_needed`` evaluates the compaction
+    trigger policy first and skips tables with nothing due; per-table
+    lineage stays in each table's own lineage log."""
+    names = tables if tables is not None else catalog.list_tables()
+    out: dict = {"tables": {}, "maintained": 0, "skipped": 0}
+    for name in names:
+        tbl = catalog.load_table(name)
+        entry: dict = {}
+        if if_needed:
+            pol = (per_table_policy or {}).get(name, policy)
+            entry["decision"] = should_compact(tbl, pol, as_of_ms=as_of_ms)
+            if not entry["decision"]["compact"]:
+                out["skipped"] += 1
+                out["tables"][name] = entry
+                continue
+        entry["metrics"] = run_full_maintenance(spark, tbl, **suite_kwargs)
+        out["maintained"] += 1
+        out["tables"][name] = entry
+    return out

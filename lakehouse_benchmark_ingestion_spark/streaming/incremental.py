@@ -33,11 +33,22 @@ def stream_ingest_files(
     seq_col: str = "_seq",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    stop_after_batches: int | None = None,
+    timeout_seconds: float = 120.0,
+    trigger_interval: str = "500 milliseconds",
 ) -> int:
     """Stream parquet drops from ``source_dir`` into the table.
 
     Returns the number of micro-batches committed. One icelite snapshot per
     micro-batch (the reference's checkpoint==commit cadence).
+
+    ``available_now=True`` drains the backlog and stops (deterministic —
+    tests and the driver queries use this). ``available_now=False`` is the
+    reference's forever-running tail (BaseCatalogSync.java:100): a
+    processing-time trigger keeps polling the source; the call returns after
+    ``stop_after_batches`` non-empty batches committed (or
+    ``timeout_seconds``), stopping the query — in production you simply
+    never stop it.
     """
     schema = table.schema if mode == "append" else None
     reader = spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -69,8 +80,21 @@ def stream_ingest_files(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:  # pragma: no cover - continuous mode not used in tests
-        q = writer.start()
+    else:
+        import time
+
+        q = writer.trigger(processingTime=trigger_interval).start()
+        deadline = time.monotonic() + timeout_seconds
+        try:
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if stop_after_batches is not None and batches["n"] >= stop_after_batches:
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        q.awaitTermination(30)
     return batches["n"]
 
 
