@@ -169,6 +169,72 @@ def lsh_ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations producing the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (deterministic); each iteration assigns
+    every row to its nearest centroid (cosine, centroid vectors inlined as
+    literal arrays — one map pass, no shuffle beyond the groupBy) and
+    recomputes centroids as the element-wise mean via posexplode +
+    groupBy(cell, dim) — k·dim tiny rows to the driver per iteration.
+
+    At 10^12 rows you run this on a sample; the assignment pass shape is
+    identical. Float summation order across partitions makes low-order bits
+    run-dependent, which is why the oracle-certified IVF query keeps the
+    deterministic id-sample centroids — this is the production quantizer,
+    tested by quantization-error improvement, not bit equality."""
+    from pyspark.sql import functions as F
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = ivf_cells(
+            df.select(F.col(vec_col).alias("v")), cents, "v", n_cells=1
+        ).withColumn("cell", F.col("cell")[0])
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), [0.0] * dim)[int(r["d"])] = float(r["m"])
+        # empty cells keep their previous centroid
+        cents = [
+            (cid, by_cell.get(cid, vec)) for cid, vec in cents
+        ]
+    return cents
+
+
+def quantization_error(df: DataFrame, centroids, vec_col: str = "embedding") -> float:
+    """Mean (1 - cosine-to-nearest-centroid) — the objective kmeans improves."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _cid, w in centroids:
+        wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
+        ww = sum(float(x) * float(x) for x in w) ** 0.5
+        c = dot(F.col(vec_col), wcol) / (
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * F.lit(ww)
+        )
+        best = c if best is None else F.greatest(best, c)
+    row = df.select(F.avg(F.lit(1.0) - best).alias("err")).collect()[0]
+    return float(row["err"])
+
+
 def ivf_cells(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -222,21 +288,30 @@ def ivf_ann_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroid_mode: str = "id-sample",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their single nearest cell;
     each probe searches its ``nprobe`` nearest cells; exact cosine re-scoring
     on the visited cells only (1/K-ish of the corpus per probe).
 
-    Centroids: the ``n_centroids`` lowest-id corpus vectors (deterministic
-    stand-in for a k-means sample — the structure of the plan is identical).
-    probes must have columns (query_id, qv).
+    ``centroid_mode="id-sample"``: the ``n_centroids`` lowest-id corpus
+    vectors — deterministic, DuckDB-replayable (the oracle-certified path).
+    ``centroid_mode="kmeans"``: Lloyd-iterated centroids (kmeans_centroids)
+    — the production quantizer (better cells, float-sum nondeterminism in
+    low bits). probes must have columns (query_id, qv).
     """
-    cents = [
-        (r[0], list(r[1]))
-        for r in df.select(id_col, vec_col)
-        .filter(F.col(id_col) < n_centroids)
-        .collect()
-    ]
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(
+            df, id_col, vec_col, k=n_centroids, iters=kmeans_iters
+        )
+    else:
+        cents = [
+            (r[0], list(r[1]))
+            for r in df.select(id_col, vec_col)
+            .filter(F.col(id_col) < n_centroids)
+            .collect()
+        ]
     corpus = ivf_cells(
         df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cents,

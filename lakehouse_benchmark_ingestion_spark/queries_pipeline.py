@@ -35,6 +35,30 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a BPE-ish pre-tokenization split (alpha runs | digit runs | single
+# non-alnum), the regex family GPT-2-style tokenizers apply before byte-pair
+# merging. Same RE2/Java-compatible pattern on both engines.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals swallow unrecognized backslash escapes ('\s' →
+# 's'); DuckDB keeps them — double only the Spark side
+_BPE_PATTERN_SPARK = _BPE_PATTERN.replace("\\", "\\\\")
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization counts per document (the BPE-ish counterpart
+    of the whitespace counter in q_token_count)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN_SPARK}', 0)")
+    alpha = F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)")
+    digit = F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_runs"),
+        F.size(digit).cast("long").alias("n_digit_runs"),
+    )
+
+
 # ---- quality scoring ---------------------------------------------------------
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +289,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pipe_token_count": q_token_count,
+    "pipe_token_bpe": q_token_bpe,
     "pipe_quality_score": q_quality_score,
     "pipe_lang_id": q_lang_id,
     "pipe_fingerprint": q_fingerprint,
@@ -282,6 +307,13 @@ ORACLES = {
                CAST(min(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS min_ws_tokens,
                CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_ws_tokens
         FROM documents GROUP BY lang
+    """,
+    "pipe_token_bpe": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        FROM documents
     """,
     "pipe_quality_score": r"""
         SELECT doc_id, lang,
@@ -565,6 +597,40 @@ def q_stream_ingested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE mode (the reference's upsert-feed tail: every
+    micro-batch is an eq-delete+insert upsert keyed on the PK): base table
+    appended in batch, the UPDATE feed streamed in micro-batches through
+    stream_ingest_files(mode='merge') — the final table must equal the
+    declarative one-shot MERGE oracle. Certifies the S1-tail × J1-upsert
+    composition, not just each alone."""
+    import shutil
+
+    from .icelite import Catalog
+    from .sources.tokens import TOK_DIGEST_SPARK, tokens_df, updates_df
+    from .streaming.incremental import drop_parquet_batches, stream_ingest_files
+
+    ck = ("merge_upsert", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_merge")
+        shutil.rmtree(base, ignore_errors=True)
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(base).create_table("seq_upsert", df.schema)
+        tbl.append(df, num_files=4)
+        # drops split by doc_id hash → a key's intra-batch duplicates stay
+        # in ONE micro-batch, so per-batch LWW + cross-batch upsert compose
+        # to the same answer as the one-shot declarative merge
+        drop_parquet_batches(updates_df(spark, sf_dir), f"{base}/drops", n_batches=2)
+        stream_ingest_files(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", mode="merge"
+        )
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select(
+        "doc_id", "n_tok", "source", F.expr(TOK_DIGEST_SPARK).alias("tok_digest")
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via applyInPandasWithState (custom stateful
     streaming operator, streaming/sessions.py): drain the events fixture in
@@ -618,6 +684,7 @@ QUERIES.update(
         "pipe_multimodal_features": q_multimodal_features,
         "pipe_frame_sample": q_frame_sample,
         "stream_ingested_scan": q_stream_ingested_scan,
+        "stream_merge_upsert": q_stream_merge_upsert,
     }
 )
 
@@ -809,6 +876,10 @@ from .sources.tokens import TOKENS_ORACLE_SQL as _TOK  # noqa: E402
 from .sources.tokens import digest_scan_sql as _digest_scan_sql  # noqa: E402
 
 ORACLES["stream_ingested_scan"] = _digest_scan_sql(_TOK)
+
+from .sources.tokens import MERGE_FINAL_ORACLE_SQL as _MERGE_FINAL  # noqa: E402
+
+ORACLES["stream_merge_upsert"] = _digest_scan_sql(_MERGE_FINAL)
 
 # declarative closed-session twin of the stateful kernel: lag + cumsum
 # sessionization; a session is closed iff a later session exists for its user

@@ -148,3 +148,30 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
     # every approximate neighbor must be a real corpus row, never self
     assert all(q != n for q, n in approx)
+
+
+def test_kmeans_centroids_improve_quantization(spark):
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_centroids,
+        quantization_error,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    init = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    trained = kmeans_centroids(e, k=8, iters=3)
+    assert len(trained) == 8 and all(len(v) == 64 for _c, v in trained)
+    err0 = quantization_error(e, init)
+    err3 = quantization_error(e, trained)
+    assert err3 <= err0 + 1e-9, f"kmeans must not worsen the objective ({err0} -> {err3})"
+
+    # the trained quantizer plugs into the same IVF plan
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = ivf_ann_topk(e, probes, k=3, centroid_mode="kmeans", kmeans_iters=2)
+    per_probe = out.groupBy("query_id").count().collect()
+    assert per_probe and all(r["count"] == 3 for r in per_probe)
