@@ -27,6 +27,7 @@ from .operators.merge_into import merge_into
 from .plans.maintenance import run_full_maintenance
 from .sources.tokens import (
     MERGE_FINAL_ORACLE_SQL,
+    TOK_DIGEST_DUCK,
     TOK_DIGEST_SPARK,
     TOKENS_ORACLE_SQL,
     digest_scan_sql,
@@ -94,6 +95,20 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         tbl_bkt.append(df.filter(df.doc_id.cast("long") % 3 == i), max_records_per_file=64)
     merge_into(spark, tbl_bkt, updates_df(spark, sf_dir))
 
+    # sequences_evolved: schema evolution under live data — half the rows
+    # written under the ORIGINAL column name, the merge key column renamed,
+    # the other half written under the NEW name; the alias-aware reader
+    # (icelite/table.py read_files) must answer the union seamlessly.
+    tbl_evo = cat.create_table("sequences_evolved", df.schema)
+    tbl_evo.append(df.filter(F.col("doc_id").cast("long") % 2 == 0), num_files=2)
+    tbl_evo.rename_column("n_tok", "tok_count")
+    tbl_evo.append(
+        df.filter(F.col("doc_id").cast("long") % 2 == 1).withColumnRenamed(
+            "n_tok", "tok_count"
+        ),
+        num_files=2,
+    )
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -102,6 +117,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_mor": tbl_mor,
         "mor_read_snapshot": mor_read_snapshot,
         "table_bucketed": tbl_bkt,
+        "table_evolved": tbl_evo,
     }
     _PREPARED[key] = out
     return out
@@ -227,6 +243,18 @@ def q_maint_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename-under-live-data: files from before AND after a rename of a
+    column answer one scan under the current schema (alias-aware coalesce,
+    icelite/table.py:read_files) — the oracle is the plain synthesized table
+    with the column aliased, so a dropped/nulled era would mismatch."""
+    p = prepared_warehouse(spark, sf_dir)
+    return p["table_evolved"].scan(spark).select(
+        "doc_id", "tok_count", "source",
+        F.expr(TOK_DIGEST_SPARK).alias("tok_digest"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -287,6 +315,11 @@ MAINT_ORACLES: dict[str, str] = {
                CAST(sum(n_tok) AS BIGINT) AS sum_tok
         FROM final GROUP BY source
     """,
+    "maint_schema_evolution": f"""
+        SELECT doc_id, n_tok AS tok_count, source,
+               {TOK_DIGEST_DUCK} AS tok_digest
+        FROM ({TOKENS_ORACLE_SQL})
+    """,
     "zorder_key": """
         SELECT doc_id,
                CAST(list_sum(list_transform(range(3), i ->
@@ -318,6 +351,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_materialized": q_merge_mor_materialized,
         "merge_bucketed_result": q_merge_bucketed_result,
         "maint_changes": q_maint_changes,
+        "maint_schema_evolution": q_maint_schema_evolution,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

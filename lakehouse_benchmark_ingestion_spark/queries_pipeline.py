@@ -631,6 +631,46 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window rollup over a streamed feed
+    (streaming/windowed.py), upserted per micro-batch into an icelite table.
+    The watermark is set beyond the fixture's span so nothing is dropped and
+    the drained stream must equal the batch GROUP BY — certifying the
+    streaming window/watermark/upsert plumbing itself (late-DROP semantics
+    stay pytest-covered in test_streaming_windowed.py, where lateness is
+    injected deliberately). n_users (approx_count_distinct — streaming
+    forbids exact distinct) is excluded from the certified projection."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from .icelite import Catalog
+    from .streaming.windowed import rollup_table_schema, windowed_rollup_stream
+
+    ck = ("windowed", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_windowed")
+        shutil.rmtree(base, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events")
+        sliced = events.withColumn(
+            "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
+        for k in range(1, 4):
+            sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(
+                1
+            ).write.parquet(f"{base}/drops/drop-{k:04d}")
+        tbl = Catalog(base).create_table("rollup", rollup_table_schema())
+        windowed_rollup_stream(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt",
+            watermark_delay="3650 days",
+        )
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark, merge_key="_key").select(
+        "window_start", "grp", "n_events"
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via applyInPandasWithState (custom stateful
     streaming operator, streaming/sessions.py): drain the events fixture in
@@ -685,6 +725,7 @@ QUERIES.update(
         "pipe_frame_sample": q_frame_sample,
         "stream_ingested_scan": q_stream_ingested_scan,
         "stream_merge_upsert": q_stream_merge_upsert,
+        "stream_windowed_rollup": q_stream_windowed_rollup,
     }
 )
 
@@ -880,6 +921,12 @@ ORACLES["stream_ingested_scan"] = _digest_scan_sql(_TOK)
 from .sources.tokens import MERGE_FINAL_ORACLE_SQL as _MERGE_FINAL  # noqa: E402
 
 ORACLES["stream_merge_upsert"] = _digest_scan_sql(_MERGE_FINAL)
+
+ORACLES["stream_windowed_rollup"] = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type AS grp,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+"""
 
 # declarative closed-session twin of the stateful kernel: lag + cumsum
 # sessionization; a session is closed iff a later session exists for its user
