@@ -42,6 +42,11 @@ class DataFile:
     # column name -> (min, max) for scalar columns only
     lower_bounds: dict = field(default_factory=dict)
     upper_bounds: dict = field(default_factory=dict)
+    # column name -> null count (Iceberg full-metrics parity). Parquet
+    # min/max stats EXCLUDE nulls, so any metadata-only decision that
+    # claims "every row of this file matches predicate P" is sound only
+    # when the predicate columns' null counts are known zero.
+    null_counts: dict = field(default_factory=dict)
     # Iceberg v2 concepts powering merge-on-read (IcebergCatalogSync.java:
     # 112-115 `format-version=2` + `write.upsert.enabled`): an eq-delete
     # file holds deleted KEYS and applies to data files with a strictly
@@ -59,6 +64,7 @@ class DataFile:
             "record_count": self.record_count,
             "lower_bounds_json": _bounds_to_json(self.lower_bounds),
             "upper_bounds_json": _bounds_to_json(self.upper_bounds),
+            "null_counts_json": _bounds_to_json(self.null_counts),
             "content": self.content,
             "sequence_number": self.sequence_number,
             "bucket": self.bucket,
@@ -84,6 +90,7 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("record_count", pa.int64(), nullable=False),
         pa.field("lower_bounds_json", pa.string(), nullable=False),
         pa.field("upper_bounds_json", pa.string(), nullable=False),
+        pa.field("null_counts_json", pa.string(), nullable=False),
         pa.field("content", pa.string(), nullable=False),
         pa.field("sequence_number", pa.int64(), nullable=False),
         pa.field("bucket", pa.int64(), nullable=False),
@@ -108,28 +115,40 @@ def harvest_stats(paths: list[str], stat_columns: list[str] | None = None) -> li
         col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         lowers: dict = {}
         uppers: dict = {}
+        nulls: dict = {}
         for name in wanted:
             if name not in col_idx:
                 continue
             i = col_idx[name]
             mins, maxs = [], []
             ok = True
+            ncount = 0
+            nulls_known = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(i).statistics
                 if st is None or not st.has_min_max:
                     ok = False
+                if st is None or st.null_count is None:
+                    nulls_known = False
+                else:
+                    ncount += st.null_count
+                if not ok and not nulls_known:
                     break
-                mins.append(st.min)
-                maxs.append(st.max)
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
             if ok and mins:
                 lowers[name] = min(mins)
                 uppers[name] = max(maxs)
+            if nulls_known:
+                nulls[name] = ncount
         return DataFile(
             path=path,
             file_size_bytes=os.path.getsize(path),
             record_count=md.num_rows,
             lower_bounds=lowers,
             upper_bounds=uppers,
+            null_counts=nulls,
         )
 
     if len(paths) <= 4:
@@ -173,6 +192,7 @@ def harvest_stats_distributed(
     for c in wanted:
         aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))  # non-null count
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("_fp"))
         .agg(*aggs)
@@ -197,6 +217,7 @@ def harvest_stats_distributed(
             continue
         lowers = {c: r[f"_min_{c}"] for c in wanted if r[f"_min_{c}"] is not None}
         uppers = {c: r[f"_max_{c}"] for c in wanted if r[f"_max_{c}"] is not None}
+        nulls = {c: r["_rc"] - r[f"_nn_{c}"] for c in wanted}
         out.append(
             DataFile(
                 path=ap,
@@ -204,6 +225,7 @@ def harvest_stats_distributed(
                 record_count=r["_rc"],
                 lower_bounds=lowers,
                 upper_bounds=uppers,
+                null_counts=nulls,
             )
         )
     return out
@@ -240,6 +262,8 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
                 record_count=row["record_count"],
                 lower_bounds=_bounds_from_json(row["lower_bounds_json"]),
                 upper_bounds=_bounds_from_json(row["upper_bounds_json"]),
+                # manifests written before null-metrics existed lack this
+                null_counts=_bounds_from_json(row.get("null_counts_json") or "{}"),
                 # manifests written before the MOR feature lack these
                 content=row.get("content", CONTENT_DATA),
                 sequence_number=row.get("sequence_number", 0),

@@ -67,6 +67,10 @@ class TableMetadata:
     # alias-aware reader coalesces across eras (Iceberg does this with field
     # IDs; name-lineage is the metadata-only equivalent for a JSON format).
     column_aliases: dict = field(default_factory=dict)
+    # named refs (Iceberg v2 branches/tags): name -> {"snapshot_id": int,
+    # "type": "tag" | "branch"}. Tags are immutable pins (time travel);
+    # branches are movable heads that writes can target (write-audit-publish).
+    refs: dict = field(default_factory=dict)
 
     # ---- accessors -------------------------------------------------------
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
@@ -89,6 +93,7 @@ class TableMetadata:
             "properties": self.properties,
             "last_updated_ms": self.last_updated_ms,
             "column_aliases": self.column_aliases,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -103,6 +108,7 @@ class TableMetadata:
             last_updated_ms=d.get("last_updated_ms", 0),
             format_version=d.get("format_version", FORMAT_VERSION),
             column_aliases=dict(d.get("column_aliases", {})),
+            refs=dict(d.get("refs", {})),
         )
 
 

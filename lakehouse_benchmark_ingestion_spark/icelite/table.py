@@ -85,12 +85,106 @@ class IceliteTable:
     def delete_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_EQ_DELETES]
 
-    def next_sequence_number(self) -> int:
+    # ---- named refs: tags (immutable) and branches (movable heads) -------
+    # The icelite analogue of Iceberg v2 refs. Tags pin a snapshot for time
+    # travel; branches receive writes without publishing them to readers of
+    # ``main`` until fast_forward — the write-audit-publish (WAP) pattern.
+    def refs(self) -> dict:
+        return dict(self.meta.refs)
+
+    def _set_ref(self, name: str, snapshot_id: int | None, ref_type: str) -> None:
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot create a ref on an empty table")
+            meta.snapshot(sid)  # raises if unknown/expired
+            existing = meta.refs.get(name)
+            if existing is not None and existing["type"] == "tag":
+                raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+            meta.refs[name] = {"snapshot_id": sid, "type": ref_type}
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        self._set_ref(name, snapshot_id, "branch")
+
+    def drop_ref(self, name: str) -> None:
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            if name not in meta.refs:
+                raise KeyError(f"no ref {name!r}")
+            del meta.refs[name]
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.meta.refs.get(name)
+        if ref is None:
+            raise KeyError(f"no ref {name!r}")
+        return int(ref["snapshot_id"])
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish a branch: point the main head at the branch head. The
+        audit half of write-audit-publish — writes staged on the branch
+        become visible to plain readers in one atomic metadata swap."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            ref = meta.refs.get(branch)
+            if ref is None or ref["type"] != "branch":
+                raise KeyError(f"no branch {branch!r}")
+            head = meta.snapshot(int(ref["snapshot_id"]))
+            # fast-forward only: main must be an ancestor of the branch head
+            # (walk stops at expired parents — ancestry beyond them is gone)
+            seen = set()
+            cur = head
+            while cur is not None:
+                seen.add(cur.snapshot_id)
+                if cur.parent_id is None:
+                    break
+                try:
+                    cur = meta.snapshot(cur.parent_id)
+                except KeyError:
+                    break
+            if meta.current_snapshot_id is not None and meta.current_snapshot_id not in seen:
+                raise ValueError(
+                    f"branch {branch!r} does not descend from the current main "
+                    f"head; refusing non-fast-forward publish"
+                )
+            meta.current_snapshot_id = head.snapshot_id
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def snapshot_as_of(self, timestamp_ms: int) -> md.Snapshot:
+        """Time travel by wall clock: the latest main-lineage snapshot with
+        timestamp_ms <= the requested time (Iceberg's as-of-timestamp)."""
+        meta = self.meta
+        cur = meta.snapshot()
+        best = None
+        while cur is not None:
+            if cur.timestamp_ms <= timestamp_ms:
+                best = cur
+                break  # parents are older; first hit walking back is latest
+            if cur.parent_id is None:
+                break
+            try:
+                cur = meta.snapshot(cur.parent_id)
+            except KeyError:  # parent expired — history ends here
+                break
+        if best is None:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return best
+
+    def next_sequence_number(self, snapshot_id: int | None = None) -> int:
         """Data sequence number for the NEXT commit (single-writer; mirrors
         Iceberg's commit-assigned sequence, simplified to max+1 over the
-        current snapshot's files)."""
+        current — or given — snapshot's files)."""
         return 1 + max(
-            (f.sequence_number for f in self.all_files()), default=0
+            (f.sequence_number for f in self.all_files(snapshot_id)), default=0
         )
 
     # ---- schema evolution (metadata-only commits) ------------------------
@@ -253,8 +347,13 @@ class IceliteTable:
         num_files: int | None = None,
         stat_columns: list[str] | None = None,
         timestamp_ms: int | None = None,
+        branch: str | None = None,
     ) -> md.Snapshot:
         """Write df and commit an append snapshot.
+
+        ``branch="audit"`` stages the append on a named branch instead of
+        the main head: readers of ``scan()`` do not see it until
+        ``fast_forward(branch)`` publishes (write-audit-publish).
 
         New files go into a NEW manifest; the parent snapshot's manifests are
         reused untouched — repeated appends therefore accumulate small
@@ -283,11 +382,15 @@ class IceliteTable:
         else:
             paths = self._write_data(df, max_records_per_file, num_files)
             stats = mf.harvest_stats_auto(paths, stat_columns, spark=df.sparkSession)
-        seq = self.next_sequence_number()
+        base_sid = self.resolve_ref(branch) if branch is not None else None
+        seq = self.next_sequence_number(base_sid)
         for s in stats:
             s.sequence_number = seq
         manifest_name = mf.write_manifest(self.location, stats)
-        return self._commit_snapshot("append", add_manifests=[manifest_name], timestamp_ms=timestamp_ms)
+        return self._commit_snapshot(
+            "append", add_manifests=[manifest_name], timestamp_ms=timestamp_ms,
+            branch=branch,
+        )
 
     def replace_files(
         self,
@@ -352,25 +455,43 @@ class IceliteTable:
         return md.commit(self.location, mutate).snapshot()
 
     def _commit_snapshot(
-        self, operation: str, add_manifests: list[str], timestamp_ms: int | None = None
+        self,
+        operation: str,
+        add_manifests: list[str],
+        timestamp_ms: int | None = None,
+        branch: str | None = None,
     ) -> md.Snapshot:
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
-            parent = meta.snapshot()
+            if branch is not None:
+                ref = meta.refs.get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise KeyError(f"no branch {branch!r}")
+                parent_sid = int(ref["snapshot_id"])
+                parent = meta.snapshot(parent_sid)
+            else:
+                parent_sid = meta.current_snapshot_id
+                parent = meta.snapshot()
             sid = md.new_snapshot_id(meta)
             snap = md.Snapshot(
                 snapshot_id=sid,
-                parent_id=meta.current_snapshot_id,
+                parent_id=parent_sid,
                 timestamp_ms=timestamp_ms or md.now_ms(),
                 operation=operation,
                 manifests=(parent.manifests if parent else []) + add_manifests,
                 summary={},
             )
             meta.snapshots.append(snap)
-            meta.current_snapshot_id = sid
+            if branch is not None:
+                meta.refs[branch] = {"snapshot_id": sid, "type": "branch"}
+            else:
+                meta.current_snapshot_id = sid
             meta.last_updated_ms = snap.timestamp_ms
             return meta
 
-        return md.commit(self.location, mutate).snapshot()
+        new_meta = md.commit(self.location, mutate)
+        if branch is not None:
+            return new_meta.snapshot(int(new_meta.refs[branch]["snapshot_id"]))
+        return new_meta.snapshot()
 
     # ---- read path -------------------------------------------------------
     @staticmethod
@@ -405,6 +526,8 @@ class IceliteTable:
         file_filter=None,
         merge_key: str | None = None,
         where: dict | None = None,
+        ref: str | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
 
@@ -415,6 +538,12 @@ class IceliteTable:
         files (merge-on-read MERGE INTO), they are applied here — the
         read-side half of the v2 upsert contract (icelite/mor.py).
         """
+        if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp_ms)) > 1:
+            raise ValueError("snapshot_id, ref, and as_of_timestamp_ms are exclusive")
+        if ref is not None:
+            snapshot_id = self.resolve_ref(ref)
+        elif as_of_timestamp_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
         files = self.data_files(snapshot_id)
         if file_filter is not None:
             files = [f for f in files if file_filter(f)]

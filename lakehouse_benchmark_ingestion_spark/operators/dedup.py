@@ -241,3 +241,86 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    connected components by iterative min-label propagation.
+
+    A pair list says "a duplicates b"; keeping one survivor per *cluster*
+    (not per pair) needs the transitive closure — A~B, B~C ⇒ {A,B,C} is one
+    cluster with one survivor. The distributed algorithm is the standard
+    large-graph one (no GraphFrames dependency): every node starts labeled
+    with itself; each round every node takes the min label over itself and
+    its neighbors (one equi-join + one groupBy per round), PLUS the label of
+    its own label (pointer jumping — path halving); stop when a round
+    changes nothing. Neighbor propagation alone needs diameter rounds —
+    near-dup chains (A~B~C~...) make that linear; pointer jumping compresses
+    paths geometrically, so convergence is O(log diameter) shuffles even for
+    chain-shaped clusters. Each round's joins are keyed on node/label id
+    (hash shuffle, no skew beyond the largest cluster's degree).
+
+    Returns (doc_id, cluster_id) for every node that appears in any pair;
+    cluster_id = min doc_id of the component, so ``doc_id == cluster_id``
+    marks the survivor.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    # iterative algorithms must TRUNCATE lineage each round: a plan that
+    # references the previous labels three times grows 3^k nodes after k
+    # rounds and OOMs the driver just printing itself. localCheckpoint cuts
+    # the logical plan at materialized partitions (on a real cluster with a
+    # checkpoint dir, df.checkpoint() is the fault-tolerant variant).
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge dst, the label of src
+        nb = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        # pointer jumping: the label of my label (path halving)
+        jump = (
+            labels.withColumnRenamed("lbl", "_mid")
+            .join(
+                labels.select(
+                    F.col("node").alias("_mid"), F.col("lbl").alias("_root")
+                ),
+                "_mid",
+            )
+            .select("node", F.col("_root").alias("lbl"))
+        )
+        new_labels = (
+            nb.unionByName(labels).unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "node"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

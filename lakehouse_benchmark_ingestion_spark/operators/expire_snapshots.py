@@ -41,6 +41,9 @@ def expire_snapshots(
         protected = {s.snapshot_id for s in ordered[-keep_last:]}
         if meta.current_snapshot_id is not None:
             protected.add(meta.current_snapshot_id)
+        # named refs pin their snapshots: a tagged or branch-head snapshot
+        # never expires (Iceberg ref-aware retention)
+        protected.update(int(r["snapshot_id"]) for r in meta.refs.values())
         kept: list[md.Snapshot] = []
         for s in ordered:
             if s.snapshot_id in protected:
@@ -107,6 +110,7 @@ def expired_snapshot_candidates(
     protected = {s.snapshot_id for s in ordered[-max(1, keep_last):]}
     if meta.current_snapshot_id is not None:
         protected.add(meta.current_snapshot_id)
+    protected.update(int(r["snapshot_id"]) for r in meta.refs.values())
     out = []
     for s in ordered:
         if s.snapshot_id in protected:

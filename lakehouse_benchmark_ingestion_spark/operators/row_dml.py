@@ -1,0 +1,311 @@
+"""Row-level DELETE WHERE / UPDATE WHERE over icelite tables.
+
+The reference delegates row-level changes to the formats' v2 delete
+machinery (``format-version=2`` + upsert-as-eq-delete, IcebergCatalogSync.
+java:112-115); MERGE INTO covers keyed upserts (operators/merge_into.py).
+This module adds the *predicate*-driven row operations an Iceberg user has
+(DELETE FROM t WHERE ..., UPDATE t SET ... WHERE ...), Spark-first:
+
+- **Stats pruning first.** The predicate is evaluated against per-file
+  min/max manifest stats; only files whose range overlaps the predicate are
+  touched. At 10^12 sequences a delete of one source/day touches a sliver
+  of the table, not the table.
+- **Metadata-only deletes.** A file whose stats prove EVERY row matches the
+  predicate (bounds fully inside the predicate interval AND zero nulls in
+  the predicate columns — parquet min/max exclude nulls, so null counts are
+  required for soundness) is dropped from the manifest without being read.
+  This is Iceberg's "partition-level delete" fast path generalized to file
+  stats: a retention sweep that aligns with file boundaries moves no data.
+- **COW rewrite** for partially-matching files: read → keep non-matching
+  rows (delete) or apply SET expressions to matching rows (update) → write
+  → one atomic replace-files snapshot.
+- **MOR delete** (``strategy="mor"``): instead of rewriting, scan ONLY the
+  key column of candidate files (column-pruned, predicate-pushed scan),
+  write the matching keys as an equality-delete file. Write cost is
+  O(matching keys), readers apply the delete via icelite/mor.py, the next
+  compaction materializes it — same deferred contract as MOR MERGE.
+
+Predicates use the same shape as ``IceliteTable.scan(where=...)``: a dict of
+``col -> scalar`` (equality) or ``col -> (lo, hi)`` (inclusive range, None =
+unbounded). Conditions AND together. This keeps the file-skipping logic
+shared with the scan path (table._where_file_filter).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..icelite import manifest as mf
+from ..icelite.table import IceliteTable
+from ..plans.lineage import LineageLog, LineageRow
+
+
+def predicate_column(where: dict) -> Column:
+    """The exact row-level Column for a ``where`` dict (AND of conditions)."""
+    pred = F.lit(True)
+    for col, cond in where.items():
+        if isinstance(cond, tuple):
+            lo, hi = cond
+            if lo is not None:
+                pred = pred & (F.col(col) >= lo)
+            if hi is not None:
+                pred = pred & (F.col(col) <= hi)
+        else:
+            pred = pred & (F.col(col) == cond)
+    return pred
+
+
+def _file_fully_matches(f: mf.DataFile, where: dict) -> bool:
+    """True iff stats PROVE every row of the file satisfies the predicate:
+    for each condition the file's [min,max] lies inside the predicate
+    interval and the column's null count is known to be zero."""
+    for col, cond in where.items():
+        lo = f.lower_bounds.get(col)
+        hi = f.upper_bounds.get(col)
+        if lo is None or hi is None:
+            return False
+        if f.null_counts.get(col) != 0:  # unknown (None) or > 0 → unsound
+            return False
+        plo, phi = cond if isinstance(cond, tuple) else (cond, cond)
+        try:
+            if plo is not None and lo < plo:
+                return False
+            if phi is not None and hi > phi:
+                return False
+            if plo is None and phi is None:
+                continue
+        except TypeError:
+            return False
+    return True
+
+
+def delete_where(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    strategy: str = "cow",
+    target_file_size: int = 128 * 1024 * 1024,
+    key: str = "doc_id",
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """DELETE FROM table WHERE <where>. Returns commit metrics."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snap = table.current_snapshot()
+    files = table.data_files(snap.snapshot_id) if snap else []
+    keep = table._where_file_filter(where)
+    candidates = [f for f in files if keep(f)]
+
+    if strategy == "mor":
+        return _delete_where_mor(
+            spark, table, where, candidates, key, run_id, timestamp_ms
+        )
+    if strategy != "cow":
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+
+    # split candidates: provable full matches drop via metadata only
+    full = [f for f in candidates if _file_fully_matches(f, where)]
+    full_paths = {f.path for f in full}
+    partial = [f for f in candidates if f.path not in full_paths]
+
+    added: list[mf.DataFile] = []
+    out_paths: list[str] = []
+    rows_out = 0
+    if partial:
+        # outstanding eq-deletes must not resurrect through the rewrite
+        from ..icelite.mor import mor_scan
+
+        mor_key = table.recorded_merge_key() or key
+        data = mor_scan(
+            spark, table.schema, partial, table.delete_files(), key=mor_key,
+            reader=lambda paths: table.read_files(spark, paths),
+            delete_reader=table._read_delete_keys(spark, mor_key),
+        )
+        kept_rows = data.filter(~predicate_column(where))
+        bytes_in = sum(f.file_size_bytes for f in partial)
+        n_out = max(1, -(-bytes_in // target_file_size))
+        out_dir = os.path.join(table.location, "data", f"del-{run_id}")
+        kept_rows.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
+        out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        added = mf.harvest_stats(out_paths)
+        seq = table.next_sequence_number()
+        for s in added:
+            s.sequence_number = seq
+        rows_out = sum(f.record_count for f in added)
+
+    removed = full_paths | {f.path for f in partial}
+    if not removed:
+        return {"files_matched": 0, "files_dropped_metadata_only": 0, "rows_out": 0}
+    new_snap = table.replace_files(
+        removed,
+        added,
+        operation="delete",
+        summary={
+            "op": "delete-where",
+            "metadata-only-drops": str(len(full)),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="delete", partition_id=0,
+            files_in=len(removed), files_out=len(out_paths), rows=rows_out,
+            bytes_in=sum(f.file_size_bytes for f in candidates),
+            bytes_out=sum(f.file_size_bytes for f in added),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=out_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "files_dropped_metadata_only": len(full),
+        "files_rewritten": len(partial),
+        "files_out": len(out_paths),
+        "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _delete_where_mor(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    candidates: list[mf.DataFile],
+    key: str,
+    run_id: str,
+    timestamp_ms: int | None,
+) -> dict:
+    """Merge-on-read predicate delete: write the matching KEYS as an
+    eq-delete file. Reads only the key+predicate columns of candidate files
+    (Catalyst prunes the rest, including the token arrays)."""
+    recorded = table.recorded_merge_key()
+    if recorded is not None and recorded != key and table.delete_files():
+        raise ValueError(
+            f"mor delete with key={key!r} but outstanding eq-delete files use "
+            f"{recorded!r}; compact first"
+        )
+    if not candidates:
+        return {"files_matched": 0, "delete_files_out": 0, "deleted_keys": 0}
+    cols = sorted({key, *where.keys()})
+    data = table.read_files(spark, [f.path for f in candidates]).select(*cols)
+    keys = data.filter(predicate_column(where)).select(key)
+    del_dir = os.path.join(table.location, "data", f"delw-{run_id}-deletes")
+    keys.repartitionByRange(1, key).write.mode("overwrite").parquet(del_dir)
+    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    dels = mf.harvest_stats(del_paths, stat_columns=[key])
+    seq = table.next_sequence_number()
+    n_keys = sum(f.record_count for f in dels)
+    for s in dels:
+        s.content = mf.CONTENT_EQ_DELETES
+        s.sequence_number = seq
+    new_snap = table.replace_files(
+        set(), dels, operation="delete-mor",
+        summary={"op": "delete-where-mor", "keys": str(n_keys), "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+        set_properties={"merge-key": key},
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="delete-mor", partition_id=0,
+            files_in=len(candidates), files_out=len(del_paths), rows=n_keys,
+            bytes_in=0, bytes_out=sum(f.file_size_bytes for f in dels),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=del_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "delete_files_out": len(del_paths),
+        "deleted_keys": n_keys,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    assignments: dict[str, str],
+    target_file_size: int = 128 * 1024 * 1024,
+    key: str = "doc_id",
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """UPDATE table SET <assignments> WHERE <where> as a stats-pruned COW
+    rewrite. ``assignments`` maps column name -> Spark SQL expression string
+    (evaluated against the pre-update row, standard UPDATE semantics: all
+    SET expressions see the OLD values)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    schema = table.schema
+    for c in assignments:
+        if c not in schema.fieldNames():
+            raise ValueError(f"no column {c!r}")
+    snap = table.current_snapshot()
+    files = table.data_files(snap.snapshot_id) if snap else []
+    keep = table._where_file_filter(where)
+    candidates = [f for f in files if keep(f)]
+    if not candidates:
+        return {"files_matched": 0, "files_out": 0, "rows_out": 0}
+
+    from ..icelite.mor import mor_scan
+
+    mor_key = table.recorded_merge_key() or key
+    data = mor_scan(
+        spark, schema, candidates, table.delete_files(), key=mor_key,
+        reader=lambda paths: table.read_files(spark, paths),
+        delete_reader=table._read_delete_keys(spark, mor_key),
+    )
+    pred = predicate_column(where)
+    # all SET expressions evaluate against the OLD row: select, don't chain
+    projected = data.select(
+        *[
+            F.when(pred, F.expr(assignments[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    bytes_in = sum(f.file_size_bytes for f in candidates)
+    n_out = max(1, -(-bytes_in // target_file_size))
+    out_dir = os.path.join(table.location, "data", f"upd-{run_id}")
+    projected.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    added = mf.harvest_stats(out_paths)
+    seq = table.next_sequence_number()
+    for s in added:
+        s.sequence_number = seq
+    rows_out = sum(f.record_count for f in added)
+    new_snap = table.replace_files(
+        {f.path for f in candidates},
+        added,
+        operation="update",
+        summary={"op": "update-where", "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="update", partition_id=0,
+            files_in=len(candidates), files_out=len(out_paths), rows=rows_out,
+            bytes_in=bytes_in,
+            bytes_out=sum(f.file_size_bytes for f in added),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=out_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "files_out": len(out_paths),
+        "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }

@@ -109,9 +109,37 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         num_files=2,
     )
 
+    # tag the post-maintenance snapshot: time travel by name (Iceberg refs);
+    # ref-pinned reads must keep answering after later merges move the head
+    tbl.create_tag("post-maintenance", post_maintenance_snapshot)
+
+    # sequences_dml: row-level DML — files laid out with disjoint n_tok
+    # ranges (repartitionByRange) so the predicate delete can prove whole
+    # files via stats, then DELETE WHERE (COW, metadata-only drops where
+    # provable) → UPDATE WHERE (COW) → DELETE WHERE (merge-on-read,
+    # eq-delete file applied at scan time)
+    from .operators.row_dml import delete_where, update_where
+
+    tbl_dml = cat.create_table("sequences_dml", df.schema)
+    tbl_dml.append(df.repartitionByRange(4, "n_tok"))
+    delete_where(spark, tbl_dml, {"n_tok": (0, 35)}, target_file_size=4 * 1024 * 1024)
+    post_delete_snapshot = tbl_dml.current_snapshot().snapshot_id
+    update_where(
+        spark,
+        tbl_dml,
+        {"n_tok": (100, None)},
+        {"source": "concat(source, '_long')"},
+        target_file_size=4 * 1024 * 1024,
+    )
+    post_update_snapshot = tbl_dml.current_snapshot().snapshot_id
+    delete_where(spark, tbl_dml, {"n_tok": (36, 50)}, strategy="mor")
+
     out = {
         "warehouse": wh,
         "table": tbl,
+        "table_dml": tbl_dml,
+        "post_delete_snapshot": post_delete_snapshot,
+        "post_update_snapshot": post_update_snapshot,
         "pre_maintenance_snapshot": pre_maintenance_snapshot,
         "post_maintenance_snapshot": post_maintenance_snapshot,
         "table_mor": tbl_mor,
@@ -255,6 +283,45 @@ def q_maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_time_travel_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by named ref: the 'post-maintenance' tag was pinned
+    BEFORE the merge moved the head, so a ref scan must answer the original
+    synthesized table even though current-state scans answer the merged one
+    (same oracle as maint_scan — through the ref-resolution path)."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table"].scan(spark, ref="post-maintenance"))
+
+
+def q_maint_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (COW): rows with n_tok <= 35 removed; files whose
+    stats prove every row matches were dropped metadata-only (null counts +
+    min/max), the rest rewritten. Pinned before the later UPDATE."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(
+        p["table_dml"].scan(spark, snapshot_id=p["post_delete_snapshot"])
+    )
+
+
+def q_maint_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE (COW): SET source = source || '_long' WHERE
+    n_tok >= 100, applied against the pre-update row values. Pinned before
+    the later merge-on-read delete."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(
+        p["table_dml"].scan(spark, snapshot_id=p["post_update_snapshot"])
+    )
+
+
+def q_maint_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (merge-on-read): n_tok in [36,50] written as an
+    equality-delete file — no data file rewritten; the scan applies the
+    delete via the eq-delete anti-join (icelite/mor.py)."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_dml"]
+    assert tbl.delete_files(), "the MOR delete must still be outstanding"
+    return _seq_scan_cols(tbl.scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -315,6 +382,22 @@ MAINT_ORACLES: dict[str, str] = {
                CAST(sum(n_tok) AS BIGINT) AS sum_tok
         FROM final GROUP BY source
     """,
+    "maint_time_travel_tag": digest_scan_sql(TOKENS_ORACLE_SQL),
+    # n_tok = n_chars//4 + 1 >= 1 and never null in the oracle, so the
+    # engine's inclusive-range predicates reduce to the comparisons below
+    "maint_delete_where": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35"
+    ),
+    "maint_update_where": digest_scan_sql(
+        f"""SELECT doc_id, tokens, n_tok,
+                   CASE WHEN n_tok >= 100 THEN source || '_long' ELSE source END AS source
+            FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35"""
+    ),
+    "maint_delete_mor": digest_scan_sql(
+        f"""SELECT doc_id, tokens, n_tok,
+                   CASE WHEN n_tok >= 100 THEN source || '_long' ELSE source END AS source
+            FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 50"""
+    ),
     "maint_schema_evolution": f"""
         SELECT doc_id, n_tok AS tok_count, source,
                {TOK_DIGEST_DUCK} AS tok_digest
@@ -339,6 +422,7 @@ MAINT_ORACLES: dict[str, str] = {
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import queries_relational as qr
     from . import queries_pipeline as qp
+    from . import queries_training as qt
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "maint_scan": q_maint_scan,
@@ -352,20 +436,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_bucketed_result": q_merge_bucketed_result,
         "maint_changes": q_maint_changes,
         "maint_schema_evolution": q_maint_schema_evolution,
+        "maint_time_travel_tag": q_maint_time_travel_tag,
+        "maint_delete_where": q_maint_delete_where,
+        "maint_update_where": q_maint_update_where,
+        "maint_delete_mor": q_maint_delete_mor,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)
     out.update(qp.QUERIES)
+    out.update(qt.QUERIES)
     return out
 
 
 def build_oracles() -> dict[str, str]:
     from . import queries_relational as qr
     from . import queries_pipeline as qp
+    from . import queries_training as qt
 
     out = dict(MAINT_ORACLES)
     out.update(qr.ORACLES)
     out.update(qp.ORACLES)
+    out.update(qt.ORACLES)
     return out
 
 

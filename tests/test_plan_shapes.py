@@ -53,10 +53,12 @@ def test_star_join_broadcasts_dims(spark):
 
 
 def test_parquet_scan_pushdown(spark):
-    from lakehouse_benchmark_ingestion_spark.sources.tpch import load_table
-
+    # an earlier test may have .cache()d a plan over the same parquet; the
+    # CacheManager substitutes ANY semantically-equal subplan with
+    # InMemoryTableScan, which would hide the scan pushdown asserted here
+    spark.catalog.clearCache()
     d = (
-        load_table(spark, SF_SMOKE, "documents")
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
         .filter(F.col("doc_id") == 7)
         .select("doc_id", "n_chars")
     )

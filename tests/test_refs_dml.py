@@ -1,0 +1,183 @@
+"""Named refs (tags/branches, WAP, time travel) and row-level DML
+(DELETE WHERE / UPDATE WHERE, COW + MOR) over icelite tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+    delete_where,
+    update_where,
+)
+from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+from tests.conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------
+# refs: tags, branches, write-audit-publish, time travel
+# --------------------------------------------------------------------------
+
+def test_tag_pins_snapshot_and_survives_expiration(spark, sequences_table):
+    from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import (
+        expire_snapshots,
+    )
+
+    tbl = sequences_table
+    first = tbl.history()[0]
+    tbl.create_tag("v1", first.snapshot_id)
+    assert tbl.resolve_ref("v1") == first.snapshot_id
+
+    # tags are immutable
+    with pytest.raises(ValueError):
+        tbl.create_tag("v1", tbl.current_snapshot().snapshot_id)
+
+    # expiration protects the tagged snapshot even with keep_last=1
+    res = expire_snapshots(tbl, keep_last=1, as_of_ms=10_000_000_000)
+    assert first.snapshot_id not in res.get("expired_ids", [])
+    n_first = tbl.scan(spark, ref="v1").count()
+    assert n_first == 100  # 1 of 5 modulo slices of 500 docs
+
+    tbl.drop_ref("v1")
+    with pytest.raises(KeyError):
+        tbl.resolve_ref("v1")
+
+
+def test_branch_write_audit_publish(spark, sequences_table):
+    tbl = sequences_table
+    df = tokens_df(spark, SF_SMOKE)
+    main_before = tbl.scan(spark).count()
+
+    tbl.create_branch("audit")
+    staged = df.limit(7).withColumn("doc_id", F.concat(F.lit("stage-"), "doc_id"))
+    tbl.append(staged, branch="audit")
+
+    # main readers do not see the staged append; branch readers do
+    assert tbl.scan(spark).count() == main_before
+    assert tbl.scan(spark, ref="audit").count() == main_before + 7
+
+    # publish: one atomic metadata swap
+    tbl.fast_forward("audit")
+    assert tbl.scan(spark).count() == main_before + 7
+
+
+def test_fast_forward_refuses_diverged_branch(spark, sequences_table):
+    tbl = sequences_table
+    df = tokens_df(spark, SF_SMOKE)
+    tbl.create_branch("b")
+    tbl.append(df.limit(1).withColumn("doc_id", F.lit("b-row")), branch="b")
+    # main advances independently → branch no longer descends from main
+    tbl.append(df.limit(1).withColumn("doc_id", F.lit("m-row")))
+    with pytest.raises(ValueError, match="fast-forward"):
+        tbl.fast_forward("b")
+
+
+def test_scan_as_of_timestamp(spark, sequences_table):
+    tbl = sequences_table
+    # appends were committed at 1_000_000 + i*60_000 (conftest)
+    assert tbl.scan(spark, as_of_timestamp_ms=1_000_000).count() == 100
+    assert tbl.scan(spark, as_of_timestamp_ms=1_120_000).count() == 300
+    assert tbl.scan(spark, as_of_timestamp_ms=9_999_999_999).count() == 500
+    with pytest.raises(ValueError):
+        tbl.snapshot_as_of(999_999)
+    with pytest.raises(ValueError):  # exclusive selectors
+        tbl.scan(spark, snapshot_id=1, ref="x")
+
+
+# --------------------------------------------------------------------------
+# DELETE WHERE
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def ranged_table(spark, warehouse):
+    """Table whose files have DISJOINT n_tok ranges so predicate deletes can
+    both drop whole files (metadata-only) and rewrite partial ones."""
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table("ranged", df.schema)
+    tbl.append(df.repartitionByRange(6, "n_tok"))
+    return tbl
+
+
+def test_delete_where_cow_counts_and_pruning(spark, ranged_table):
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+    n_files = len(tbl.data_files())
+    # predicate aligned with one file's actual bounds: that file must drop
+    # via metadata only; range-overlapping neighbours rewrite
+    first = min(tbl.data_files(), key=lambda f: f.lower_bounds["n_tok"])
+    lo, hi = first.lower_bounds["n_tok"], first.upper_bounds["n_tok"]
+    expected_kept = df.filter(~((F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))).count()
+
+    res = delete_where(spark, tbl, {"n_tok": (lo, hi)}, target_file_size=1 << 20)
+    # disjoint ranges → most files untouched, the aligned one dropped meta-only
+    assert res["files_matched"] < n_files
+    assert res["files_dropped_metadata_only"] >= 1
+    out = tbl.scan(spark)
+    assert out.count() == expected_kept
+    assert out.filter((F.col("n_tok") >= lo) & (F.col("n_tok") <= hi)).count() == 0
+    # token arrays of survivors intact
+    assert out.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+
+
+def test_delete_where_equality_on_source(spark, ranged_table):
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+    some_source = df.select("source").first()[0]
+    expected = df.filter(F.col("source") != some_source).count()
+    delete_where(spark, tbl, {"source": some_source})
+    assert tbl.scan(spark).count() == expected
+
+
+def test_delete_where_mor_defers_rewrite(spark, ranged_table):
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+    files_before = {f.path for f in tbl.data_files()}
+    expected_kept = df.filter(~(F.col("n_tok") >= 40)).count()
+
+    res = delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor")
+    assert res["deleted_keys"] > 0
+    # no data file rewritten — only an eq-delete file added
+    assert {f.path for f in tbl.data_files()} == files_before
+    assert len(tbl.delete_files()) == 1
+    assert tbl.scan(spark).count() == expected_kept
+
+    # compaction materializes the delete; result unchanged
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+    compact(spark, tbl, target_file_size=4 << 20)
+    assert not tbl.delete_files()
+    assert tbl.scan(spark).count() == expected_kept
+
+
+def test_update_where_set_expressions_see_old_row(spark, ranged_table):
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+    res = update_where(
+        spark,
+        tbl,
+        {"n_tok": (30, None)},
+        {"source": "concat(source, '_long')", "n_tok": "n_tok + 0"},
+        target_file_size=1 << 20,
+    )
+    assert res["files_matched"] >= 1
+    out = tbl.scan(spark)
+    assert out.count() == df.count()  # update never changes cardinality
+    n_expected = df.filter(F.col("n_tok") >= 30).count()
+    assert out.filter(F.col("source").endswith("_long")).count() == n_expected
+    # rows below the predicate untouched
+    assert (
+        out.filter((F.col("n_tok") < 30) & F.col("source").endswith("_long")).count()
+        == 0
+    )
+    # snapshot isolation: pre-update snapshot still shows old values
+    prev = tbl.history()[-2]
+    old = tbl.scan(spark, snapshot_id=prev.snapshot_id)
+    assert old.filter(F.col("source").endswith("_long")).count() == 0
+
+
+def test_null_counts_harvested(spark, ranged_table):
+    for f in ranged_table.data_files():
+        assert f.null_counts.get("doc_id") == 0
+        assert f.null_counts.get("n_tok") == 0
