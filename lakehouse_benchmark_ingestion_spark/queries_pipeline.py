@@ -237,26 +237,43 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard for same-lang doc pairs with close lengths.
-    |A∩B| and |A∪B| are integer set sizes → exact oracle match."""
+    |A∩B| and |A∪B| are integer set sizes → exact oracle match.
+
+    Scale shape: the length constraint |a_len - b_len| <= 5 is turned into
+    a real equi-join key by BANDING — band = n_chars // 6 (width > the
+    tolerance, so any qualifying pair's bands differ by at most 1), side B
+    exploded into {band-1, band, band+1}. The join key is (lang, band):
+    at 10^12 docs that is millions of distinct keys instead of ~5 langs, so
+    the sort-merge join shuffles into fine partitions instead of 5 giant
+    near-quadratic ones. Each qualifying pair matches exactly once (A's
+    band appears exactly once in B's exploded set); the length/id predicate
+    stays as a residual filter."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
     )
     docs = d.select("doc_id", "lang", "n_chars", grams.alias("g"))
     a = docs.select(
-        F.col("doc_id").alias("a_id"), "lang", F.col("n_chars").alias("a_len"), F.col("g").alias("ga")
+        F.col("doc_id").alias("a_id"), "lang", F.col("n_chars").alias("a_len"),
+        F.col("g").alias("ga"), (F.col("n_chars") / 6).cast("long").alias("band"),
     )
     b = docs.select(
         F.col("doc_id").alias("b_id"),
         F.col("lang").alias("lang_b"),
         F.col("n_chars").alias("b_len"),
         F.col("g").alias("gb"),
+        F.explode(
+            F.array(
+                (F.col("n_chars") / 6).cast("long") - 1,
+                (F.col("n_chars") / 6).cast("long"),
+                (F.col("n_chars") / 6).cast("long") + 1,
+            )
+        ).alias("band"),
     )
-    pairs = a.join(
-        b,
+    pairs = a.join(b, ["band"]).filter(
         (F.col("lang") == F.col("lang_b"))
         & (F.col("a_id") < F.col("b_id"))
-        & (F.abs(F.col("a_len") - F.col("b_len")) <= 5),
+        & (F.abs(F.col("a_len") - F.col("b_len")) <= 5)
     )
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     uni = F.size(F.col("ga")) + F.size(F.col("gb")) - inter

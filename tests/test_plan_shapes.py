@@ -42,6 +42,20 @@ def test_minhash_dedup_plan_has_no_cartesian(spark):
     assert "NestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_is_banded_equi_join(spark):
+    # the length tolerance must become a real equi-join key (lang, band),
+    # not a theta-join: no cartesian/nested-loop, and both join keys present
+    from lakehouse_benchmark_ingestion_spark.queries_pipeline import (
+        q_ngram_jaccard,
+    )
+
+    plan = _plan(q_ngram_jaccard(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert keys and "lang" in keys[0] and "band" in keys[0], keys
+
+
 def test_star_join_broadcasts_dims(spark):
     from lakehouse_benchmark_ingestion_spark.queries_relational import (
         q_region_rollup,
