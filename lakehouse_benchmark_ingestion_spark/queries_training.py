@@ -88,11 +88,266 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+GRAM_N = 16  # contamination n-gram width (chars)
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: a training doc is contaminated if it
+    shares any character-16-gram with the held-out eval slice
+    (doc_id % 97 == 0). Shape: explode grams on both sides, DISTINCT the
+    (small) eval gram set, LEFT SEMI equi-join on the gram — at 10^12 docs
+    the join key is the gram itself (fine hash partitions); the eval side
+    is tiny and broadcastable. Per-source contaminated counts certify it."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {GRAM_N - 1}, 1)),"
+            f" i -> substring(text, i, {GRAM_N}))"
+        )
+    )
+    ex = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    eval_grams = ex.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    train = ex.filter(F.col("doc_id") % EVAL_MOD != 0)
+    contaminated = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return totals.join(contaminated, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+
+
+def _pii_text() -> object:
+    """Deterministically inject PII into the synthetic text (the corpus
+    vocabulary contains none): 0-2 emails and 0-1 phone numbers per doc as
+    closed-form functions of doc_id, so counts vary and the oracle can
+    rebuild the identical string."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(
+                F.lit(" reach user"),
+                (did % 100).cast("string"),
+                F.lit("@mail"),
+                F.when(did % 2 == 0, F.lit(".com")).otherwise(F.lit(".org")),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" and admin@site.org")).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails and phone numbers with JVM-side
+    regexps (regexp_count / regexp_replace — whole-stage codegen, no UDF).
+    Map-only: scales as a pure scan transform."""
+    d = load_table(spark, sf_dir, "documents")
+    pii = _pii_text()
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(pii, F.lit(PHONE_RE)).alias("n_phones"),
+        F.length(redacted).alias("n_len_redacted"),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile: word totals, distinct words, and
+    the top word frequency — the standard boilerplate/spam signal. One
+    shuffle keyed by (doc_id, word), partial-aggregated map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    per_word = w.groupBy("doc_id", "source", "word").agg(F.count("*").alias("c"))
+    return per_word.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_freq"),
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning: per-source token mass, current share,
+    sqrt-damped target share (the standard upweight-the-tail mixture rule),
+    and the resulting keep-rate min(1, target/current). One groupBy to
+    ~|sources| rows, then driver-free share math over a global window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum((F.col("n_chars") / 4).cast("long") + 1).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    cur = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    tgt = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(w)
+    return per_src.select(
+        "source",
+        "n_tokens",
+        F.round(cur, 6).alias("current_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(F.least(F.lit(1.0), tgt / cur), 6).alias("keep_rate"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty check: docs with doc_id % 10 == 7 are the
+    incoming batch, the rest the existing corpus. An incoming doc is flagged
+    exact-dup if its md5 matches any corpus doc, neardup-candidate if any of
+    its 4 MinHash band signatures (poly hashes — oracle-replayable) matches
+    a corpus band. Both checks are LEFT SEMI equi-joins (md5 / band key):
+    never an all-pairs comparison, which is the whole point at ingest scale."""
+    from .operators.dedup import MINHASH_PERMS, minhash_signature
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature(d, hash_fn="poly")
+    band_key = [
+        F.concat_ws(
+            ":", *[F.element_at("minhash", b * 4 + j + 1) for j in range(4)]
+        ).alias("bkey")
+        for b in range(len(MINHASH_PERMS) // 4)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_key[b]) for b in range(4)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    incoming = F.col("doc_id") % 10 == 7
+    inc_md5 = d.filter(incoming).select("doc_id", F.md5("text").alias("h"))
+    cor_md5 = d.filter(~incoming).select(F.md5("text").alias("h")).distinct()
+    exact = inc_md5.join(cor_md5, "h", "left_semi").select("doc_id")
+
+    inc_b = bands.filter(incoming)
+    cor_b = bands.filter(~incoming).select("band", "bkey").distinct()
+    near = inc_b.join(cor_b, ["band", "bkey"], "left_semi").select("doc_id").distinct()
+
+    return (
+        d.filter(incoming)
+        .select("doc_id")
+        .join(exact.withColumn("is_exact_dup", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_neardup_candidate", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(0)).alias("is_exact_dup"),
+            F.coalesce("is_neardup_candidate", F.lit(0)).alias("is_neardup_candidate"),
+        )
+    )
+
+
+# ---- temporal joins over events (operators/temporal.py) ----------------------
+
+WINDOW_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+WINDOW_STEP_US = 6 * 3600 * 1_000_000
+WINDOW_LEN_US = 90 * 60 * 1_000_000
+N_WINDOWS = 120
+
+
+def q_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click event, the latest error event of the
+    same user at or before the click (operators/temporal.asof_join —
+    union + one window pass, no join node, one shuffle on user_id).
+    Errors are pre-deduped to one per (user, ts) so the match is unique."""
+    from pyspark.sql import Window
+
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    dd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("_rn", F.row_number().over(dd))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    j = asof_join(
+        clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["event_id"], prefix="err_",
+    )
+    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned to
+    # UTC so the cast reads them as the same instants DuckDB's epoch_us sees
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("err_event_id"),
+        (us("ts") - us("err_ts")).alias("lag_us"),
+    )
+
+
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: events falling inside any of 120 fixed
+    90-minute maintenance windows (every 6 h from 2024-01-01), via
+    operators/temporal.range_join — interval banding makes it a plain
+    equi-join on the bucket id, never a nested-loop theta join."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    iv = spark.range(N_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        (F.lit(WINDOW_BASE_US) + F.col("id") * WINDOW_STEP_US).alias("lo_us"),
+        (F.lit(WINDOW_BASE_US) + F.col("id") * WINDOW_STEP_US + WINDOW_LEN_US).alias("hi_us"),
+    )
+    j = range_join(
+        ev, iv,
+        probe_key=F.col("ts_us"),
+        interval_lo=F.col("lo_us"),
+        interval_hi=F.col("hi_us"),
+        bucket_width=WINDOW_STEP_US,
+    )
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 QUERIES = {
     "pipe_pack_sequences": q_pack_sequences,
     "pipe_token_topk": q_token_topk,
     "pipe_stratified_sample": q_stratified_sample,
     "pipe_dup_clusters": q_dup_clusters,
+    "pipe_contamination": q_contamination,
+    "pipe_pii_redaction": q_pii_redaction,
+    "pipe_repetition": q_repetition,
+    "pipe_mixture_plan": q_mixture_plan,
+    "pipe_incremental_dedup": q_incremental_dedup,
+    "rel_asof_error_click": q_asof_error_click,
+    "rel_events_in_windows": q_events_in_windows,
 }
 
 ORACLES = {
@@ -127,6 +382,147 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
 }
+
+
+_PII_SQL = """
+    text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' reach user' || CAST(doc_id % 100 AS VARCHAR) || '@mail'
+                 || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' and admin@site.org' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+"""
+
+ORACLES.update(
+    {
+        "pipe_contamination": f"""
+            WITH ex AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text) - {GRAM_N - 1}, 1) + 1),
+                       i -> substr(text, CAST(i AS INT), {GRAM_N})))) AS gram
+              FROM documents
+            ),
+            ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+            cont AS (
+              SELECT source, count(DISTINCT doc_id) AS n_contaminated
+              FROM ex
+              WHERE doc_id % {EVAL_MOD} <> 0 AND gram IN (SELECT gram FROM ev)
+              GROUP BY source
+            ),
+            tot AS (
+              SELECT source, count(*) AS n_docs FROM documents
+              WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY source
+            )
+            SELECT t.source, t.n_docs,
+                   CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated
+            FROM tot t LEFT JOIN cont c USING (source)
+        """,
+        "pipe_pii_redaction": f"""
+            WITH p AS (SELECT doc_id, {_PII_SQL} AS pii FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(pii, '{EMAIL_RE}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(pii, '{PHONE_RE}')) AS INT) AS n_phones,
+                   CAST(length(regexp_replace(regexp_replace(pii,
+                        '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g')) AS INT) AS n_len_redacted
+            FROM p
+        """,
+        "pipe_repetition": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+              FROM documents
+            ),
+            pw AS (SELECT doc_id, source, word, count(*) AS c FROM w GROUP BY ALL)
+            SELECT doc_id, source,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS n_distinct_words,
+                   CAST(max(c) AS BIGINT) AS top_word_freq
+            FROM pw GROUP BY doc_id, source
+        """,
+        "pipe_mixture_plan": """
+            WITH s AS (
+              SELECT source, CAST(sum(n_chars // 4 + 1) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_tokens,
+                   round(n_tokens / sum(n_tokens) OVER (), 6) AS current_share,
+                   round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS target_share,
+                   round(least(1.0,
+                     (sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ())
+                     / (n_tokens / sum(n_tokens) OVER ())), 6) AS keep_rate
+            FROM s
+        """,
+        "rel_asof_error_click": """
+            WITH err AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+              QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ),
+            clk AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, e.event_id AS err_event_id,
+                   epoch_us(c.ts) - epoch_us(e.ts) AS lag_us
+            FROM clk c ASOF LEFT JOIN err e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+        """,
+        "rel_events_in_windows": f"""
+            WITH iv AS (
+              SELECT k AS window_id,
+                     {WINDOW_BASE_US} + k * {WINDOW_STEP_US} AS lo_us,
+                     {WINDOW_BASE_US} + k * {WINDOW_STEP_US} + {WINDOW_LEN_US} AS hi_us
+              FROM range(0, {N_WINDOWS}) t(k)
+            ),
+            e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+            SELECT window_id, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   max(event_id) AS max_event_id
+            FROM e JOIN iv ON e.ts_us BETWEEN iv.lo_us AND iv.hi_us
+            GROUP BY window_id
+        """,
+    }
+)
+
+
+def _incremental_dedup_oracle() -> str:
+    from .queries_pipeline import _MINHASH_COLS, _NGRAMS_SQL, _POLY_HASH_G
+
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band, """
+        + " || ':' || ".join(f"CAST(s[{b * 4 + j + 1}] AS VARCHAR)" for j in range(4))
+        + " AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
+          FROM documents
+        ),
+        sig AS (SELECT doc_id, [{_MINHASH_COLS}] AS s FROM h),
+        bands AS ({band_selects}),
+        exact AS (
+          SELECT DISTINCT a.doc_id
+          FROM documents a JOIN documents c ON md5(a.text) = md5(c.text)
+          WHERE a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+        ),
+        near AS (
+          SELECT DISTINCT i.doc_id
+          FROM bands i JOIN bands c ON i.band = c.band AND i.bkey = c.bkey
+          WHERE i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+        )
+        SELECT d.doc_id,
+               CAST(d.doc_id IN (SELECT doc_id FROM exact) AS INT) AS is_exact_dup,
+               CAST(d.doc_id IN (SELECT doc_id FROM near) AS INT) AS is_neardup_candidate
+        FROM documents d WHERE d.doc_id % 10 = 7
+    """
+
+
+ORACLES["pipe_incremental_dedup"] = _incremental_dedup_oracle()
 
 
 def _dup_clusters_oracle() -> str:
