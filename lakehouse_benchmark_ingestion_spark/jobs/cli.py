@@ -31,8 +31,20 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    file/small-file/byte counts, snapshot history, trigger
                    decision — the engine's version of MainRunner's REST
                    monitor port, MainRunner.java:145-212)
+    delete-where   --warehouse W --table T --where JSON [--strategy cow|mor]
+                   (stats-pruned predicate delete; fully-matching files drop
+                   metadata-only; mor writes an eq-delete file instead)
+    update-where   --warehouse W --table T --where JSON --set JSON
+                   (e.g. --set '{"source": "concat(source, chr(95))"}' —
+                   values are Spark SQL expressions over the OLD row)
+    create-tag     --warehouse W --table T --name N [--snapshot-id S]
+    create-branch  --warehouse W --table T --name N [--snapshot-id S]
+    fast-forward   --warehouse W --table T --name N   (publish branch → main)
+    drop-ref       --warehouse W --table T --name N
+    refs           --warehouse W --table T
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
+                   [--ref NAME | --as-of-ms MS]   (time travel)
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
     remove-orphans --warehouse W --table T [--older-than-ms MS] [--dry-run]
     add-column     --warehouse W --table T --column NAME --type DDL
@@ -82,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--all", action="store_true", dest="all_tables")
     p.add_argument("--if-needed", action="store_true")
     p.add_argument("--config")
+    p.add_argument("--set", dest="set_json")
+    p.add_argument("--name")
+    p.add_argument("--ref")
+    p.add_argument("--as-of-ms", type=int)
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -251,6 +267,50 @@ def main(argv: list[str] | None = None) -> int:
         out.pop("table", None)
         out["tables"] = tables_out
 
+    elif args.command in ("delete-where", "update-where"):
+        from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+            delete_where,
+            update_where,
+        )
+
+        if not args.where:
+            p.error(f"{args.command} requires --where")
+        where = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(args.where).items()
+        }
+        tbl = cat.load_table(args.table)
+        if args.command == "delete-where":
+            out.update(
+                delete_where(
+                    spark, tbl, where, strategy=args.strategy,
+                    target_file_size=target, key=args.key, run_id=args.run_id,
+                )
+            )
+        else:
+            if not args.set_json:
+                p.error("update-where requires --set")
+            out.update(
+                update_where(
+                    spark, tbl, where, json.loads(args.set_json),
+                    target_file_size=target, key=args.key, run_id=args.run_id,
+                )
+            )
+
+    elif args.command in ("create-tag", "create-branch", "fast-forward", "drop-ref", "refs"):
+        tbl = cat.load_table(args.table)
+        if args.command != "refs" and not args.name:
+            p.error(f"{args.command} requires --name")
+        if args.command == "create-tag":
+            tbl.create_tag(args.name, args.snapshot_id)
+        elif args.command == "create-branch":
+            tbl.create_branch(args.name, args.snapshot_id)
+        elif args.command == "fast-forward":
+            tbl.fast_forward(args.name)
+        elif args.command == "drop-ref":
+            tbl.drop_ref(args.name)
+        out["refs"] = tbl.refs()
+
     elif args.command == "scan":
         tbl = cat.load_table(args.table)
         where = None
@@ -259,7 +319,10 @@ def main(argv: list[str] | None = None) -> int:
                 k: tuple(v) if isinstance(v, list) else v
                 for k, v in json.loads(args.where).items()
             }
-        df = tbl.scan(spark, snapshot_id=args.snapshot_id, where=where)
+        df = tbl.scan(
+            spark, snapshot_id=args.snapshot_id, where=where,
+            ref=args.ref, as_of_timestamp_ms=args.as_of_ms,
+        )
         out["rows"] = df.count()
         out["sample"] = [
             {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}

@@ -59,3 +59,43 @@ def test_cli_full_suite(spark, warehouse, capsys):
 def test_cli_rejects_unknown_command(warehouse):
     with pytest.raises(SystemExit):
         main(["frobnicate", "--warehouse", warehouse])
+
+
+def test_cli_dml_and_refs(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    base = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+
+    r = run(capsys, "create-tag", "--warehouse", warehouse, "--name", "before-dml")
+    assert r["refs"]["before-dml"]["type"] == "tag"
+
+    r = run(capsys, "delete-where", "--warehouse", warehouse, "--where", '{"n_tok": [0, 30]}')
+    assert r["files_matched"] >= 1
+    after_del = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+    assert after_del < base
+
+    r = run(
+        capsys, "update-where", "--warehouse", warehouse,
+        "--where", '{"n_tok": [100, null]}',
+        "--set", '{"source": "concat(source, \'_x\')"}',
+    )
+    assert r["rows_out"] > 0
+
+    # tag still answers the pre-DML table
+    r = run(capsys, "scan", "--warehouse", warehouse, "--ref", "before-dml", "--limit", "1")
+    assert r["rows"] == base
+
+    r = run(capsys, "refs", "--warehouse", warehouse)
+    assert "before-dml" in r["refs"]
+    run(capsys, "drop-ref", "--warehouse", warehouse, "--name", "before-dml")
+    r = run(capsys, "refs", "--warehouse", warehouse)
+    assert r["refs"] == {}
+
+
+def test_cli_branch_publish(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(capsys, "create-branch", "--warehouse", warehouse, "--name", "audit")
+    assert r["refs"]["audit"]["type"] == "branch"
+    r = run(capsys, "fast-forward", "--warehouse", warehouse, "--name", "audit")
+    assert "audit" in r["refs"]
