@@ -262,6 +262,92 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+BATCH_TOKENS = 4096
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding: docs ranked by n_tok DESC (ties by
+    doc_id) are dealt serpentine across N_SHARDS (shard = rank % N on even
+    deals, N-1-rank%N on odd — the classic greedy-balance approximation
+    that is also closed-form, so both engines compute the identical
+    assignment). Certified output = per-shard doc/token totals; the spread
+    between the heaviest and lightest shard is the balance proof. One
+    global sort (rangepartitioned) + one groupBy."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("n_chars") / 4).cast("long") + 1).alias("n_tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+    r = d.withColumn("rank0", F.row_number().over(w) - 1)
+    deal = (F.col("rank0") / N_SHARDS).cast("long")
+    pos = F.col("rank0") % N_SHARDS
+    shard = F.when(deal % 2 == 0, pos).otherwise(N_SHARDS - 1 - pos)
+    return (
+        r.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def q_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: docs sorted easiest-first (shorter = easier as
+    the stand-in difficulty), token-budgeted batches cut by cumulative
+    token count // BATCH_TOKENS (same cumulative-window shape as sequence
+    packing — one range-partitioned sort, no driver loop). Certified
+    per-batch stats prove the difficulty ramp: batch_id increases with
+    mean doc length."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        ((F.col("n_chars") / 4).cast("long") + 1).alias("n_tok"),
+    )
+    w = (
+        Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    batch = ((F.col("cum") - F.col("n_tok")) / BATCH_TOKENS).cast("long")
+    return (
+        c.withColumn("batch_id", batch)
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram frequency head (LM corpus statistics): adjacent token
+    pairs from every sequence, counted and top-100'd. zip_with over the
+    array and its tail keeps pair construction JVM-side; the only shuffle
+    is the (t1, t2) groupBy with map-side partial aggregation."""
+    seq = tokens_df(spark, sf_dir)
+    pairs = F.zip_with(
+        F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+        F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    )
+    return (
+        seq.filter(F.size("tokens") >= 2)
+        .select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(TOPK)
+    )
+
+
 # ---- temporal joins over events (operators/temporal.py) ----------------------
 
 WINDOW_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
@@ -346,6 +432,9 @@ QUERIES = {
     "pipe_repetition": q_repetition,
     "pipe_mixture_plan": q_mixture_plan,
     "pipe_incremental_dedup": q_incremental_dedup,
+    "pipe_shard_balance": q_shard_balance,
+    "pipe_curriculum_batches": q_curriculum_batches,
+    "pipe_bigram_topk": q_bigram_topk,
     "rel_asof_error_click": q_asof_error_click,
     "rel_events_in_windows": q_events_in_windows,
 }
@@ -456,6 +545,50 @@ ORACLES.update(
                      (sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ())
                      / (n_tokens / sum(n_tokens) OVER ())), 6) AS keep_rate
             FROM s
+        """,
+        "pipe_shard_balance": f"""
+            WITH d AS (
+              SELECT doc_id, CAST(n_chars // 4 + 1 AS BIGINT) AS n_tok FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tok,
+                     row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1 AS rank0
+              FROM d
+            )
+            SELECT CAST(CASE WHEN (rank0 // {N_SHARDS}) % 2 = 0
+                             THEN rank0 % {N_SHARDS}
+                             ELSE {N_SHARDS} - 1 - rank0 % {N_SHARDS} END AS BIGINT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM r GROUP BY shard
+        """,
+        "pipe_curriculum_batches": f"""
+            WITH d AS (
+              SELECT doc_id, n_chars, CAST(n_chars // 4 + 1 AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tok) OVER (
+                ORDER BY n_chars ASC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d
+            )
+            SELECT CAST((cum - n_tok) // {BATCH_TOKENS} AS BIGINT) AS batch_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM c GROUP BY batch_id
+        """,
+        "pipe_bigram_topk": f"""
+            WITH seq AS ({TOKENS_ORACLE_SQL}),
+            p AS (
+              SELECT unnest(tokens[1:len(tokens) - 1]) AS t1,
+                     unnest(tokens[2:len(tokens)]) AS t2
+              FROM seq WHERE len(tokens) >= 2
+            )
+            SELECT CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2, count(*) AS freq
+            FROM p GROUP BY t1, t2
+            ORDER BY freq DESC, t1 ASC, t2 ASC LIMIT {TOPK}
         """,
         "rel_asof_error_click": """
             WITH err AS (
