@@ -348,6 +348,45 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE composed dataflow:
+    quality filter (length >= 100) → exact dedup (keep min doc_id per md5)
+    → deterministic 20% stratified sample → greedy context-window packing,
+    certified by per-source pack counts + token totals.
+
+    Every stage is the engine's certified operator shape (filter pushdown,
+    hash-groupBy dedup, arithmetic-hash sample, window packing) — the match
+    proves the stages COMPOSE, not just that each works alone. Two shuffles
+    total at scale: the dedup groupBy and the per-source packing sort."""
+    from .operators.packing import pack_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(F.length("text") >= 100)
+    keeper = (
+        quality.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(keeper, "doc_id", "left_semi")
+    sampled = kept.filter(
+        (F.col("doc_id") * SAMPLE_A + SAMPLE_C) % SAMPLE_MOD < SAMPLE_KEEP
+    )
+    seq = sampled.select(
+        "doc_id",
+        ((F.col("n_chars") / 4).cast("long") + 1).alias("n_tok"),
+        "source",
+    )
+    return (
+        pack_stats(seq, CTX_LEN)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tok_started").alias("n_tokens"),
+        )
+    )
+
+
 # ---- temporal joins over events (operators/temporal.py) ----------------------
 
 WINDOW_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
@@ -435,6 +474,7 @@ QUERIES = {
     "pipe_shard_balance": q_shard_balance,
     "pipe_curriculum_batches": q_curriculum_batches,
     "pipe_bigram_topk": q_bigram_topk,
+    "pipe_e2e_training_prep": q_e2e_training_prep,
     "rel_asof_error_click": q_asof_error_click,
     "rel_events_in_windows": q_events_in_windows,
 }
@@ -589,6 +629,32 @@ ORACLES.update(
             SELECT CAST(t1 AS INT) AS t1, CAST(t2 AS INT) AS t2, count(*) AS freq
             FROM p GROUP BY t1, t2
             ORDER BY freq DESC, t1 ASC, t2 ASC LIMIT {TOPK}
+        """,
+        "pipe_e2e_training_prep": f"""
+            WITH q AS (SELECT * FROM documents WHERE length(text) >= 100),
+            k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM q GROUP BY h),
+            kept AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.doc_id),
+            s AS (
+              SELECT * FROM kept
+              WHERE (doc_id * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+            ),
+            seq AS (
+              SELECT doc_id, CAST(n_chars // 4 + 1 AS BIGINT) AS n_tok, source FROM s
+            ),
+            c AS (
+              SELECT source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+              FROM seq
+            ),
+            p AS (
+              SELECT source, CAST((cum - n_tok) // {CTX_LEN} AS BIGINT) AS pack_id,
+                     count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_started
+              FROM c GROUP BY source, pack_id
+            )
+            SELECT source, count(*) AS n_packs,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(tok_started) AS BIGINT) AS n_tokens
+            FROM p GROUP BY source
         """,
         "rel_asof_error_click": """
             WITH err AS (
