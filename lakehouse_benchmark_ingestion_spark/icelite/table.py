@@ -72,6 +72,67 @@ class IceliteTable:
     def history(self) -> list[md.Snapshot]:
         return sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
 
+    def rollback(self, snapshot_id: int) -> None:
+        """Point the main head back at an earlier retained snapshot
+        (Iceberg's rollback-to-snapshot). Metadata-only and atomic; later
+        snapshots stay in history until expire_snapshots reaps them, so a
+        rollback is itself reversible by rolling 'back' forward."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            meta.snapshot(snapshot_id)  # raises if unknown/expired
+            meta.current_snapshot_id = snapshot_id
+            return meta
+
+        md.commit(self.location, mutate)
+
+    def metadata_df(self, spark, kind: str = "files"):
+        """Queryable metadata tables (Iceberg's ``table.files`` /
+        ``table.snapshots`` / ``table.refs``): the table's own metadata as a
+        DataFrame, so operational queries (small-file counts, snapshot
+        cadence, bytes per bucket) run through the same engine as data
+        queries. Built driver-side from manifests — metadata is O(files),
+        not O(rows)."""
+        if kind == "files":
+            rows = [
+                {
+                    "path": f.path,
+                    "content": f.content,
+                    "record_count": f.record_count,
+                    "file_size_bytes": f.file_size_bytes,
+                    "sequence_number": f.sequence_number,
+                    "bucket": f.bucket,
+                }
+                for f in self.all_files()
+            ]
+            schema = (
+                "path string, content string, record_count long, "
+                "file_size_bytes long, sequence_number long, bucket long"
+            )
+        elif kind == "snapshots":
+            rows = [
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "parent_id": s.parent_id,
+                    "operation": s.operation,
+                    "timestamp_ms": s.timestamp_ms,
+                    "n_manifests": len(s.manifests),
+                }
+                for s in self.history()
+            ]
+            schema = (
+                "snapshot_id long, parent_id long, operation string, "
+                "timestamp_ms long, n_manifests long"
+            )
+        elif kind == "refs":
+            rows = [
+                {"name": n, "type": r["type"], "snapshot_id": int(r["snapshot_id"])}
+                for n, r in self.refs().items()
+            ]
+            schema = "name string, type string, snapshot_id long"
+        else:
+            raise ValueError(f"unknown metadata table {kind!r}")
+        return spark.createDataFrame(rows, schema)
+
     def all_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         """Every manifest entry — data files AND eq-delete files."""
         snap = self.meta.snapshot(snapshot_id)

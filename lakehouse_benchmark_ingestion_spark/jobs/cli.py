@@ -42,6 +42,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     fast-forward   --warehouse W --table T --name N   (publish branch → main)
     drop-ref       --warehouse W --table T --name N
     refs           --warehouse W --table T
+    rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
+    metadata       --warehouse W --table T [--kind files|snapshots|refs]
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
                    [--ref NAME | --as-of-ms MS]   (time travel)
@@ -98,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--name")
     p.add_argument("--ref")
     p.add_argument("--as-of-ms", type=int)
+    p.add_argument("--kind", default="files", choices=["files", "snapshots", "refs"])
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -310,6 +313,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "drop-ref":
             tbl.drop_ref(args.name)
         out["refs"] = tbl.refs()
+
+    elif args.command == "rollback":
+        if args.snapshot_id is None:
+            p.error("rollback requires --snapshot-id")
+        tbl = cat.load_table(args.table)
+        tbl.rollback(args.snapshot_id)
+        out["current_snapshot"] = tbl.current_snapshot().snapshot_id
+
+    elif args.command == "metadata":
+        tbl = cat.load_table(args.table)
+        df = tbl.metadata_df(spark, args.kind)
+        out["kind"] = args.kind
+        out["rows"] = [r.asDict() for r in df.collect()]
 
     elif args.command == "scan":
         tbl = cat.load_table(args.table)

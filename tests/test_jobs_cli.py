@@ -99,3 +99,14 @@ def test_cli_branch_publish(spark, warehouse, capsys):
     assert r["refs"]["audit"]["type"] == "branch"
     r = run(capsys, "fast-forward", "--warehouse", warehouse, "--name", "audit")
     assert "audit" in r["refs"]
+
+
+def test_cli_rollback_and_metadata(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    h = run(capsys, "history", "--warehouse", warehouse)["snapshots"]
+    first = h[0]["id"]
+    r = run(capsys, "rollback", "--warehouse", warehouse, "--snapshot-id", str(first))
+    assert r["current_snapshot"] == first
+    r = run(capsys, "metadata", "--warehouse", warehouse, "--kind", "snapshots")
+    assert len(r["rows"]) == len(h)

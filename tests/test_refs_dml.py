@@ -181,3 +181,33 @@ def test_null_counts_harvested(spark, ranged_table):
     for f in ranged_table.data_files():
         assert f.null_counts.get("doc_id") == 0
         assert f.null_counts.get("n_tok") == 0
+
+
+def test_rollback_and_metadata_tables(spark, sequences_table):
+    tbl = sequences_table
+    base = tbl.current_snapshot().snapshot_id
+    n0 = tbl.scan(spark).count()
+    extra = tbl.scan(spark).limit(3).withColumn("doc_id", F.concat(F.lit("rb-"), F.col("doc_id")))
+    tbl.append(extra)
+    assert tbl.scan(spark).count() == n0 + 3
+    tbl.rollback(base)
+    assert tbl.current_snapshot().snapshot_id == base
+    assert tbl.scan(spark).count() == n0
+    # rollback is reversible while the later snapshot is retained
+    later = [s.snapshot_id for s in tbl.history() if s.snapshot_id != base]
+    tbl.rollback(later[-1])
+    assert tbl.scan(spark).count() == n0 + 3
+
+    files = tbl.metadata_df(spark, "files")
+    assert files.filter(F.col("content") == "data").count() == len(tbl.data_files())
+    assert files.agg(F.sum("record_count")).collect()[0][0] >= n0
+    snaps = tbl.metadata_df(spark, "snapshots")
+    assert snaps.count() == len(tbl.history())
+    tbl.create_tag("md-tag")
+    refs = tbl.metadata_df(spark, "refs")
+    assert refs.filter(F.col("name") == "md-tag").count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        tbl.rollback(999999999)
