@@ -611,6 +611,18 @@ class IceliteTable:
         if where:
             keep = self._where_file_filter(where)
             files = [f for f in files if keep(f)]
+            # equality predicates additionally consult any bloom sidecar
+            # built for this snapshot (operators/bloom_index.py): min/max
+            # stats cannot prune point lookups once file ranges overlap,
+            # a bloom bitmap can — and a missing index is a silent no-op
+            from ..operators.bloom_index import bloom_file_filter
+
+            for col, cond in where.items():
+                if isinstance(cond, tuple):
+                    continue
+                bf = bloom_file_filter(self, col, cond, snapshot_id=snapshot_id)
+                if bf is not None:
+                    files = [f for f in files if bf(f)]
         schema = self.schema
         deletes = self.delete_files(snapshot_id)
         if deletes:

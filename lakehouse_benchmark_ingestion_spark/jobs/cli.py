@@ -43,6 +43,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     drop-ref       --warehouse W --table T --name N
     refs           --warehouse W --table T
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
+    build-bloom    --warehouse W --table T --column C   (per-file bloom index;
+                   scan --where equality predicates consult it automatically)
     metadata       --warehouse W --table T [--kind files|snapshots|refs]
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
@@ -313,6 +315,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "drop-ref":
             tbl.drop_ref(args.name)
         out["refs"] = tbl.refs()
+
+    elif args.command == "build-bloom":
+        from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+            build_bloom_index,
+        )
+
+        if not args.column:
+            p.error("build-bloom requires --column")
+        out.update(build_bloom_index(spark, cat.load_table(args.table), args.column))
 
     elif args.command == "rollback":
         if args.snapshot_id is None:

@@ -1,0 +1,88 @@
+"""Per-file bloom index: hash portability (Spark == Python), skipping power
+on point lookups, conservative behavior for unindexed files, and result
+correctness through scan(file_filter=...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+    _positions_py,
+    bloom_file_filter,
+    build_bloom_index,
+    load_bloom_index,
+    _position_cols,
+)
+
+
+def test_hash_family_matches_spark(spark):
+    vals = ["42-0", "abc", "7", ""]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = df.select("v", *_position_cols("v", 8192, 4)).collect()
+    for r in rows:
+        assert [r[f"_p{i}"] for i in range(4)] == _positions_py(r["v"], 8192, 4)
+
+
+def test_bloom_skips_files_and_preserves_results(spark, sequences_table):
+    tbl = sequences_table
+    m = build_bloom_index(spark, tbl, "doc_id")
+    n_files = len(tbl.data_files())
+    assert m["files"] == n_files and n_files >= 2
+
+    probe = tbl.scan(spark).select("doc_id").limit(1).collect()[0][0]
+
+    # present key: the filtered scan returns exactly the unfiltered answer
+    keep = bloom_file_filter(tbl, "doc_id", probe)
+    assert keep is not None
+    hit_files = [f for f in tbl.data_files() if keep(f)]
+    want = tbl.scan(spark).filter(F.col("doc_id") == probe).count()
+    got = (
+        tbl.scan(spark, file_filter=keep).filter(F.col("doc_id") == probe).count()
+    )
+    assert got == want and want >= 1
+    assert 1 <= len(hit_files) <= n_files
+
+    # absent key: with 8192 bits and small per-file cardinality the bloom
+    # should prove absence for (nearly) every file
+    keep_absent = bloom_file_filter(tbl, "doc_id", "no-such-key-xyz")
+    n_kept = sum(1 for f in tbl.data_files() if keep_absent(f))
+    assert n_kept <= max(1, n_files // 4)
+    assert (
+        tbl.scan(spark, file_filter=keep_absent)
+        .filter(F.col("doc_id") == "no-such-key-xyz")
+        .count()
+        == 0
+    )
+
+
+def test_bloom_unindexed_and_stale_snapshots(spark, sequences_table):
+    tbl = sequences_table
+    build_bloom_index(spark, tbl, "doc_id")
+    old_snapshot = tbl.current_snapshot().snapshot_id
+    # a commit moves the head: the sidecar is pinned to the OLD snapshot
+    extra = tbl.scan(spark).limit(2).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    tbl.append(extra)
+    assert load_bloom_index(tbl, "doc_id") is None  # current head unindexed
+    assert bloom_file_filter(tbl, "doc_id", "x") is None
+    # the old snapshot's index still probes
+    keep = bloom_file_filter(tbl, "doc_id", "x", snapshot_id=old_snapshot)
+    assert keep is not None
+    # rebuild at the new head: new files indexed, new keys found
+    build_bloom_index(spark, tbl, "doc_id")
+    probe = extra.select("doc_id").limit(1).collect()[0][0]
+    keep = bloom_file_filter(tbl, "doc_id", probe)
+    assert tbl.scan(spark, file_filter=keep).filter(
+        F.col("doc_id") == probe
+    ).count() == 1
+
+
+def test_scan_where_consults_bloom_automatically(spark, sequences_table):
+    tbl = sequences_table
+    build_bloom_index(spark, tbl, "doc_id")
+    probe = tbl.scan(spark).select("doc_id").limit(1).collect()[0][0]
+    assert tbl.scan(spark, where={"doc_id": probe}).count() >= 1
+    assert tbl.scan(spark, where={"doc_id": "nope-zzz"}).count() == 0
+    # range predicates must NOT consult the bloom (only equality can)
+    assert tbl.scan(spark, where={"n_tok": (0, 10**9)}).count() == tbl.scan(spark).count()
