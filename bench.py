@@ -158,6 +158,30 @@ def run_bench() -> dict:
     ).filter(F.col("doc_id") == probe).count()
     timings["point_lookup_pruned"] = round(time.time() - t0, 3)
 
+    # ---- bloom-index point lookups (not part of the suite wall): build the
+    # per-file bloom sidecar once, then probe a present and an absent key.
+    # Min/max stats prune the clustered table to ~1 file for present keys;
+    # the bloom's win is ABSENT keys, which stats can't disprove once the
+    # probe falls inside some file's range.
+    from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+        bloom_file_filter,
+        build_bloom_index,
+    )
+
+    t0 = time.time()
+    bm = build_bloom_index(spark, tbl, "doc_id")
+    timings["build_bloom"] = round(time.time() - t0, 3)
+    # an absent key INSIDE the occupied key range: min/max stats cannot
+    # disprove it, so any skipping measured here is the bloom's alone
+    absent = probe + "-absent"
+    bf = bloom_file_filter(tbl, "doc_id", absent)
+    bloom_files_scanned = sum(1 for f in tbl.data_files() if bf(f)) if bf else None
+    tbl.scan(spark, where={"doc_id": absent}).count()  # codegen warmup (untimed)
+    t0 = time.time()
+    miss = tbl.scan(spark, where={"doc_id": absent}).count()
+    timings["point_lookup_bloom_absent"] = round(time.time() - t0, 3)
+    assert miss == 0
+
     # ---- pure-CPU kernel probe (not part of the suite wall): xxhash64 over
     # a generated range — no storage, no shuffle. Separates "does the ENGINE
     # serialize anything" from this single box's shared memory-bandwidth
@@ -198,6 +222,9 @@ def run_bench() -> dict:
         "gb_per_hour": round(gb / (maintenance_wall / 3600), 2),
         "seq_per_sec": round(rows_in / maintenance_wall, 1),
         "point_lookup_rows": hit,
+        "bloom_index_files": bm.get("files"),
+        "bloom_index_bytes": bm.get("bytes"),
+        "bloom_files_scanned_absent": bloom_files_scanned,
         "scan_rows": agg and sum(r.n for r in agg),
         "token_checksum": full[0]["cksum"],
     }

@@ -318,7 +318,12 @@ class IceliteTable:
         schema = self.schema
         cols = [f.name for f in schema.fields]
         if not paths:
-            return spark.createDataFrame([], schema).select(*cols)
+            # emptyRDD → ZERO partitions: a fully-pruned scan (stats/bloom
+            # proved no file can match) must cost no tasks at all, not a
+            # default-parallelism-wide no-op job
+            return spark.createDataFrame(
+                spark.sparkContext.emptyRDD(), schema
+            ).select(*cols)
         aliases = self.meta.column_aliases
         live = {n: olds for n, olds in aliases.items() if n in cols}
         if not live:

@@ -24,6 +24,7 @@ kept. False positives only cost a wasted file read — never wrong results.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import json
 import os
@@ -31,8 +32,10 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_BITS = 8192
 DEFAULT_K = 4
+BITS_PER_KEY = 10  # with k=4: FP ~ (1 - e^(-4/10))^4 ≈ 1.2%
+MIN_BITS = 8192
+MAX_BITS = 1 << 23  # 1 MiB bitmap per file — the driver-side cap
 
 
 def _positions_py(value, bits: int, k: int) -> list[int]:
@@ -70,18 +73,27 @@ def build_bloom_index(
     spark: SparkSession,
     table,
     column: str,
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     k: int = DEFAULT_K,
 ) -> dict:
     """Build the per-file bloom sidecar for the CURRENT snapshot. Returns
     summary metrics. Re-running after new commits rebuilds for the new
-    snapshot (sidecars are snapshot-pinned, like manifests)."""
+    snapshot (sidecars are snapshot-pinned, like manifests).
+
+    ``bits`` auto-sizes to BITS_PER_KEY × the largest file's row count
+    (clamped to [MIN_BITS, MAX_BITS]) — an undersized bloom silently
+    saturates and skips nothing; bitmaps are stored byte-packed + base64."""
     snap = table.current_snapshot()
     if snap is None:
         return {"files": 0}
     files = table.data_files(snap.snapshot_id)
     if not files:
         return {"files": 0}
+    if bits is None:
+        want = BITS_PER_KEY * max(f.record_count for f in files)
+        bits = MIN_BITS
+        while bits < want and bits < MAX_BITS:
+            bits *= 2
     # raw read (not table.read_files): the _metadata pseudo-column only
     # exists on the scan relation itself. Renamed columns coalesce across
     # their recorded name lineage, mirroring read_files.
@@ -104,10 +116,15 @@ def build_bloom_index(
     )
     # _metadata.file_path is a URI ("file:/abs/path" or "file:///abs/path");
     # realpath collapses the leftover leading slashes either way
-    bitmap = {
-        os.path.realpath(r["_fp"].removeprefix("file:")): sorted(r["_bits"])
-        for r in rows
-    }
+    bitmap: dict[str, str] = {}
+    n_bits_set = 0
+    for r in rows:
+        bm = bytearray(bits // 8)
+        for p in r["_bits"]:
+            bm[p >> 3] |= 1 << (p & 7)
+        n_bits_set += len(r["_bits"])
+        key = os.path.realpath(r["_fp"].removeprefix("file:"))
+        bitmap[key] = base64.b64encode(bytes(bm)).decode("ascii")
     payload = {
         "column": column,
         "bits": bits,
@@ -120,10 +137,10 @@ def build_bloom_index(
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     os.replace(tmp, path)
-    n_bits = sum(len(v) for v in bitmap.values())
     return {
         "files": len(bitmap),
-        "bits_set_total": n_bits,
+        "bits": bits,
+        "bits_set_total": n_bits_set,
         "bytes": os.path.getsize(path),
         "snapshot_id": snap.snapshot_id,
         "path": path,
@@ -150,12 +167,12 @@ def bloom_file_filter(table, column: str, value, snapshot_id: int | None = None)
     if idx is None:
         return None
     want = _positions_py(value, idx["bits"], idx["k"])
-    bitmaps = {p: set(b) for p, b in idx["files"].items()}
+    bitmaps = {p: base64.b64decode(b) for p, b in idx["files"].items()}
 
     def keep(f) -> bool:
         bm = bitmaps.get(os.path.realpath(f.path))
         if bm is None:
             return True  # not indexed (newer than the build) — conservative
-        return all(p in bm for p in want)
+        return all(bm[p >> 3] & (1 << (p & 7)) for p in want)
 
     return keep
