@@ -69,12 +69,29 @@ def _poly_hash_of(g: Column) -> Column:
     )
 
 
+def _poly_hash_flat(g: Column, n: int) -> Column:
+    """Closed-form polynomial hash of an exactly-n-char gram:
+    sum(code(g[i]) * B^(n-1-i)) % P — identical to the left fold for grams
+    of length n (and zero-padded semantics for the degenerate shorter grams
+    a text with < n chars produces; ascii('') == 0 in both Spark and
+    DuckDB). Flat arithmetic stays in whole-stage codegen; the fold is an
+    interpreted nested higher-order function — measured ~2x slower."""
+    parts = [
+        F.ascii(g.substr(i + 1, 1)).cast("long") * (HASH_B ** (n - 1 - i))
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out % HASH_P
+
+
 def shingle_hashes(text_col: str, n: int = 3, hash_fn: str = "xxhash64") -> Column:
     """Array of int64 hashes in [0, P), one per distinct shingle."""
     grams = _shingles_sql(text_col, n)
     if hash_fn == "xxhash64":
         return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_P)))
-    return F.transform(grams, _poly_hash_of)
+    return F.transform(grams, lambda g: _poly_hash_flat(g, n))
 
 
 def minhash_signature(
@@ -178,7 +195,13 @@ def minhash_dedup_pairs(
 
     ``hash_fn="poly"`` makes every stage DuckDB-replayable (the driver
     oracle); xxhash64 is the faster production default."""
-    sig = minhash_signature(df.select(id_col, text_col), text_col, n=n, hash_fn=hash_fn)
+    # the signature stage is CPU-heavy per row; small inputs arrive as ONE
+    # file split and would serialize it on one core. Widen to the cluster's
+    # parallelism first — at 100 TB the scan already has thousands of
+    # splits and this repartition is a near-no-op reshuffle of (id, text).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(id_col, text_col).repartition(par, id_col)
+    sig = minhash_signature(df, text_col, n=n, hash_fn=hash_fn)
     cands = lsh_candidate_pairs(sig, id_col=id_col, max_bucket_size=max_bucket_size)
     docs = df.select(
         F.col(id_col), _shingles_sql(text_col, n).alias("_grams")
