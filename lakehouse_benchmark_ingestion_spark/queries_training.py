@@ -731,9 +731,12 @@ def _dup_clusters_oracle() -> str:
     from .queries_pipeline import ORACLES as PIPE
 
     pairs_sql = PIPE["pipe_dedup_minhash_pairs"]
+    # MATERIALIZED: DuckDB otherwise inlines these CTEs into the recursive
+    # part and re-evaluates the expensive MinHash pipeline EVERY iteration
+    # of the closure (measured 91 s -> 14 s at sf0.01)
     return f"""
-        WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({pairs_sql})),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED (SELECT a_id, b_id FROM ({pairs_sql})),
+        edges AS MATERIALIZED (
           SELECT a_id AS s, b_id AS d FROM pairs
           UNION
           SELECT b_id AS s, a_id AS d FROM pairs
