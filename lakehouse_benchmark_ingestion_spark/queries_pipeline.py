@@ -794,7 +794,7 @@ ORACLES["pipe_dedup_minhash_pairs"] = f"""
              list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
       FROM documents
     ),
-    sig AS (SELECT doc_id, grams, [{_MINHASH_COLS}] AS s FROM h),
+    sig AS MATERIALIZED (SELECT doc_id, grams, [{_MINHASH_COLS}] AS s FROM h),
     cand AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.grams AS ga, b.grams AS gb
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})

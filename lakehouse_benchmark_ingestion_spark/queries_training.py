@@ -702,8 +702,8 @@ def _incremental_dedup_oracle() -> str:
                  list_transform({_NGRAMS_SQL}, g -> {_POLY_HASH_G}) AS hashes
           FROM documents
         ),
-        sig AS (SELECT doc_id, [{_MINHASH_COLS}] AS s FROM h),
-        bands AS ({band_selects}),
+        sig AS MATERIALIZED (SELECT doc_id, [{_MINHASH_COLS}] AS s FROM h),
+        bands AS MATERIALIZED ({band_selects}),
         exact AS (
           SELECT DISTINCT a.doc_id
           FROM documents a JOIN documents c ON md5(a.text) = md5(c.text)
