@@ -729,6 +729,56 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-filtered streaming ingest (mode='append_dedup'): the
+    documents feed — which contains real duplicates — drained in 3
+    doc_id-ordered micro-batches; each batch drops rows whose content
+    digest already exists in the table or earlier in the batch (min-key
+    survivor). The final table must equal the declarative one-shot
+    first-occurrence-per-digest — certifying that per-batch novelty
+    anti-joins COMPOSE across the checkpointed stream."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from .icelite import Catalog
+    from .streaming.incremental import stream_ingest_files
+
+    ck = ("dedup_ingest", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_dedup")
+        shutil.rmtree(base, ignore_errors=True)
+        base_rows = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("h"), "source"
+        )
+        # the corpus has few/no exact dups at small sf — re-emit every 7th
+        # doc under a higher id so the stream provably drops replicas both
+        # across batches (anti-join vs the table) and within the last batch
+        # (min-key window)
+        d = base_rows.unionByName(
+            base_rows.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "h",
+                F.lit("replay").alias("source"),
+            )
+        )
+        # doc_id-ordered slices: the stream's first sight of a digest is its
+        # globally-smallest doc_id, making the survivor set closed-form
+        sliced = d.withColumn("_slice", F.ntile(3).over(Window.orderBy("doc_id")))
+        for k in range(1, 4):
+            sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(
+                1
+            ).write.parquet(f"{base}/drops/drop-{k:04d}")
+        tbl = Catalog(base).create_table("docs_dedup", d.schema)
+        stream_ingest_files(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt",
+            mode="append_dedup", key="doc_id", dedup_col="h",
+        )
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select("doc_id", "h", "source")
+
+
 QUERIES.update(
     {
         "stream_sessions": q_stream_sessions,
@@ -742,6 +792,7 @@ QUERIES.update(
         "pipe_frame_sample": q_frame_sample,
         "stream_ingested_scan": q_stream_ingested_scan,
         "stream_merge_upsert": q_stream_merge_upsert,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
         "stream_windowed_rollup": q_stream_windowed_rollup,
     }
 )
@@ -947,6 +998,17 @@ ORACLES["stream_windowed_rollup"] = """
 
 # declarative closed-session twin of the stateful kernel: lag + cumsum
 # sessionization; a session is closed iff a later session exists for its user
+ORACLES["stream_dedup_ingest"] = """
+    WITH feed AS (
+      SELECT doc_id, md5(text) AS h, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, md5(text), 'replay' FROM documents
+      WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, h, source FROM feed
+    QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+"""
+
 ORACLES["stream_sessions"] = """
     WITH lagged AS (
       SELECT user_id, event_id, ts, value,

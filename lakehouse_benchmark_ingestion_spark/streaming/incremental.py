@@ -28,9 +28,10 @@ def stream_ingest_files(
     table: IceliteTable,
     source_dir: str,
     checkpoint_dir: str,
-    mode: str = "append",  # append | merge
+    mode: str = "append",  # append | merge | append_dedup
     key: str = "doc_id",
     seq_col: str = "_seq",
+    dedup_col: str = "tok_digest",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     stop_after_batches: int | None = None,
@@ -50,7 +51,16 @@ def stream_ingest_files(
     ``timeout_seconds``), stopping the query — in production you simply
     never stop it.
     """
-    schema = table.schema if mode == "append" else None
+    # ``mode="append_dedup"`` is the novelty-filtered
+    # ingest a dedup pipeline runs at the CDC tail: each micro-batch drops
+    # rows whose ``dedup_col`` (a content digest computed upstream, e.g.
+    # md5(text) or the token digest) already exists in the table OR occurs
+    # earlier in the same batch (kept row = min key, deterministic). Both
+    # checks are equi-joins against the digest — at 10^12 rows the existing-
+    # keys side is a column-pruned scan of ONE column, and a bloom index on
+    # the digest (operators/bloom_index.py) turns it into a file-skipping
+    # probe. No all-pairs comparison anywhere.
+    schema = table.schema if mode in ("append", "append_dedup") else None
     reader = spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if schema is not None:
         reader = reader.schema(schema)
@@ -70,6 +80,25 @@ def stream_ingest_files(
             return
         if mode == "append":
             table.append(batch_df)
+        elif mode == "append_dedup":
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            # intra-batch: keep min key per digest (deterministic LWW-style)
+            w = Window.partitionBy(dedup_col).orderBy(F.col(key).asc())
+            fresh = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            # cross-batch: drop digests the table already holds (anti-join
+            # against a one-column scan of the existing table)
+            snap = table.current_snapshot()
+            if snap is not None and table.data_files(snap.snapshot_id):
+                existing = table.scan(spark, columns=[dedup_col]).distinct()
+                fresh = fresh.join(existing, dedup_col, "left_anti")
+            if not fresh.isEmpty():
+                table.append(fresh)
         else:
             merge_into(spark, table, batch_df, key=key, seq_col=seq_col)
         batches["n"] += 1

@@ -83,3 +83,22 @@ def test_stream_resume_from_checkpoint(spark, warehouse, tmp_path):
     assert n2 == 2
     assert tbl.scan(spark).count() == 500
     assert tbl.scan(spark).exceptAll(df).count() == 0
+
+
+def test_stream_append_dedup_drops_known_digests(spark, warehouse, tmp_path):
+    # feed: 3 ordered batches where batch 2 and 3 replay earlier rows under
+    # new doc_ids; the table must end with one row per digest (min doc_id)
+    rows = [(i, f"content-{i % 4}", "s") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "h", "source"])
+    for k in range(3):
+        df.filter((F.col("doc_id") >= k * 4) & (F.col("doc_id") < (k + 1) * 4)).coalesce(
+            1
+        ).write.parquet(str(tmp_path / f"drops/drop-{k:04d}"))
+    tbl = Catalog(warehouse).create_table("dedup_feed", df.schema)
+    n = stream_ingest_files(
+        spark, tbl, str(tmp_path / "drops/drop-*"), str(tmp_path / "ckpt"),
+        mode="append_dedup", key="doc_id", dedup_col="h",
+    )
+    assert n >= 1  # later batches are entirely duplicates -> empty appends skipped
+    got = sorted((r.doc_id, r.h) for r in tbl.scan(spark).collect())
+    assert got == [(0, "content-0"), (1, "content-1"), (2, "content-2"), (3, "content-3")]
