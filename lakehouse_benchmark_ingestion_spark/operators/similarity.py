@@ -31,14 +31,37 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product: zip_with multiply + sequential fold (bit-stable
-    and identical to the DuckDB oracle's evaluation order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+FLAT_DIM = 64  # the embeddings fixture's dimensionality
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Small corpora arrive as ONE file split; the per-row vector math would
+    serialize on one core. Reshuffle to the cluster parallelism (at real
+    scale the scan already has thousands of splits — near-no-op)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def dot(a: Column, b: Column, dim: int | None = FLAT_DIM) -> Column:
+    """JVM-side dot product, bit-identical to the DuckDB oracle's
+    sequential evaluation order.
+
+    With ``dim`` (the default — the fixture dimensionality), the sum is a
+    FLAT left-associated expression (0.0 + p1 + p2 + ...): same IEEE result
+    as the fold, but plain arithmetic that whole-stage codegen compiles,
+    instead of an interpreted higher-order aggregate (measured several-x on
+    the rescoring joins). Requires both arrays to have exactly ``dim``
+    elements (element_at past the end yields null and poisons the sum —
+    loudly, not silently). ``dim=None`` falls back to the generic fold."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    out = F.lit(0.0)
+    for i in range(1, dim + 1):
+        out = out + (F.element_at(a, i) * F.element_at(b, i)).cast("double")
+    return out
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -55,7 +78,7 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast probes × corpus scan, per-probe window.
 
     probes must have columns (query_id, qv)."""
-    cand = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = _widen(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
     pairs = F.broadcast(probes).crossJoin(cand).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -89,7 +112,7 @@ def lsh_signature(
     bucket = F.lit(0).cast("long")
     for p, w in enumerate(planes):
         wcol = F.array(*[F.lit(x) for x in w])
-        bit = (dot(F.col(vec_col), wcol) > 0).cast("long")
+        bit = (dot(F.col(vec_col), wcol, dim=None) > 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return df.withColumn(out_col, bucket)
 
@@ -113,7 +136,7 @@ def lsh_tables(
         for j in range(band_size):
             wrow = _table_plane(t, j, dim)
             wcol = F.array(*[F.lit(x) for x in wrow])
-            bit = (dot(F.col(vec_col), wcol) > 0).cast("long")
+            bit = (dot(F.col(vec_col), wcol, dim=None) > 0).cast("long")
             bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
         entries.append(
             F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt"))
@@ -144,7 +167,7 @@ def lsh_ann_topk(
     """Approximate top-k: candidates share a bucket in ANY of the L hash
     tables; exact cosine re-scoring on candidates only. probes: (query_id, qv)."""
     corpus = lsh_tables(
-        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        _widen(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))),
         "cv",
         n_tables,
         band_size,
@@ -260,6 +283,9 @@ def ivf_cells(
         wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
         # mirror the oracle exactly: both operands cast to double BEFORE
         # multiply (float32*float32-then-cast would round differently)
+        # compact folds: this projection repeats per centroid — a flat
+        # expansion multiplies the Catalyst tree size by k*dim and makes
+        # plan optimization the bottleneck (see dot() notes)
         d = F.aggregate(
             F.zip_with(F.col(vec_col), wcol, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -354,7 +380,7 @@ def lsh_neardup_pairs(
     (pairs sharing no bucket are missed); ``neardup_pairs`` is the
     brute-force verifier to measure that recall on samples."""
     tagged = lsh_tables(
-        df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
+        _widen(df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))),
         "av", n_tables, band_size, dim,
     )
     other = tagged.select(

@@ -156,11 +156,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- similarity search: brute-force cosine top-k ------------------------------
 
 def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # flat 64-term left-associated sum: identical IEEE order to the fold it
+    # replaces (0.0 + p1 + p2 + ...) and to the oracle's sequential
+    # list_sum, but stays in whole-stage codegen (operators/similarity.dot)
+    from .operators.similarity import dot
+
+    return dot(a, b)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
