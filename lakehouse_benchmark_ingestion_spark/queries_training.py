@@ -395,6 +395,25 @@ WINDOW_LEN_US = 90 * 60 * 1_000_000
 N_WINDOWS = 120
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles (linear interpolation — Spark's
+    percentile() and DuckDB's quantile_cont share the same definition).
+    At 10^12 rows this becomes approx_percentile (t-digest) with the exact
+    version as the sampled verifier; certified here is the exact path."""
+    d = load_table(spark, sf_dir, "documents")
+    q = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))")
+    return (
+        d.groupBy("lang")
+        .agg(q.alias("q"))
+        .select(
+            "lang",
+            F.round(F.element_at("q", 1), 6).alias("q25"),
+            F.round(F.element_at("q", 2), 6).alias("q50"),
+            F.round(F.element_at("q", 3), 6).alias("q75"),
+        )
+    )
+
+
 def q_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every click event, the latest error event of the
     same user at or before the click (operators/temporal.asof_join —
@@ -475,6 +494,7 @@ QUERIES = {
     "pipe_curriculum_batches": q_curriculum_batches,
     "pipe_bigram_topk": q_bigram_topk,
     "pipe_e2e_training_prep": q_e2e_training_prep,
+    "pipe_length_quantiles": q_length_quantiles,
     "rel_asof_error_click": q_asof_error_click,
     "rel_events_in_windows": q_events_in_windows,
 }
@@ -655,6 +675,13 @@ ORACLES.update(
                    CAST(sum(n_docs) AS BIGINT) AS n_docs,
                    CAST(sum(tok_started) AS BIGINT) AS n_tokens
             FROM p GROUP BY source
+        """,
+        "pipe_length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q75
+            FROM documents GROUP BY lang
         """,
         "rel_asof_error_click": """
             WITH err AS (
