@@ -107,16 +107,32 @@ def minhash_signature(
     signature[j] = min over shingles s of (a_j * H(s) + b_j) mod P.
     ``hash_fn="poly"`` uses the DuckDB-matchable rolling hash.
     """
+    # CPU-heavy per row: widen single-split small inputs to the cluster
+    # parallelism (guarded, so an already-wide caller pays nothing)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    # explode + groupBy, NOT 16 parallel array_min(transform(hashes, ...)):
+    # Catalyst re-inlines the (interpreted-HOF) gram-hash expression into
+    # every permutation, recomputing the shingle hashing n_perms times.
+    # Exploding hashes each gram ONCE; the 16 permutation mins are then
+    # cheap codegen arithmetic with map-side partial aggregation. The
+    # groupBy shuffles the original columns — at scale prefer feeding this
+    # (id, text) only, or pre-aggregate by id and rejoin.
     hashes = shingle_hashes(text_col, n, hash_fn)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(HASH_P)))
-            )
-            for a, b in MINHASH_PERMS[:n_perms]
-        ]
+    exploded = df.withColumn("_h", F.explode(hashes))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * a + b, F.lit(HASH_P))).alias(f"_m{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS[:n_perms])
+    ]
+    return (
+        exploded.groupBy(*df.columns)
+        .agg(*aggs)
+        .select(
+            *df.columns,
+            F.array(*[F.col(f"_m{j}") for j in range(n_perms)]).alias(out_col),
+        )
     )
-    return df.withColumn(out_col, sig)
 
 
 def lsh_candidate_pairs(
