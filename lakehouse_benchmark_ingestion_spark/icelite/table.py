@@ -72,6 +72,16 @@ class IceliteTable:
     def history(self) -> list[md.Snapshot]:
         return sorted(self.meta.snapshots, key=lambda s: s.snapshot_id)
 
+    def set_properties(self, props: dict) -> None:
+        """Metadata-only atomic property update (Iceberg's ALTER TABLE SET
+        TBLPROPERTIES)."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            meta.properties.update({k: str(v) for k, v in props.items()})
+            return meta
+
+        md.commit(self.location, mutate)
+
     def rollback(self, snapshot_id: int) -> None:
         """Point the main head back at an earlier retained snapshot
         (Iceberg's rollback-to-snapshot). Metadata-only and atomic; later

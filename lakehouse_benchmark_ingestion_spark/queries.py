@@ -221,6 +221,28 @@ def q_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view
+    (operators/materialized.py): the MV is created PINNED at the
+    post-maintenance snapshot, then refreshed to the head — so the certified
+    state was reached by applying the CDC delta of the MERGE (inserts +
+    updates), not by recomputation. The oracle aggregates the merged final
+    state directly: a match proves MV(base) + delta == GROUP BY(head)."""
+    from .icelite import Catalog
+    from .operators.materialized import create_agg_view, refresh_agg_view
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "mv" not in p:
+        mv = create_agg_view(
+            spark, Catalog(p["warehouse"]), p["table"], "mv_by_source",
+            "source", "n_tok",
+            snapshot_id=p["post_maintenance_snapshot"],
+        )
+        refresh_agg_view(spark, p["table"], mv)
+        p["mv"] = mv
+    return p["mv"].scan(spark).select("group_key", "n_rows", "sum_val")
+
+
 def q_merge_mor_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read MERGE INTO, read through the eq-delete anti-join
     (icelite/mor.py) — snapshot pinned BEFORE the compaction, so the oracle
@@ -376,6 +398,12 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT *, 'delete' AS change_type
         FROM (SELECT * FROM initial EXCEPT ALL SELECT * FROM final)
     """,
+    "maint_mv_incremental": f"""
+        WITH final AS ({MERGE_FINAL_ORACLE_SQL})
+        SELECT source AS group_key, count(*) AS n_rows,
+               CAST(sum(n_tok) AS BIGINT) AS sum_val
+        FROM final GROUP BY source
+    """,
     "merge_agg": f"""
         WITH final AS ({MERGE_FINAL_ORACLE_SQL})
         SELECT source, count(*) AS n_docs,
@@ -436,6 +464,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_bucketed_result": q_merge_bucketed_result,
         "maint_changes": q_maint_changes,
         "maint_schema_evolution": q_maint_schema_evolution,
+        "maint_mv_incremental": q_maint_mv_incremental,
         "maint_time_travel_tag": q_maint_time_travel_tag,
         "maint_delete_where": q_maint_delete_where,
         "maint_update_where": q_maint_update_where,
