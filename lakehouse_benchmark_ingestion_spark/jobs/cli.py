@@ -45,6 +45,10 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
     build-bloom    --warehouse W --table T --column C   (per-file bloom index;
                    scan --where equality predicates consult it automatically)
+    create-view    --warehouse W --table T --name MV --column GROUP_COL
+                   --val-column VAL_COL   (materialized COUNT/SUM per group)
+    refresh-view   --warehouse W --table T --name MV   (apply the CDC delta
+                   since the view's recorded base snapshot — O(changed rows))
     metadata       --warehouse W --table T [--kind files|snapshots|refs]
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
@@ -103,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ref")
     p.add_argument("--as-of-ms", type=int)
     p.add_argument("--kind", default="files", choices=["files", "snapshots", "refs"])
+    p.add_argument("--val-column")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -324,6 +329,26 @@ def main(argv: list[str] | None = None) -> int:
         if not args.column:
             p.error("build-bloom requires --column")
         out.update(build_bloom_index(spark, cat.load_table(args.table), args.column))
+
+    elif args.command in ("create-view", "refresh-view"):
+        from lakehouse_benchmark_ingestion_spark.operators.materialized import (
+            create_agg_view,
+            refresh_agg_view,
+        )
+
+        if not args.name:
+            p.error(f"{args.command} requires --name")
+        base = cat.load_table(args.table)
+        if args.command == "create-view":
+            if not args.column or not args.val_column:
+                p.error("create-view requires --column and --val-column")
+            mv = create_agg_view(
+                spark, cat, base, args.name, args.column, args.val_column
+            )
+            out["view"] = args.name
+            out["groups"] = mv.scan(spark).count()
+        else:
+            out.update(refresh_agg_view(spark, base, cat.load_table(args.name)))
 
     elif args.command == "rollback":
         if args.snapshot_id is None:

@@ -110,3 +110,18 @@ def test_cli_rollback_and_metadata(spark, warehouse, capsys):
     assert r["current_snapshot"] == first
     r = run(capsys, "metadata", "--warehouse", warehouse, "--kind", "snapshots")
     assert len(r["rows"]) == len(h)
+
+
+def test_cli_materialized_view(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(
+        capsys, "create-view", "--warehouse", warehouse, "--name", "mv_src",
+        "--column", "source", "--val-column", "n_tok",
+    )
+    assert r["groups"] > 0
+    r = run(capsys, "refresh-view", "--warehouse", warehouse, "--name", "mv_src")
+    assert r["refreshed"] is False  # already current
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(capsys, "refresh-view", "--warehouse", warehouse, "--name", "mv_src")
+    assert r["refreshed"] is True
