@@ -243,6 +243,26 @@ def q_maint_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p["mv"].scan(spark).select("group_key", "n_rows", "sum_val")
 
 
+def q_maint_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table replication (operators/replicate.py): the replica
+    bootstraps PINNED at the post-maintenance snapshot, then one sync ships
+    the MERGE's CDC delta (eq-delete + append, the v2 upsert shape). The
+    replica's delete-applied scan must equal the merged final state — the
+    certified path crosses bootstrap copy, diff, delete-file write, and the
+    replica's MOR read."""
+    from .operators.replicate import create_replica, sync_replica
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "replica" not in p:
+        rep = create_replica(
+            spark, Catalog(p["warehouse"]), p["table"], "sequences_replica",
+            snapshot_id=p["post_maintenance_snapshot"],
+        )
+        sync_replica(spark, p["table"], rep)
+        p["replica"] = rep
+    return _seq_scan_cols(p["replica"].scan(spark))
+
+
 def q_merge_mor_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read MERGE INTO, read through the eq-delete anti-join
     (icelite/mor.py) — snapshot pinned BEFORE the compaction, so the oracle
@@ -386,6 +406,7 @@ MAINT_ORACLES: dict[str, str] = {
         FROM seq
     """,
     "merge_result": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
+    "maint_replica_sync": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "merge_mor_result": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "merge_mor_materialized": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "merge_bucketed_result": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
@@ -465,6 +486,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_changes": q_maint_changes,
         "maint_schema_evolution": q_maint_schema_evolution,
         "maint_mv_incremental": q_maint_mv_incremental,
+        "maint_replica_sync": q_maint_replica_sync,
         "maint_time_travel_tag": q_maint_time_travel_tag,
         "maint_delete_where": q_maint_delete_where,
         "maint_update_where": q_maint_update_where,
