@@ -45,6 +45,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
     build-bloom    --warehouse W --table T --column C   (per-file bloom index;
                    scan --where equality predicates consult it automatically)
+    create-replica --warehouse W --table T --name R [--key doc_id]
+    sync-replica   --warehouse W --table T --name R   (ship the CDC delta
+                   since the replica's watermark: eq-delete + append)
     create-view    --warehouse W --table T --name MV --column GROUP_COL
                    --val-column VAL_COL   (materialized COUNT/SUM per group)
     refresh-view   --warehouse W --table T --name MV   (apply the CDC delta
@@ -329,6 +332,22 @@ def main(argv: list[str] | None = None) -> int:
         if not args.column:
             p.error("build-bloom requires --column")
         out.update(build_bloom_index(spark, cat.load_table(args.table), args.column))
+
+    elif args.command in ("create-replica", "sync-replica"):
+        from lakehouse_benchmark_ingestion_spark.operators.replicate import (
+            create_replica,
+            sync_replica,
+        )
+
+        if not args.name:
+            p.error(f"{args.command} requires --name")
+        base = cat.load_table(args.table)
+        if args.command == "create-replica":
+            rep = create_replica(spark, cat, base, args.name, key=args.key)
+            out["replica"] = args.name
+            out["rows"] = rep.scan(spark).count()
+        else:
+            out.update(sync_replica(spark, base, cat.load_table(args.name)))
 
     elif args.command in ("create-view", "refresh-view"):
         from lakehouse_benchmark_ingestion_spark.operators.materialized import (

@@ -125,3 +125,16 @@ def test_cli_materialized_view(spark, warehouse, capsys):
     run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
     r = run(capsys, "refresh-view", "--warehouse", warehouse, "--name", "mv_src")
     assert r["refreshed"] is True
+
+
+def test_cli_replication(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(capsys, "create-replica", "--warehouse", warehouse, "--name", "seq_rep")
+    base_rows = r["rows"]
+    assert base_rows > 0
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(capsys, "sync-replica", "--warehouse", warehouse, "--name", "seq_rep")
+    assert r["synced"] is True and r["inserts"] > 0
+    r = run(capsys, "scan", "--warehouse", warehouse, "--table", "seq_rep", "--limit", "1")
+    assert r["rows"] > base_rows
