@@ -65,7 +65,11 @@ def dot(a: Column, b: Column, dim: int | None = FLAT_DIM) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # hybrid: the cross-dot is flat (the hot term), the two self-norms stay
+    # folds — three flat dots in ONE expression blow the generated method
+    # past the JVM's 64 KB limit and force a whole-stage interpreted
+    # fallback (logged "Failed to compile the generated Java code")
+    return dot(a, b) / (F.sqrt(dot(a, a, dim=None)) * F.sqrt(dot(b, b, dim=None)))
 
 
 def brute_force_topk(

@@ -164,6 +164,14 @@ def _dot(a, b):
     return dot(a, b)
 
 
+def _cosine(a, b):
+    # flat cross-dot + fold self-norms (see operators/similarity.cosine:
+    # three flat dots in one expression exceed the 64 KB codegen limit)
+    from .operators.similarity import cosine
+
+    return cosine(a, b)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for probe vectors (vec_id%50==0).
 
@@ -180,9 +188,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(probes).crossJoin(cand).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    sim = _cosine(F.col("qv"), F.col("cv"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
     )
@@ -226,9 +232,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    sim = _dot(F.col("av"), F.col("bv")) / (
-        F.sqrt(_dot(F.col("av"), F.col("av"))) * F.sqrt(_dot(F.col("bv"), F.col("bv")))
-    )
+    sim = _cosine(F.col("av"), F.col("bv"))
     return pairs.select("a_id", "b_id", F.round(sim, 6).alias("cosine")).filter(
         F.col("cosine") >= 0.4
     )
