@@ -68,8 +68,27 @@ def cosine(a: Column, b: Column) -> Column:
     # hybrid: the cross-dot is flat (the hot term), the two self-norms stay
     # folds — three flat dots in ONE expression blow the generated method
     # past the JVM's 64 KB limit and force a whole-stage interpreted
-    # fallback (logged "Failed to compile the generated Java code")
+    # fallback (logged "Failed to compile the generated Java code").
+    # HOT PATHS should not use this per pair: precompute norm() per ROW
+    # before the pair join and divide (pair_cosine) — bit-identical, O(rows)
+    # norms instead of O(pairs).
     return dot(a, b) / (F.sqrt(dot(a, a, dim=None)) * F.sqrt(dot(b, b, dim=None)))
+
+
+def norm(v: Column) -> Column:
+    """Per-row L2 norm. The fold accumulates in the same left-associated
+    IEEE order as the flat dot (0.0 + p1 + p2 + ...; float*float multiply
+    then cast), so computing norms BEFORE a pair join then dividing is
+    bit-identical to ``cosine()`` per pair — while costing O(rows) instead
+    of O(pairs) norm evaluations."""
+    return F.sqrt(dot(v, v, dim=None))
+
+
+def pair_cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Cosine from a flat cross-dot and precomputed per-row norms — the one
+    expensive term per pair stays in whole-stage codegen; value is
+    bit-identical to ``cosine(a, b)``."""
+    return dot(a, b) / (a_norm * b_norm)
 
 
 def brute_force_topk(
@@ -82,14 +101,19 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast probes × corpus scan, per-probe window.
 
     probes must have columns (query_id, qv)."""
-    cand = _widen(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
-    pairs = F.broadcast(probes).crossJoin(cand).filter(
+    cand = _widen(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("_cn", norm(F.col("cv")))
+    probes_n = probes.withColumn("_qn", norm(F.col("qv")))
+    pairs = F.broadcast(probes_n).crossJoin(cand).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            pair_cosine(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -171,24 +195,32 @@ def lsh_ann_topk(
     """Approximate top-k: candidates share a bucket in ANY of the L hash
     tables; exact cosine re-scoring on candidates only. probes: (query_id, qv)."""
     corpus = lsh_tables(
-        _widen(df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))),
+        _widen(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        ).withColumn("_cn", norm(F.col("cv"))),
         "cv",
         n_tables,
         band_size,
         dim,
     )
-    probes_b = lsh_tables(probes, "qv", n_tables, band_size, dim)
+    probes_b = lsh_tables(
+        probes.withColumn("_qn", norm(F.col("qv"))), "qv", n_tables, band_size, dim
+    )
     pairs = (
         F.broadcast(probes_b)
         .join(corpus, ["lsh_table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        # norms are deterministic functions of the vectors, so carrying them
+        # through the candidate de-dup cannot create extra distinct rows
+        .select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
         .distinct()  # de-dup candidates found in several tables
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            pair_cosine(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -342,14 +374,20 @@ def ivf_ann_topk(
             .filter(F.col(id_col) < n_centroids)
             .collect()
         ]
-    corpus = ivf_cells(
-        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        cents,
-        "cv",
-        n_cells=1,
-    ).withColumn("cell", F.col("cell")[0])
-    probed = ivf_cells(probes, cents, "qv", n_cells=nprobe).withColumnRenamed(
-        "cell", "cells"
+    corpus = (
+        ivf_cells(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            cents,
+            "cv",
+            n_cells=1,
+        )
+        .withColumn("cell", F.col("cell")[0])
+        .withColumn("_cn", norm(F.col("cv")))
+    )
+    probed = (
+        ivf_cells(probes, cents, "qv", n_cells=nprobe)
+        .withColumnRenamed("cell", "cells")
+        .withColumn("_qn", norm(F.col("qv")))
     )
     pairs = (
         F.broadcast(probed)
@@ -359,7 +397,9 @@ def ivf_ann_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            pair_cosine(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -384,22 +424,26 @@ def lsh_neardup_pairs(
     (pairs sharing no bucket are missed); ``neardup_pairs`` is the
     brute-force verifier to measure that recall on samples."""
     tagged = lsh_tables(
-        _widen(df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))),
+        _widen(
+            df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+        ).withColumn("_an", norm(F.col("av"))),
         "av", n_tables, band_size, dim,
     )
     other = tagged.select(
         F.col("a_id").alias("b_id"), F.col("av").alias("bv"),
-        "lsh_table", "bucket",
+        F.col("_an").alias("_bn"), "lsh_table", "bucket",
     )
     pairs = (
         tagged.join(other, ["lsh_table", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "av", "b_id", "bv")
+        .select("a_id", "av", "_an", "b_id", "bv", "_bn")
         .distinct()  # a pair may collide in several tables
     )
     return pairs.select(
         "a_id", "b_id",
-        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine"),
+        F.round(
+            pair_cosine(F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")), 6
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -411,9 +455,20 @@ def neardup_pairs(
 ) -> DataFrame:
     """All pairs above a cosine threshold (brute force — the correctness
     baseline the LSH path is measured against)."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"))
+    # widen the STREAMED side: the corpus usually arrives as one file split
+    # and the BroadcastNestedLoopJoin's parallelism is the streamed side's
+    # partition count — without this the O(n²) dot loop runs on one core
+    a = _widen(
+        df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"))
+    ).withColumn("_an", norm(F.col("av")))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv")).withColumn(
+        "_bn", norm(F.col("bv"))
+    )
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
     return pairs.select(
-        "a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine")
+        "a_id",
+        "b_id",
+        F.round(
+            pair_cosine(F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")), 6
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

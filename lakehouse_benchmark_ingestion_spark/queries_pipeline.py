@@ -164,12 +164,19 @@ def _dot(a, b):
     return dot(a, b)
 
 
-def _cosine(a, b):
-    # flat cross-dot + fold self-norms (see operators/similarity.cosine:
-    # three flat dots in one expression exceed the 64 KB codegen limit)
-    from .operators.similarity import cosine
+def _norm(v):
+    # per-row L2 norm, same IEEE accumulation order as the flat dot —
+    # precomputed BEFORE the pair join so the per-pair expression is a
+    # single codegen-friendly flat dot (operators/similarity.norm)
+    from .operators.similarity import norm
 
-    return cosine(a, b)
+    return norm(v)
+
+
+def _pair_cosine(a, b, an, bn):
+    from .operators.similarity import pair_cosine
+
+    return pair_cosine(a, b, an, bn)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,11 +191,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    ).withColumn("_cn", _norm(F.col("cv")))
+    probes = probes.withColumn("_qn", _norm(F.col("qv")))
     pairs = F.broadcast(probes).crossJoin(cand).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = _cosine(F.col("qv"), F.col("cv"))
+    sim = _pair_cosine(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine")
     )
@@ -229,10 +239,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this becomes LSH-bucketed (operators/similarity.py); the
     brute-force variant is the correctness baseline."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    from .operators.similarity import _widen
+
+    # widen the streamed side: BNLJ parallelism = streamed partition count,
+    # and the corpus is one file split at test scale
+    a = _widen(
+        e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    ).withColumn("_an", _norm(F.col("av")))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")).withColumn(
+        "_bn", _norm(F.col("bv"))
+    )
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    sim = _cosine(F.col("av"), F.col("bv"))
+    sim = _pair_cosine(F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn"))
     return pairs.select("a_id", "b_id", F.round(sim, 6).alias("cosine")).filter(
         F.col("cosine") >= 0.4
     )
