@@ -32,6 +32,11 @@ STATS_MAX_COLS = 12
 
 CONTENT_DATA = "data"
 CONTENT_EQ_DELETES = "eq-deletes"  # Iceberg v2 equality-delete file analogue
+# Iceberg v2 position-delete file analogue: rows of (file_path, pos)
+# addressing exact rows of existing data files. Applies to data files with
+# sequence_number <= the delete file's (a position can only reference a row
+# that existed when the delete was written; paths are never reused).
+CONTENT_POS_DELETES = "pos-deletes"
 
 
 @dataclass

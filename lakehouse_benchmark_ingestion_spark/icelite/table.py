@@ -17,10 +17,17 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from . import manifest as mf
 from . import metadata as md
+
+# physical row-address columns appended by read_files(with_positions=True) —
+# the coordinates position-delete files speak (Iceberg v2 pos-delete parity)
+POS_PATH_COL = "__icelite_fpath"
+POS_IDX_COL = "__icelite_fpos"
+# pos-delete sides beneath this total size ride a broadcast anti-join
+POS_DELETE_BROADCAST_BYTES = 256 * 1024 * 1024
 
 
 class IceliteTable:
@@ -155,6 +162,12 @@ class IceliteTable:
 
     def delete_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_EQ_DELETES]
+
+    def pos_delete_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        """Iceberg v2 position-delete files: rows of (file_path, pos)."""
+        return [
+            f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_POS_DELETES
+        ]
 
     # ---- named refs: tags (immutable) and branches (movable heads) -------
     # The icelite analogue of Iceberg v2 refs. Tags pin a snapshot for time
@@ -316,26 +329,50 @@ class IceliteTable:
 
         md.commit(self.location, mutate)
 
-    def read_files(self, spark: SparkSession, paths: list[str]):
+    def read_files(
+        self, spark: SparkSession, paths: list[str], with_positions: bool = False
+    ):
         """Read data files under the CURRENT schema, alias-aware: files from
         before a rename carry the old physical column name — the read schema
         is widened with the prior names and each renamed column resolves via
         coalesce across its name lineage. Every scan and every rewrite path
         (compaction, clustering, merge) reads through here, so maintenance
-        never loses renamed data."""
+        never loses renamed data.
+
+        ``with_positions=True`` appends the row's physical address as two
+        extra columns (POS_PATH_COL = manifest-form file path, POS_IDX_COL =
+        row index within the file) from Spark's ``_metadata`` struct — the
+        coordinates position-delete files speak (icelite v2 parity)."""
         from pyspark.sql import functions as F
 
         schema = self.schema
         cols = [f.name for f in schema.fields]
+        if with_positions:
+            # _metadata.file_path is URI-form (file:/...); manifests store
+            # plain absolute paths — normalize so the anti-join keys align
+            pos_cols = [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""
+                ).alias(POS_PATH_COL),
+                F.col("_metadata.row_index").alias(POS_IDX_COL),
+            ]
+            cols = cols + pos_cols
         if not paths:
             # emptyRDD → ZERO partitions: a fully-pruned scan (stats/bloom
             # proved no file can match) must cost no tasks at all, not a
             # default-parallelism-wide no-op job
-            return spark.createDataFrame(
-                spark.sparkContext.emptyRDD(), schema
-            ).select(*cols)
+            out_schema = schema
+            if with_positions:
+                out_schema = StructType(
+                    list(schema.fields)
+                    + [
+                        StructField(POS_PATH_COL, StringType(), False),
+                        StructField(POS_IDX_COL, LongType(), False),
+                    ]
+                )
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), out_schema)
         aliases = self.meta.column_aliases
-        live = {n: olds for n, olds in aliases.items() if n in cols}
+        live = {n: olds for n, olds in aliases.items() if n in schema.fieldNames()}
         if not live:
             return spark.read.schema(schema).parquet(*paths).select(*cols)
         by_name = {f.name: f for f in schema.fields}
@@ -349,6 +386,77 @@ class IceliteTable:
         for n, olds in live.items():
             df = df.withColumn(n, F.coalesce(F.col(n), *[F.col(o) for o in olds]))
         return df.select(*cols)
+
+    def pos_reader(self, spark: SparkSession, snapshot_id: int | None = None):
+        """Reader factory applying outstanding POSITION deletes (v2
+        pos-delete files) for the given snapshot: ``reader(paths) ->
+        DataFrame`` under the table schema. Files no delete can address
+        (path outside every delete file's file_path bounds, or newer than
+        every delete) read on the plain path — zero join cost; only
+        addressed files pay a broadcast anti-join on (file_path, pos).
+
+        Every scan AND every rewrite path must read through this (or apply
+        it around read_files) — a rewrite that reads raw files would bake
+        position-deleted rows back into its outputs."""
+        pos_dels = self.pos_delete_files(snapshot_id)
+        if not pos_dels:
+            return lambda paths: self.read_files(spark, paths)
+        seq_by_path = {
+            f.path: f.sequence_number for f in self.data_files(snapshot_id)
+        }
+        schema_cols = [f.name for f in self.schema.fields]
+
+        def _addressable(path: str) -> bool:
+            fseq = seq_by_path.get(path)
+            if fseq is None:
+                # path unknown to this snapshot (mid-rewrite temp read):
+                # a pos-delete row can only name a committed path, and
+                # paths are never reused — unaddressable
+                return False
+            for d in pos_dels:
+                if d.sequence_number < fseq:
+                    continue
+                lo = d.lower_bounds.get("file_path")
+                hi = d.upper_bounds.get("file_path")
+                if lo is None or hi is None or (lo <= path <= hi):
+                    return True
+            return False
+
+        def reader(paths: list[str]):
+            from functools import reduce
+
+            from pyspark.sql import DataFrame as _DF
+            from pyspark.sql import functions as F
+
+            hit = [p for p in paths if _addressable(p)]
+            clean = [p for p in paths if p not in set(hit)]
+            parts = []
+            if clean:
+                parts.append(self.read_files(spark, clean))
+            if hit:
+                data = self.read_files(spark, hit, with_positions=True)
+                dels = (
+                    spark.read.schema("file_path string, pos long")
+                    .parquet(*[d.path for d in pos_dels])
+                    .distinct()
+                )
+                if (
+                    sum(d.file_size_bytes for d in pos_dels)
+                    <= POS_DELETE_BROADCAST_BYTES
+                ):
+                    dels = F.broadcast(dels)
+                survivors = data.join(
+                    dels,
+                    (F.col(POS_PATH_COL) == F.col("file_path"))
+                    & (F.col(POS_IDX_COL) == F.col("pos")),
+                    "left_anti",
+                ).select(*schema_cols)
+                parts.append(survivors)
+            if not parts:
+                return self.read_files(spark, [])
+            return reduce(_DF.unionByName, parts)
+
+        return reader
 
     def recorded_merge_key(self) -> str | None:
         """The equality-delete key persisted at merge-on-read commit time
@@ -640,6 +748,10 @@ class IceliteTable:
                     files = [f for f in files if bf(f)]
         schema = self.schema
         deletes = self.delete_files(snapshot_id)
+        # POSITION deletes wrap the physical reader (anti-join on the row
+        # address), so both the plain and the eq-delete path below read
+        # position-deleted rows out
+        reader = self.pos_reader(spark, snapshot_id)
         if deletes:
             from . import mor
 
@@ -655,11 +767,11 @@ class IceliteTable:
                 )
             df = mor.mor_scan(
                 spark, schema, files, deletes, key=merge_key,
-                reader=lambda paths: self.read_files(spark, paths),
+                reader=reader,
                 delete_reader=self._read_delete_keys(spark, merge_key),
             )
         else:
-            df = self.read_files(spark, [f.path for f in files])
+            df = reader([f.path for f in files])
         if where:
             # exact semantics: the file skip is a superset; Catalyst pushes
             # these row filters into the Parquet reader as well

@@ -31,7 +31,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    file/small-file/byte counts, snapshot history, trigger
                    decision — the engine's version of MainRunner's REST
                    monitor port, MainRunner.java:145-212)
-    delete-where   --warehouse W --table T --where JSON [--strategy cow|mor]
+    delete-where   --warehouse W --table T --where JSON [--strategy cow|mor|mor-pos]
                    (stats-pruned predicate delete; fully-matching files drop
                    metadata-only; mor writes an eq-delete file instead)
     update-where   --warehouse W --table T --where JSON --set JSON
@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
     p.add_argument("--key", default="doc_id")
-    p.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+    p.add_argument("--strategy", default="cow", choices=["cow", "mor", "mor-pos"])
     p.add_argument("--snapshot-id", type=int)
     p.add_argument("--from-snapshot", type=int)
     p.add_argument("--to-snapshot", type=int)

@@ -37,11 +37,16 @@ def snapshot_changes(
     schema = table.schema
     cols = [f.name for f in schema.fields]
 
-    if table.delete_files(from_snapshot_id) or table.delete_files(to_snapshot_id):
-        # merge-on-read snapshots: an eq-delete file changes rows WITHOUT
-        # removing data files, so the file-level diff shortcut is invalid —
-        # diff the delete-applied scans instead (mor_scan still prunes at
-        # file level inside each snapshot's read)
+    if (
+        table.delete_files(from_snapshot_id)
+        or table.delete_files(to_snapshot_id)
+        or table.pos_delete_files(from_snapshot_id)
+        or table.pos_delete_files(to_snapshot_id)
+    ):
+        # merge-on-read snapshots: an eq- or pos-delete file changes rows
+        # WITHOUT removing data files, so the file-level diff shortcut is
+        # invalid — diff the delete-applied scans instead (mor_scan still
+        # prunes at file level inside each snapshot's read)
         before = table.scan(spark, snapshot_id=from_snapshot_id).select(*cols)
         after = table.scan(spark, snapshot_id=to_snapshot_id).select(*cols)
     else:

@@ -63,11 +63,13 @@ def cluster(
         mor_key = table.recorded_merge_key() or "doc_id"
         df = mor_scan(
             spark, table.schema, files, del_files, key=mor_key,
-            reader=lambda paths: table.read_files(spark, paths),
+            reader=table.pos_reader(spark, snap.snapshot_id),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
     else:
-        df = table.read_files(spark, [f.path for f in files])
+        # pos-aware read: a global rewrite must not bake position-deleted
+        # rows back into its outputs
+        df = table.pos_reader(spark, snap.snapshot_id)([f.path for f in files])
     # zorder uses the Catalyst morton expression — the range sampler
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
@@ -100,8 +102,13 @@ def cluster(
             output_paths=out_paths,
         )
     )
+    # a global rewrite consumes every data file, so every eq- AND pos-delete
+    # file is materialized into the outputs — drop them all in the commit
+    pos_files = table.pos_delete_files(snap.snapshot_id)
     new_snap = table.replace_files(
-        {f.path for f in files} | {d.path for d in del_files},
+        {f.path for f in files}
+        | {d.path for d in del_files}
+        | {d.path for d in pos_files},
         added,
         operation="replace",
         summary={"op": "cluster", "curve": curve, "run-id": run_id},

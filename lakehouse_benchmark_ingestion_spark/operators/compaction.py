@@ -143,11 +143,13 @@ def _rewrite_group(
         mor_key = table.recorded_merge_key() or "doc_id"
         df = mor_scan(
             spark, schema, group.files, delete_files, key=mor_key,
-            reader=lambda paths: table.read_files(spark, paths),
+            reader=table.pos_reader(spark),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
     else:
-        df = table.read_files(spark, [f.path for f in group.files])
+        # pos-aware read: rewritten outputs must not resurrect
+        # position-deleted rows
+        df = table.pos_reader(spark)([f.path for f in group.files])
     df = with_cluster_key(df, curve=curve)
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
@@ -286,6 +288,21 @@ def compact(
         for d in del_files
         if all(f.sequence_number >= d.sequence_number for f in survivors)
     }
+    # pos-delete GC: a position-delete file is dead once every data file it
+    # addresses was rewritten (its rows were applied during the group read).
+    # Exact check: the referenced path set is the delete file's own
+    # file_path column — a tiny column-pruned driver read, only at commit.
+    survivor_paths = {f.path for f in survivors}
+    for d in table.pos_delete_files(plan.snapshot_id):
+        import pyarrow.parquet as _pq
+
+        refs = set(
+            _pq.read_table(d.path, columns=["file_path"])
+            .column("file_path")
+            .to_pylist()
+        )
+        if not (refs & survivor_paths):
+            dead_deletes.add(d.path)
 
     snap = table.replace_files(
         removed | dead_deletes,

@@ -168,7 +168,7 @@ def merge_into(
         matched_data = mor_scan(
             spark, schema, [file_by_path[p] for p in matched_paths],
             table.delete_files(), key=mor_key,
-            reader=lambda paths: table.read_files(spark, paths),
+            reader=table.pos_reader(spark),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
         unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
@@ -268,7 +268,10 @@ def _merge_bucketed(
         files_b = by_bucket.get(b, [])
         upd_b = winners_b.filter(F.col("_b") == b).select(*cols)
         if files_b:
-            data = table.read_files(spark, [f.path for f in files_b])
+            # pos-aware read: the per-bucket rewrite must not resurrect
+            # position-deleted rows (eq-deletes are excluded by the
+            # bucketed fast path's guard; pos-deletes are reader-applied)
+            data = table.pos_reader(spark)([f.path for f in files_b])
             unchanged = data.join(F.broadcast(upd_b.select(key)), key, "left_anti")
             new_data = unchanged.unionByName(upd_b)
         else:

@@ -105,6 +105,10 @@ def delete_where(
         return _delete_where_mor(
             spark, table, where, candidates, key, run_id, timestamp_ms
         )
+    if strategy == "mor-pos":
+        return _delete_where_pos(
+            spark, table, where, candidates, run_id, timestamp_ms
+        )
     if strategy != "cow":
         raise ValueError(f"unknown delete strategy {strategy!r}")
 
@@ -123,7 +127,7 @@ def delete_where(
         mor_key = table.recorded_merge_key() or key
         data = mor_scan(
             spark, table.schema, partial, table.delete_files(), key=mor_key,
-            reader=lambda paths: table.read_files(spark, paths),
+            reader=table.pos_reader(spark),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
         kept_rows = data.filter(~predicate_column(where))
@@ -194,7 +198,10 @@ def _delete_where_mor(
     if not candidates:
         return {"files_matched": 0, "delete_files_out": 0, "deleted_keys": 0}
     cols = sorted({key, *where.keys()})
-    data = table.read_files(spark, [f.path for f in candidates]).select(*cols)
+    # pos-aware read: a position-deleted (invisible) row matching the
+    # predicate must not contribute its key — an eq-delete on that key
+    # would take out live same-key rows the predicate never selected
+    data = table.pos_reader(spark)([f.path for f in candidates]).select(*cols)
     keys = data.filter(predicate_column(where)).select(key)
     del_dir = os.path.join(table.location, "data", f"delw-{run_id}-deletes")
     keys.repartitionByRange(1, key).write.mode("overwrite").parquet(del_dir)
@@ -224,6 +231,76 @@ def _delete_where_mor(
         "files_matched": len(candidates),
         "delete_files_out": len(del_paths),
         "deleted_keys": n_keys,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _delete_where_pos(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    candidates: list[mf.DataFile],
+    run_id: str,
+    timestamp_ms: int | None,
+) -> dict:
+    """Merge-on-read POSITION delete (Iceberg v2 pos-delete parity): scan
+    only the predicate columns + the row address (``_metadata`` file path /
+    row index) of candidate files, write the matching addresses as a
+    (file_path, pos) delete file sorted by address — no key column needed,
+    no data file rewritten. Readers apply it via the pos-aware reader
+    (IceliteTable.pos_reader); the next compaction materializes and GCs it.
+
+    vs eq-delete: a position delete is exact row surgery — it never depends
+    on a merge key, coexists with any key choice, and the read-side
+    anti-join is on (path, pos), which per-file pruning narrows to only the
+    addressed files. The write cost is O(matching rows), same as eq."""
+    from ..icelite.table import POS_IDX_COL, POS_PATH_COL
+
+    if not candidates:
+        return {"files_matched": 0, "delete_files_out": 0, "deleted_positions": 0}
+    data = table.read_files(
+        spark, [f.path for f in candidates], with_positions=True
+    )
+    addrs = (
+        data.filter(predicate_column(where))
+        .select(
+            F.col(POS_PATH_COL).alias("file_path"),
+            F.col(POS_IDX_COL).alias("pos"),
+        )
+    )
+    del_dir = os.path.join(table.location, "data", f"delp-{run_id}-posdeletes")
+    # Iceberg requires pos-delete rows ordered by (file_path, pos); one
+    # range partition per delete commit keeps the sidecar a single sorted
+    # file whose file_path bounds drive read-side file pruning
+    addrs.repartitionByRange(1, "file_path", "pos").sortWithinPartitions(
+        "file_path", "pos"
+    ).write.mode("overwrite").parquet(del_dir)
+    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    dels = mf.harvest_stats(del_paths, stat_columns=["file_path", "pos"])
+    seq = table.next_sequence_number()
+    n_pos = sum(f.record_count for f in dels)
+    for s in dels:
+        s.content = mf.CONTENT_POS_DELETES
+        s.sequence_number = seq
+    new_snap = table.replace_files(
+        set(), dels, operation="delete-pos",
+        summary={"op": "delete-where-pos", "positions": str(n_pos), "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="delete-pos", partition_id=0,
+            files_in=len(candidates), files_out=len(del_paths), rows=n_pos,
+            bytes_in=0, bytes_out=sum(f.file_size_bytes for f in dels),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=del_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "delete_files_out": len(del_paths),
+        "deleted_positions": n_pos,
         "snapshot_id": new_snap.snapshot_id,
         "run_id": run_id,
     }
@@ -260,7 +337,7 @@ def update_where(
     mor_key = table.recorded_merge_key() or key
     data = mor_scan(
         spark, schema, candidates, table.delete_files(), key=mor_key,
-        reader=lambda paths: table.read_files(spark, paths),
+        reader=table.pos_reader(spark),
         delete_reader=table._read_delete_keys(spark, mor_key),
     )
     pred = predicate_column(where)

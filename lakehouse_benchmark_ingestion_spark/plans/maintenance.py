@@ -24,7 +24,7 @@ from ..operators.manifest_rewrite import rewrite_manifests
 # snapshot operations that COUNT as maintenance (reset the trigger clock)
 # vs write commits (advance it)
 _MAINT_OPS = {"replace", "rewrite-manifests"}
-_WRITE_OPS = {"append", "merge", "merge-mor"}
+_WRITE_OPS = {"append", "merge", "merge-mor", "delete-mor", "delete-pos"}
 
 
 def run_full_maintenance(
@@ -97,7 +97,7 @@ def should_compact(
 
     files = table.data_files()
     n_small = sum(1 for f in files if f.file_size_bytes < policy.small_file_bytes)
-    has_deletes = bool(table.delete_files())
+    has_deletes = bool(table.delete_files()) or bool(table.pos_delete_files())
     seconds_since = max(0, (as_of - last_maint_ms) // 1000)
 
     work = n_small >= policy.min_small_files or has_deletes

@@ -1,0 +1,133 @@
+"""POSITION deletes (Iceberg v2 pos-delete parity): exact row surgery by
+(file_path, row_index) address — no merge key involved, no data file
+rewritten at delete time; readers anti-join on the address, compaction
+materializes and GCs the delete files.
+
+Reference motivation: the reference's MOR sinks defer deletes to sidecar
+files the reader merges (HudiCatalogSync MOR table type); icelite carries
+both delete flavors (eq + pos) like Iceberg v2.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def pos_table(spark, warehouse):
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table("posdel", df.schema)
+    tbl.append(df.repartitionByRange(6, "n_tok"))
+    return tbl
+
+
+def test_pos_delete_defers_rewrite_and_scan_applies(spark, pos_table):
+    tbl = pos_table
+    df = tokens_df(spark, SF_SMOKE)
+    files_before = {f.path for f in tbl.data_files()}
+    expected_kept = df.filter(~(F.col("n_tok") >= 40)).count()
+
+    res = delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    assert res["deleted_positions"] > 0
+    # no data file rewritten, no eq-delete written — only a pos-delete file
+    assert {f.path for f in tbl.data_files()} == files_before
+    assert not tbl.delete_files()
+    assert len(tbl.pos_delete_files()) == 1
+    out = tbl.scan(spark)
+    assert out.count() == expected_kept
+    assert out.filter(F.col("n_tok") >= 40).count() == 0
+    # survivors' token arrays intact (reader strips the address columns)
+    assert out.columns == [f.name for f in tbl.schema.fields]
+    assert out.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+
+
+def test_pos_delete_is_key_independent(spark, warehouse):
+    """The semantic difference vs eq-delete: two physical rows sharing a
+    key, predicate matching only one — pos-delete removes exactly the
+    matching row; an eq-delete on the key would kill both."""
+    cat = Catalog(warehouse)
+    df = tokens_df(spark, SF_SMOKE).limit(10)
+    dup = df.limit(1).withColumn("source", F.lit("dup-source"))
+    tbl = cat.create_table("dupkeys", df.schema)
+    tbl.append(df)
+    tbl.append(dup)  # same doc_id, different source
+    dup_id = dup.first()["doc_id"]
+    assert tbl.scan(spark).filter(F.col("doc_id") == dup_id).count() == 2
+
+    delete_where(spark, tbl, {"source": "dup-source"}, strategy="mor-pos")
+    left = tbl.scan(spark).filter(F.col("doc_id") == dup_id)
+    assert left.count() == 1
+    assert left.first()["source"] != "dup-source"
+
+
+def test_compaction_materializes_and_gcs_pos_deletes(spark, pos_table):
+    tbl = pos_table
+    expected_kept = tbl.scan(spark).count() - tbl.scan(spark).filter(
+        F.col("n_tok") >= 40
+    ).count()
+    delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    compact(spark, tbl, target_file_size=4 << 20)
+    assert not tbl.pos_delete_files()
+    out = tbl.scan(spark)
+    assert out.count() == expected_kept
+    assert out.filter(F.col("n_tok") >= 40).count() == 0
+
+
+def test_pos_and_eq_deletes_compose(spark, pos_table):
+    tbl = pos_table
+    df = tokens_df(spark, SF_SMOKE)
+    expected = df.filter(~(F.col("n_tok") >= 40) & ~(F.col("n_tok") <= 20)).count()
+    delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (None, 20)}, strategy="mor")
+    assert len(tbl.pos_delete_files()) == 1
+    assert len(tbl.delete_files()) == 1
+    assert tbl.scan(spark).count() == expected
+    # compaction clears BOTH sidecar flavors in one pass
+    compact(spark, tbl, target_file_size=4 << 20)
+    assert not tbl.delete_files() and not tbl.pos_delete_files()
+    assert tbl.scan(spark).count() == expected
+
+
+def test_time_travel_predates_pos_delete(spark, pos_table):
+    tbl = pos_table
+    before = tbl.current_snapshot().snapshot_id
+    n_before = tbl.scan(spark).count()
+    delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    assert tbl.scan(spark, snapshot_id=before).count() == n_before
+    assert tbl.scan(spark).count() < n_before
+
+
+def test_snapshot_changes_sees_pos_deleted_rows(spark, pos_table):
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changes,
+    )
+
+    tbl = pos_table
+    before = tbl.current_snapshot().snapshot_id
+    res = delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    after = tbl.current_snapshot().snapshot_id
+    ch = snapshot_changes(spark, tbl, before, after)
+    deleted = ch.filter(F.col("change_type") == "delete")
+    assert deleted.count() == res["deleted_positions"]
+    assert deleted.filter(F.col("n_tok") < 40).count() == 0
+
+
+def test_clustering_rewrite_materializes_pos_deletes(spark, pos_table):
+    from lakehouse_benchmark_ingestion_spark.operators.clustering import cluster
+
+    tbl = pos_table
+    delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    expected = tbl.scan(spark).count()
+    cluster(spark, tbl, target_file_size=4 << 20)
+    assert not tbl.pos_delete_files()
+    out = tbl.scan(spark)
+    assert out.count() == expected
+    assert out.filter(F.col("n_tok") >= 40).count() == 0
