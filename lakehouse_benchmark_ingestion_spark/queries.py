@@ -133,6 +133,11 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     )
     post_update_snapshot = tbl_dml.current_snapshot().snapshot_id
     delete_where(spark, tbl_dml, {"n_tok": (36, 50)}, strategy="mor")
+    post_delete_mor_snapshot = tbl_dml.current_snapshot().snapshot_id
+    # finally a POSITION delete (v2 pos-delete): exact (file_path, pos)
+    # addresses, coexisting with the still-outstanding eq-delete — the scan
+    # must apply BOTH delete shapes
+    delete_where(spark, tbl_dml, {"n_tok": (51, 60)}, strategy="mor-pos")
 
     out = {
         "warehouse": wh,
@@ -140,6 +145,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_dml": tbl_dml,
         "post_delete_snapshot": post_delete_snapshot,
         "post_update_snapshot": post_update_snapshot,
+        "post_delete_mor_snapshot": post_delete_mor_snapshot,
         "pre_maintenance_snapshot": pre_maintenance_snapshot,
         "post_maintenance_snapshot": post_maintenance_snapshot,
         "table_mor": tbl_mor,
@@ -361,6 +367,20 @@ def q_maint_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = prepared_warehouse(spark, sf_dir)
     tbl = p["table_dml"]
     assert tbl.delete_files(), "the MOR delete must still be outstanding"
+    return _seq_scan_cols(
+        tbl.scan(spark, snapshot_id=p["post_delete_mor_snapshot"])
+    )
+
+
+def q_maint_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE (merge-on-read, POSITION form): n_tok in [51,60]
+    written as a (file_path, pos) delete file addressing exact rows — no
+    data file rewritten, no merge key involved. The head scan must apply
+    the pos-delete anti-join AND the still-outstanding eq-delete from the
+    prior MOR delete (icelite/table.py pos_reader + icelite/mor.py)."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_dml"]
+    assert tbl.pos_delete_files(), "the pos-delete must still be outstanding"
     return _seq_scan_cols(tbl.scan(spark))
 
 
@@ -447,6 +467,11 @@ MAINT_ORACLES: dict[str, str] = {
                    CASE WHEN n_tok >= 100 THEN source || '_long' ELSE source END AS source
             FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 50"""
     ),
+    "maint_delete_pos": digest_scan_sql(
+        f"""SELECT doc_id, tokens, n_tok,
+                   CASE WHEN n_tok >= 100 THEN source || '_long' ELSE source END AS source
+            FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 60"""
+    ),
     "maint_schema_evolution": f"""
         SELECT doc_id, n_tok AS tok_count, source,
                {TOK_DIGEST_DUCK} AS tok_digest
@@ -491,6 +516,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_delete_where": q_maint_delete_where,
         "maint_update_where": q_maint_update_where,
         "maint_delete_mor": q_maint_delete_mor,
+        "maint_delete_pos": q_maint_delete_pos,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)
