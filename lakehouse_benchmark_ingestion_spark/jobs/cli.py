@@ -15,6 +15,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--salts N] [--run-id ID] [--concurrency N]
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     rewrite-manifests --warehouse W --table T
+    rewrite-pos-deletes --warehouse W --table T   (merge small pos-delete
+                   sidecars into one sorted file, dropping dangling
+                   addresses — Iceberg's rewrite_position_delete_files)
     expire         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
     merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
                    [--strategy cow|mor]   (mor = eq-delete + insert, no rewrite)
@@ -177,6 +180,17 @@ def main(argv: list[str] | None = None) -> int:
         from lakehouse_benchmark_ingestion_spark.operators.manifest_rewrite import rewrite_manifests
 
         out.update(rewrite_manifests(cat.load_table(args.table), run_id=args.run_id))
+
+    elif args.command == "rewrite-pos-deletes":
+        from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+            rewrite_position_deletes,
+        )
+
+        out.update(
+            rewrite_position_deletes(
+                spark, cat.load_table(args.table), run_id=args.run_id
+            )
+        )
 
     elif args.command == "expire":
         from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import expire_snapshots

@@ -1,0 +1,109 @@
+"""Position-delete rewrite: merge many small pos-delete files into one.
+
+The icelite analogue of Iceberg's ``rewrite_position_delete_files``
+maintenance action. Every ``delete-where --strategy mor-pos`` commit adds
+one (file_path, pos) sidecar; a steady trickle of row-level deletes leaves
+the read path anti-joining against N small delete files and the planner
+evaluating N sets of file_path bounds. This action:
+
+  1. unions every live pos-delete file,
+  2. drops DANGLING addresses — rows naming data files that no longer
+     exist in the current snapshot (their file was since rewritten by a
+     COW delete/update or compaction, which applied the positions into
+     its outputs and removed the path),
+  3. writes one (file_path, pos)-sorted replacement file and atomically
+     swaps it for the originals (pure metadata + one small sidecar write;
+     data files untouched, scans bit-identical).
+
+Sequence-number safety: pos-delete addresses name exact (path, pos)
+coordinates and icelite paths are never reused, so widening the merged
+file's sequence number to the max of its inputs cannot make a delete apply
+to a row it didn't before — every addressed file existed when its original
+delete committed (fseq <= original dseq <= merged dseq).
+
+At 100 TB the union/sort is a distributed Spark job over the delete
+sidecars only (O(deleted rows), not O(table)); the dangling filter is a
+broadcast semi-join against the live-path list (file counts are manifest
+metadata, millions at most — far under the data itself).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..icelite import manifest as mf
+from ..icelite.table import IceliteTable
+from ..plans.lineage import LineageLog, LineageRow
+
+
+def rewrite_position_deletes(
+    spark: SparkSession,
+    table: IceliteTable,
+    min_delete_files: int = 2,
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pos_dels = table.pos_delete_files()
+    if len(pos_dels) < min_delete_files:
+        return {"delete_files_in": len(pos_dels), "delete_files_out": 0}
+
+    live_paths = [f.path for f in table.data_files()]
+    addrs = spark.read.schema("file_path string, pos long").parquet(
+        *[d.path for d in pos_dels]
+    )
+    live = spark.createDataFrame([(p,) for p in live_paths], "file_path string")
+    merged = (
+        addrs.join(F.broadcast(live), "file_path", "left_semi")
+        .distinct()
+        .repartitionByRange(1, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    out_dir = os.path.join(table.location, "data", f"posrw-{run_id}-posdeletes")
+    merged.write.mode("overwrite").parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    added = mf.harvest_stats(out_paths, stat_columns=["file_path", "pos"])
+    added = [a for a in added if a.record_count > 0]
+    seq = max(d.sequence_number for d in pos_dels)
+    for a in added:
+        a.content = mf.CONTENT_POS_DELETES
+        a.sequence_number = seq
+
+    n_in_rows = sum(d.record_count for d in pos_dels)
+    n_out_rows = sum(a.record_count for a in added)
+    snap = table.replace_files(
+        {d.path for d in pos_dels},
+        added,
+        operation="replace",
+        summary={
+            "op": "rewrite-pos-deletes",
+            "delete-files-in": str(len(pos_dels)),
+            "delete-files-out": str(len(added)),
+            "dangling-dropped": str(n_in_rows - n_out_rows),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="rewrite-pos-deletes", partition_id=0,
+            files_in=len(pos_dels), files_out=len(added), rows=n_out_rows,
+            bytes_in=sum(d.file_size_bytes for d in pos_dels),
+            bytes_out=sum(a.file_size_bytes for a in added),
+            snapshot_id=snap.snapshot_id, status="done",
+            output_paths=out_paths,
+        )
+    )
+    return {
+        "delete_files_in": len(pos_dels),
+        "delete_files_out": len(added),
+        "positions_in": n_in_rows,
+        "positions_out": n_out_rows,
+        "snapshot_id": snap.snapshot_id,
+        "run_id": run_id,
+    }

@@ -139,6 +139,23 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     # must apply BOTH delete shapes
     delete_where(spark, tbl_dml, {"n_tok": (51, 60)}, strategy="mor-pos")
 
+    # sequences_wap: write-audit-publish — half the rows land on main, the
+    # other half are STAGED on an 'audit' branch (invisible to main readers)
+    # and only fast-forward publishes them. The certified scan is the
+    # post-publish head; the staged-half invisibility is asserted here.
+    tbl_wap = cat.create_table("sequences_wap", df.schema)
+    tbl_wap.append(df.filter(F.col("doc_id").cast("long") % 2 == 0), num_files=2)
+    tbl_wap.create_branch("audit")
+    tbl_wap.append(
+        df.filter(F.col("doc_id").cast("long") % 2 == 1),
+        num_files=2,
+        branch="audit",
+    )
+    n_main = tbl_wap.scan(spark).count()
+    n_audit = tbl_wap.scan(spark, ref="audit").count()
+    assert n_main < n_audit, "staged branch rows must be invisible to main"
+    tbl_wap.fast_forward("audit")
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -152,6 +169,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "mor_read_snapshot": mor_read_snapshot,
         "table_bucketed": tbl_bkt,
         "table_evolved": tbl_evo,
+        "table_wap": tbl_wap,
     }
     _PREPARED[key] = out
     return out
@@ -384,6 +402,16 @@ def q_maint_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(tbl.scan(spark))
 
 
+def q_maint_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via branch refs (Iceberg WAP pattern): half the
+    table staged on an 'audit' branch — provably invisible to main readers
+    (asserted at build time) — then fast-forward published. The head scan
+    must equal the FULL synthesized table; a lost or double-published
+    staged half mismatches the oracle."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table_wap"].scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -452,6 +480,7 @@ MAINT_ORACLES: dict[str, str] = {
         FROM final GROUP BY source
     """,
     "maint_time_travel_tag": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_wap_publish": digest_scan_sql(TOKENS_ORACLE_SQL),
     # n_tok = n_chars//4 + 1 >= 1 and never null in the oracle, so the
     # engine's inclusive-range predicates reduce to the comparisons below
     "maint_delete_where": digest_scan_sql(
@@ -517,6 +546,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_update_where": q_maint_update_where,
         "maint_delete_mor": q_maint_delete_mor,
         "maint_delete_pos": q_maint_delete_pos,
+        "maint_wap_publish": q_maint_wap_publish,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

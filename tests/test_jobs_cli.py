@@ -138,3 +138,19 @@ def test_cli_replication(spark, warehouse, capsys):
     assert r["synced"] is True and r["inserts"] > 0
     r = run(capsys, "scan", "--warehouse", warehouse, "--table", "seq_rep", "--limit", "1")
     assert r["rows"] > base_rows
+
+
+def test_cli_rewrite_pos_deletes(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    base = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+    for where in ['{"n_tok": [40, 60]}', '{"n_tok": [61, 80]}']:
+        r = run(
+            capsys, "delete-where", "--warehouse", warehouse,
+            "--where", where, "--strategy", "mor-pos",
+        )
+        assert r["delete_files_out"] == 1
+    r = run(capsys, "rewrite-pos-deletes", "--warehouse", warehouse)
+    assert r["delete_files_in"] == 2 and r["delete_files_out"] == 1
+    after = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+    assert after < base

@@ -131,3 +131,68 @@ def test_clustering_rewrite_materializes_pos_deletes(spark, pos_table):
     out = tbl.scan(spark)
     assert out.count() == expected
     assert out.filter(F.col("n_tok") >= 40).count() == 0
+
+
+def test_rewrite_position_deletes_merges_sidecars(spark, pos_table):
+    """Three pos-delete commits → three sidecars; the rewrite action merges
+    them into ONE sorted file with identical scan results, and a reader
+    pinned before the rewrite still resolves the original three (snapshot
+    isolation over delete metadata)."""
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        rewrite_position_deletes,
+    )
+
+    tbl = pos_table
+    for band in [(40, 60), (61, 80), (81, None)]:
+        delete_where(spark, tbl, {"n_tok": band}, strategy="mor-pos")
+    assert len(tbl.pos_delete_files()) == 3
+    pre = tbl.current_snapshot().snapshot_id
+    expected = tbl.scan(spark).count()
+
+    res = rewrite_position_deletes(spark, tbl)
+    assert res["delete_files_in"] == 3 and res["delete_files_out"] == 1
+    assert res["positions_in"] == res["positions_out"]  # nothing dangling
+    assert len(tbl.pos_delete_files()) == 1
+    out = tbl.scan(spark)
+    assert out.count() == expected
+    assert out.filter(F.col("n_tok") >= 40).count() == 0
+    # pinned reader still sees the pre-rewrite sidecars and the same rows
+    assert len(tbl.pos_delete_files(pre)) == 3
+    assert tbl.scan(spark, snapshot_id=pre).count() == expected
+
+
+def test_rewrite_position_deletes_drops_dangling(spark, pos_table):
+    """A COW delete rewrites files whose rows a pos-delete addressed — those
+    addresses dangle (the positions were applied into the rewrite's outputs
+    and the old path removed). The rewrite action drops them."""
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        rewrite_position_deletes,
+    )
+
+    tbl = pos_table
+    delete_where(spark, tbl, {"n_tok": (40, 60)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (61, 80)}, strategy="mor-pos")
+    expected = tbl.scan(spark).count() - tbl.scan(spark).filter(
+        F.col("n_tok") <= 20
+    ).count()
+    # COW delete: partially-matching files rewrite through the pos-aware
+    # reader; fully-matching files drop metadata-only
+    delete_where(spark, tbl, {"n_tok": (None, 20)}, strategy="cow")
+    res = rewrite_position_deletes(spark, tbl)
+    assert res["positions_out"] <= res["positions_in"]
+    out = tbl.scan(spark)
+    assert out.count() == expected
+    assert out.filter((F.col("n_tok") >= 40) & (F.col("n_tok") <= 80)).count() == 0
+    assert out.filter(F.col("n_tok") <= 20).count() == 0
+
+
+def test_rewrite_position_deletes_noop_below_min(spark, pos_table):
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        rewrite_position_deletes,
+    )
+
+    tbl = pos_table
+    delete_where(spark, tbl, {"n_tok": (40, None)}, strategy="mor-pos")
+    res = rewrite_position_deletes(spark, tbl)  # min_delete_files=2
+    assert res["delete_files_out"] == 0
+    assert len(tbl.pos_delete_files()) == 1
