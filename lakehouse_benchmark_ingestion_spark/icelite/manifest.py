@@ -248,16 +248,122 @@ def harvest_stats_auto(
     return harvest_stats(paths, stat_columns)
 
 
+# footer key for the manifest-list summary (two-level plan pruning)
+SUMMARY_KEY = b"icelite.summary"
+
+
+def _manifest_summary(files: list[DataFile]) -> dict:
+    """Aggregate bounds across a manifest's DATA files — the icelite twin of
+    Iceberg's manifest-list entry (partition summaries per manifest). Lets
+    the planner skip reading a whole manifest when a scan predicate is
+    provably disjoint from every file in it: at 10^12-sequence scale plan
+    time is driver-bound on manifest parsing, and a footer-only summary
+    read is ~100× cheaper than parsing thousands of per-file JSON bounds.
+
+    A column appears in the summary bounds only when EVERY data file has
+    stats for it (else the manifest-level bound would be unsound)."""
+    data = [f for f in files if f.content == CONTENT_DATA]
+    lower: dict = {}
+    upper: dict = {}
+    if data:
+        common = set(data[0].lower_bounds)
+        for f in data[1:]:
+            common &= set(f.lower_bounds)
+        common = {
+            c
+            for c in common
+            if all(c in f.upper_bounds for f in data)
+        }
+        for c in common:
+            try:
+                lo = min(f.lower_bounds[c] for f in data)
+                hi = max(f.upper_bounds[c] for f in data)
+            except TypeError:  # mixed types across files → no sound bound
+                continue
+            lower[c], upper[c] = lo, hi
+    return {
+        "count": len(files),
+        "data_count": len(data),
+        "bytes": sum(f.file_size_bytes for f in files),
+        "contents": sorted({f.content for f in files}),
+        "lower": lower,
+        "upper": upper,
+    }
+
+
 def write_manifest(location: str, files: list[DataFile]) -> str:
-    """Write a manifest Parquet; returns its name relative to metadata/."""
+    """Write a manifest Parquet; returns its name relative to metadata/.
+
+    The footer's key-value metadata carries the manifest-list summary
+    (aggregate bounds), readable without parsing the manifest body."""
+    import json
+
     name = f"manifest-{uuid.uuid4().hex}.parquet"
     table = pa.Table.from_pylist([f.to_row() for f in files], schema=MANIFEST_SCHEMA)
+    table = table.replace_schema_metadata(
+        {SUMMARY_KEY: json.dumps(_manifest_summary(files), default=str)}
+    )
     pq.write_table(table, os.path.join(metadata_dir(location), name))
     return name
 
 
+def read_manifest_summary(location: str, name: str) -> dict | None:
+    """Footer-only read of a manifest's aggregate summary. Returns None for
+    manifests written before summaries existed (caller must read the body —
+    conservative, never wrong)."""
+    import json
+
+    key = os.path.join(metadata_dir(location), name)
+    if key in _SUMMARY_CACHE:
+        return _SUMMARY_CACHE[key]
+    meta = pq.read_schema(key).metadata
+    raw = (meta or {}).get(SUMMARY_KEY)
+    out = None if raw is None else json.loads(raw)
+    if len(_SUMMARY_CACHE) >= _MANIFEST_CACHE_MAX:
+        _SUMMARY_CACHE.pop(next(iter(_SUMMARY_CACHE)))
+    _SUMMARY_CACHE[key] = out
+    return out
+
+
+_SUMMARY_CACHE: dict[str, dict | None] = {}
+
+
+# Manifests are immutable once written (uuid-named, never rewritten in
+# place; expire unlinks dead ones), so parsed bodies are safely cacheable.
+# Bounded FIFO keeps repeated plan passes (scan → delete_files → pos_reader
+# within one query) from re-parsing the same footers and JSON bounds.
+_MANIFEST_CACHE: dict[str, list] = {}
+_MANIFEST_CACHE_MAX = 256
+
+
 def read_manifest(location: str, name: str) -> list[DataFile]:
-    table = pq.read_table(os.path.join(metadata_dir(location), name))
+    key = os.path.join(metadata_dir(location), name)
+    parsed = _MANIFEST_CACHE.get(key)
+    if parsed is None:
+        parsed = _parse_manifest(key)
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = parsed
+    # fresh DataFile objects per call: callers may tag content/sequence on
+    # the returned objects and must never mutate the shared cache
+    return [
+        DataFile(
+            path=f.path,
+            file_size_bytes=f.file_size_bytes,
+            record_count=f.record_count,
+            lower_bounds=dict(f.lower_bounds),
+            upper_bounds=dict(f.upper_bounds),
+            null_counts=dict(f.null_counts),
+            content=f.content,
+            sequence_number=f.sequence_number,
+            bucket=f.bucket,
+        )
+        for f in parsed
+    ]
+
+
+def _parse_manifest(path: str) -> list[DataFile]:
+    table = pq.read_table(path)
     out = []
     for row in table.to_pylist():
         out.append(

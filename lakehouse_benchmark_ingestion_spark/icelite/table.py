@@ -160,6 +160,55 @@ class IceliteTable:
     def data_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_DATA]
 
+    @staticmethod
+    def _summary_prunable(summary: dict, where: dict) -> bool:
+        """True iff the manifest-list summary PROVES no data file in the
+        manifest can match ``where`` (some condition's interval is disjoint
+        from the manifest-level [min,max]). Missing bounds or incomparable
+        types keep the manifest — same conservative contract as the
+        per-file filter."""
+        lower = summary.get("lower") or {}
+        upper = summary.get("upper") or {}
+        for col, cond in where.items():
+            lo, hi = lower.get(col), upper.get(col)
+            if lo is None or hi is None:
+                continue
+            plo, phi = cond if isinstance(cond, tuple) else (cond, cond)
+            try:
+                if (plo is not None and hi < plo) or (phi is not None and lo > phi):
+                    return True
+            except TypeError:
+                continue
+        return False
+
+    def plan_data_files(
+        self, where: dict, snapshot_id: int | None = None
+    ) -> tuple[list[mf.DataFile], dict]:
+        """Two-level scan planning (Iceberg manifest-list analogue): consult
+        each manifest's footer summary first and read the BODY of only the
+        manifests the predicate cannot rule out. At 10^12-sequence scale
+        plan time is driver-bound on manifest parsing; a footer-only skip
+        keeps it O(matching manifests). Returns (data files, plan stats)."""
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return [], {"manifests_total": 0, "manifests_read": 0}
+        files: list[mf.DataFile] = []
+        read = 0
+        for name in snap.manifests:
+            summary = mf.read_manifest_summary(self.location, name)
+            if summary is not None and self._summary_prunable(summary, where):
+                continue
+            read += 1
+            files.extend(
+                f
+                for f in mf.read_manifest(self.location, name)
+                if f.content == mf.CONTENT_DATA
+            )
+        return files, {
+            "manifests_total": len(snap.manifests),
+            "manifests_read": read,
+        }
+
     def delete_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_EQ_DELETES]
 
@@ -728,7 +777,14 @@ class IceliteTable:
             snapshot_id = self.resolve_ref(ref)
         elif as_of_timestamp_ms is not None:
             snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
-        files = self.data_files(snapshot_id)
+        # two-level planning: when a predicate is given, manifest-list
+        # summaries (footer-only reads) skip whole manifests before any
+        # body parse; the per-file filter below then prunes within the rest
+        files = (
+            self.plan_data_files(where, snapshot_id)[0]
+            if where
+            else self.data_files(snapshot_id)
+        )
         if file_filter is not None:
             files = [f for f in files if file_filter(f)]
         if where:

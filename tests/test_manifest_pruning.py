@@ -1,0 +1,114 @@
+"""Two-level scan planning: manifest-list footer summaries skip whole
+manifests before any body parse (Iceberg manifest-list analogue).
+
+At 10^12-sequence scale the driver's plan time is bound on manifest
+parsing; the footer summary keeps it O(matching manifests). Correctness
+contract: the manifest skip is a strict superset of the per-file skip —
+missing summaries (legacy manifests) or missing bounds read the body.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.icelite import manifest as mf
+from lakehouse_benchmark_ingestion_spark.icelite.metadata import metadata_dir
+from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+from tests.conftest import SF_SMOKE
+
+
+def _banded_table(spark, warehouse, name="banded"):
+    """One append (= one manifest) per disjoint n_tok band."""
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table(name, df.schema)
+    bands = [(0, 40), (41, 80), (81, 120), (121, 10_000)]
+    for lo, hi in bands:
+        part = df.filter((F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))
+        if part.limit(1).count():
+            tbl.append(part, num_files=2)
+    return tbl, df
+
+
+def test_summary_written_and_read(spark, warehouse):
+    tbl, _ = _banded_table(spark, warehouse)
+    snap = tbl.current_snapshot()
+    for name in snap.manifests:
+        s = mf.read_manifest_summary(tbl.location, name)
+        assert s is not None
+        assert s["contents"] == ["data"]
+        assert "n_tok" in s["lower"] and "n_tok" in s["upper"]
+        # summary bounds must contain every file's bounds
+        for f in mf.read_manifest(tbl.location, name):
+            assert s["lower"]["n_tok"] <= f.lower_bounds["n_tok"]
+            assert s["upper"]["n_tok"] >= f.upper_bounds["n_tok"]
+
+
+def test_plan_skips_disjoint_manifests(spark, warehouse):
+    tbl, df = _banded_table(spark, warehouse)
+    files, plan = tbl.plan_data_files({"n_tok": (0, 40)})
+    assert plan["manifests_total"] >= 3
+    assert plan["manifests_read"] < plan["manifests_total"]
+    # every kept file could match; every skipped file provably cannot
+    all_files = tbl.data_files()
+    skipped = {f.path for f in all_files} - {f.path for f in files}
+    for f in all_files:
+        if f.path in skipped:
+            assert f.lower_bounds["n_tok"] > 40
+    # scan answers exactly the predicate rows
+    expected = df.filter(F.col("n_tok") <= 40).count()
+    assert tbl.scan(spark, where={"n_tok": (0, 40)}).count() == expected
+
+
+def test_legacy_manifest_without_summary_is_read(spark, warehouse):
+    """A manifest whose footer lacks the summary key (pre-feature) must be
+    body-read, never skipped."""
+    tbl, df = _banded_table(spark, warehouse, name="legacy")
+    snap = tbl.current_snapshot()
+    # strip the footer summary off every manifest, simulating legacy files
+    for name in snap.manifests:
+        path = os.path.join(metadata_dir(tbl.location), name)
+        t = pq.read_table(path).replace_schema_metadata({})
+        pq.write_table(t, path)
+    mf._MANIFEST_CACHE.clear()
+    mf._SUMMARY_CACHE.clear()
+    files, plan = tbl.plan_data_files({"n_tok": (0, 40)})
+    assert plan["manifests_read"] == plan["manifests_total"]
+    expected = df.filter(F.col("n_tok") <= 40).count()
+    assert tbl.scan(spark, where={"n_tok": (0, 40)}).count() == expected
+
+
+def test_mixed_content_manifest_summary(spark, warehouse):
+    """Compaction commits delete-file manifests; summaries aggregate DATA
+    bounds only and record the content kinds present."""
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    tbl, df = _banded_table(spark, warehouse, name="mixed")
+    delete_where(spark, tbl, {"n_tok": (41, 80)}, strategy="mor")
+    snap = tbl.current_snapshot()
+    kinds = set()
+    for name in snap.manifests:
+        s = mf.read_manifest_summary(tbl.location, name)
+        assert s is not None
+        kinds.update(s["contents"])
+    assert "eq-deletes" in kinds
+    # predicate scan through the MOR path still answers exactly
+    expected = df.filter(
+        (F.col("n_tok") <= 120) & ~((F.col("n_tok") >= 41) & (F.col("n_tok") <= 80))
+    ).count()
+    assert tbl.scan(spark, where={"n_tok": (0, 120)}).count() == expected
+
+
+def test_manifest_cache_returns_independent_objects(spark, warehouse):
+    tbl, _ = _banded_table(spark, warehouse, name="cachetest")
+    snap = tbl.current_snapshot()
+    a = mf.read_manifest(tbl.location, snap.manifests[0])
+    a[0].content = "mutated"
+    a[0].lower_bounds["n_tok"] = -999
+    b = mf.read_manifest(tbl.location, snap.manifests[0])
+    assert b[0].content == "data"
+    assert b[0].lower_bounds["n_tok"] != -999
