@@ -402,6 +402,22 @@ def q_maint_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(tbl.scan(spark))
 
 
+def q_maint_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate scan through the FULL pruning stack: manifest-list footer
+    summaries (two-level planning) → per-file min/max stats → Catalyst
+    parquet pushdown → exact row filters. The oracle re-derives the same
+    predicate declaratively, so an over-pruned (row-losing) or under-
+    filtered plan mismatches."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(
+        p["table"].scan(
+            spark,
+            snapshot_id=p["post_maintenance_snapshot"],
+            where={"n_tok": (100, None)},
+        )
+    )
+
+
 def q_maint_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish via branch refs (Iceberg WAP pattern): half the
     table staged on an 'audit' branch — provably invisible to main readers
@@ -481,6 +497,9 @@ MAINT_ORACLES: dict[str, str] = {
     """,
     "maint_time_travel_tag": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_wap_publish": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_predicate_scan": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok >= 100"
+    ),
     # n_tok = n_chars//4 + 1 >= 1 and never null in the oracle, so the
     # engine's inclusive-range predicates reduce to the comparisons below
     "maint_delete_where": digest_scan_sql(
@@ -547,6 +566,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_delete_mor": q_maint_delete_mor,
         "maint_delete_pos": q_maint_delete_pos,
         "maint_wap_publish": q_maint_wap_publish,
+        "maint_predicate_scan": q_maint_predicate_scan,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)
