@@ -61,6 +61,11 @@ class DataFile:
     # hash-bucket id when the table is bucketed (reference J3: Hudi bucket
     # index, HudiCatalogSync.java:151-159); -1 = unbucketed
     bucket: int = -1
+    # hidden-partitioning tuple (Iceberg partition-spec parity): transform
+    # outputs this file was written under, e.g. {"source": "src1",
+    # "n_tok_trunc50": 100}. "{}" = unpartitioned (pre-spec files, or
+    # rewrite stragglers the next compaction folds back into partitions).
+    partition_json: str = "{}"
 
     def to_row(self) -> dict:
         return {
@@ -73,6 +78,7 @@ class DataFile:
             "content": self.content,
             "sequence_number": self.sequence_number,
             "bucket": self.bucket,
+            "partition_json": self.partition_json,
         }
 
 
@@ -99,6 +105,7 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("content", pa.string(), nullable=False),
         pa.field("sequence_number", pa.int64(), nullable=False),
         pa.field("bucket", pa.int64(), nullable=False),
+        pa.field("partition_json", pa.string(), nullable=False),
     ]
 )
 
@@ -357,6 +364,7 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
             content=f.content,
             sequence_number=f.sequence_number,
             bucket=f.bucket,
+            partition_json=f.partition_json,
         )
         for f in parsed
     ]
@@ -379,6 +387,8 @@ def _parse_manifest(path: str) -> list[DataFile]:
                 content=row.get("content", CONTENT_DATA),
                 sequence_number=row.get("sequence_number", 0),
                 bucket=row.get("bucket", -1),
+                # manifests written before hidden partitioning lack this
+                partition_json=row.get("partition_json") or "{}",
             )
         )
     return out

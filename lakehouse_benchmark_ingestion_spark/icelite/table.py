@@ -118,12 +118,14 @@ class IceliteTable:
                     "file_size_bytes": f.file_size_bytes,
                     "sequence_number": f.sequence_number,
                     "bucket": f.bucket,
+                    "partition_json": f.partition_json,
                 }
                 for f in self.all_files()
             ]
             schema = (
                 "path string, content string, record_count long, "
-                "file_size_bytes long, sequence_number long, bucket long"
+                "file_size_bytes long, sequence_number long, bucket long, "
+                "partition_json string"
             )
         elif kind == "snapshots":
             rows = [
@@ -146,6 +148,22 @@ class IceliteTable:
                 for n, r in self.refs().items()
             ]
             schema = "name string, type string, snapshot_id long"
+        elif kind == "partitions":
+            agg: dict[str, dict] = {}
+            for f in self.data_files():
+                a = agg.setdefault(
+                    f.partition_json,
+                    {"partition_json": f.partition_json, "n_files": 0,
+                     "record_count": 0, "file_size_bytes": 0},
+                )
+                a["n_files"] += 1
+                a["record_count"] += f.record_count
+                a["file_size_bytes"] += f.file_size_bytes
+            rows = sorted(agg.values(), key=lambda r: r["partition_json"])
+            schema = (
+                "partition_json string, n_files long, record_count long, "
+                "file_size_bytes long"
+            )
         else:
             raise ValueError(f"unknown metadata table {kind!r}")
         return spark.createDataFrame(rows, schema)
@@ -552,6 +570,44 @@ class IceliteTable:
             return str(props["bucket-key"]), int(props["bucket-n"])
         return None
 
+    @property
+    def partition_spec(self):
+        """Hidden-partitioning spec (icelite/partition.py), or None."""
+        from . import partition as ps
+
+        return ps.parse_spec(self.meta.properties)
+
+    def set_partition_spec(self, fields: list | None) -> None:
+        """Set / evolve / drop the partition spec (metadata-only commit).
+        Evolution is Iceberg-style: only FUTURE writes use the new spec;
+        existing files keep their recorded partition tuples and continue to
+        compact among themselves."""
+        from . import partition as ps
+
+        if fields is not None and self.bucket_spec is not None:
+            raise ValueError(
+                "table is hash-bucketed (bucket-key property); bucket layout "
+                "and a partition spec are mutually exclusive"
+            )
+        value = None if fields is None else ps.spec_to_json(
+            [
+                f if isinstance(f, ps.PartitionField) else ps.PartitionField(**f)
+                for f in fields
+            ]
+        )
+        # validate round-trip before committing
+        if value is not None:
+            ps.parse_spec({ps.PROP_KEY: value})
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            if value is None:
+                meta.properties.pop(ps.PROP_KEY, None)
+            else:
+                meta.properties[ps.PROP_KEY] = value
+            return meta
+
+        md.commit(self.location, mutate)
+
     # ---- write path ------------------------------------------------------
     def _write_data(
         self,
@@ -595,7 +651,22 @@ class IceliteTable:
         MainRunner.java:86).
         """
         spec = self.bucket_spec
-        if spec is not None:
+        pspec = self.partition_spec
+        if spec is not None and pspec is not None:
+            raise ValueError("bucket layout and partition spec are exclusive")
+        if pspec is not None:
+            from . import partition as ps
+
+            pdir = os.path.join(self.location, "data", uuid.uuid4().hex)
+            paths = ps.write_partitioned(
+                df, pspec, pdir, max_records_per_file=max_records_per_file
+            )
+            stats = mf.harvest_stats_auto(paths, stat_columns, spark=df.sparkSession)
+            for s in stats:
+                s.partition_json = ps.partition_json_from_path(
+                    s.path, pspec, self.schema
+                )
+        elif spec is not None:
             key, n = spec
             from ..functions.hashing import bucket_expr
 

@@ -55,7 +55,10 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    --val-column VAL_COL   (materialized COUNT/SUM per group)
     refresh-view   --warehouse W --table T --name MV   (apply the CDC delta
                    since the view's recorded base snapshot — O(changed rows))
-    metadata       --warehouse W --table T [--kind files|snapshots|refs]
+    metadata       --warehouse W --table T [--kind files|snapshots|refs|partitions]
+    set-partition-spec --warehouse W --table T --spec JSON   (hidden
+                   partitioning: identity/truncate/bucket transforms; omit
+                   --spec to drop; evolution affects future writes only)
     scan           --warehouse W --table T [--snapshot-id N] [--limit N]
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
                    [--ref NAME | --as-of-ms MS]   (time travel)
@@ -112,7 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--name")
     p.add_argument("--ref")
     p.add_argument("--as-of-ms", type=int)
-    p.add_argument("--kind", default="files", choices=["files", "snapshots", "refs"])
+    p.add_argument(
+        "--kind",
+        default="files",
+        choices=["files", "snapshots", "refs", "partitions"],
+    )
+    p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
     p.add_argument("--val-column")
     args = p.parse_args(argv)
 
@@ -133,7 +141,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error("create-table requires --from-documents")
         df = tokens_df(spark, args.from_documents, replicate=args.replicate)
         tbl = cat.create_table(args.table, df.schema)
+        if args.spec:
+            tbl.set_partition_spec(json.loads(args.spec))
         out["location"] = tbl.location
+
+    elif args.command == "set-partition-spec":
+        tbl = cat.load_table(args.table)
+        tbl.set_partition_spec(json.loads(args.spec) if args.spec else None)
+        out["partition_spec"] = tbl.meta.properties.get("partition-spec")
 
     elif args.command == "ingest":
         from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df

@@ -43,6 +43,24 @@ def cluster(
             "(key->bucket routing); use compact() — it Z-sorts within each "
             "bucket and never mixes buckets in a group"
         )
+    if table.partition_spec is not None:
+        # hidden-partitioned table: a GLOBAL ckey-range rewrite would mix
+        # partitions in one file. Cluster WITHIN partitions instead: an
+        # all-files compaction plan — its group rewrite applies the same
+        # ckey repartitionByRange + sortWithinPartitions per partition and
+        # folds unpartitioned stragglers under the current spec.
+        from .compaction import compact, plan_compaction
+
+        plan = plan_compaction(
+            table,
+            target_file_size,
+            min_input_files=1,
+            small_file_threshold=float("inf"),
+        )
+        return compact(
+            spark, table, target_file_size, curve=curve, n_salts=n_salts,
+            run_id=run_id, plan=plan, timestamp_ms=timestamp_ms,
+        )
     snap = table.current_snapshot()
     if snap is None:
         return {"files_in": 0, "files_out": 0, "run_id": run_id}

@@ -43,6 +43,10 @@ class CompactionGroup:
     group_id: int
     files: list[mf.DataFile]
     bucket: int = -1  # preserved on outputs for hash-bucketed tables
+    # hidden-partitioning tuple shared by every file in the group ("{}" =
+    # unpartitioned; on a spec'd table such stragglers are folded back into
+    # partitions by a partition-aware rewrite)
+    partition_json: str = "{}"
 
     @property
     def bytes_in(self) -> int:
@@ -86,18 +90,28 @@ def plan_compaction(
     if max_group_size is None:
         max_group_size = 8 * target_file_size
     files = table.data_files(snap.snapshot_id)
-    small = [f for f in files if f.file_size_bytes < small_file_threshold * target_file_size]
+    has_pspec = table.partition_spec is not None
+    small = [
+        f
+        for f in files
+        if f.file_size_bytes < small_file_threshold * target_file_size
+        # unpartitioned stragglers on a spec'd table are ALWAYS candidates
+        # (regardless of size): the fold is layout healing, not bin packing
+        or (has_pspec and f.partition_json == "{}")
+    ]
 
     # bucketed tables (Hudi-style bucket index): never mix buckets in one
-    # group — outputs must stay single-bucket so key→bucket routing holds
-    by_bucket: dict[int, list[mf.DataFile]] = {}
+    # group — outputs must stay single-bucket so key→bucket routing holds.
+    # Partitioned tables (hidden partitioning): never mix partitions either —
+    # a compaction output must belong to exactly one partition tuple.
+    by_key: dict[tuple, list[mf.DataFile]] = {}
     for f in small:
-        by_bucket.setdefault(f.bucket, []).append(f)
+        by_key.setdefault((f.bucket, f.partition_json), []).append(f)
 
     plan = CompactionPlan(snapshot_id=snap.snapshot_id, target_file_size=target_file_size)
     gid = 0
-    for bucket in sorted(by_bucket):
-        cand = sorted(by_bucket[bucket], key=lambda f: (-f.file_size_bytes, f.path))
+    for bucket, pjson in sorted(by_key):
+        cand = sorted(by_key[(bucket, pjson)], key=lambda f: (-f.file_size_bytes, f.path))
         bins: list[list[mf.DataFile]] = []
         bin_sizes: list[int] = []
         for f in cand:
@@ -112,11 +126,14 @@ def plan_compaction(
                 bins.append([f])
                 bin_sizes.append(f.file_size_bytes)
         for b in bins:
-            if len(b) < min_input_files:
+            if len(b) < min_input_files and not (has_pspec and pjson == "{}"):
                 continue
             plan.groups.append(
                 CompactionGroup(
-                    group_id=gid, files=sorted(b, key=lambda f: f.path), bucket=bucket
+                    group_id=gid,
+                    files=sorted(b, key=lambda f: f.path),
+                    bucket=bucket,
+                    partition_json=pjson,
                 )
             )
             gid += 1
@@ -151,6 +168,27 @@ def _rewrite_group(
         # position-deleted rows
         df = table.pos_reader(spark)([f.path for f in group.files])
     df = with_cluster_key(df, curve=curve)
+
+    pspec = table.partition_spec
+    if pspec is not None and group.partition_json == "{}":
+        # straggler fold: files written without partition tuples (pre-spec
+        # data, MERGE COW outputs) are re-laid-out under the CURRENT spec —
+        # partition-aware write, ckey-sorted within each partition, so the
+        # layout self-heals at the next compaction instead of accreting an
+        # ever-growing unpartitioned residue
+        from ..icelite import partition as ps
+
+        out_dir = os.path.join(
+            table.location, "data", f"rw-{run_id}-g{group.group_id:06d}"
+        )
+        return ps.write_partitioned(
+            df,
+            pspec,
+            out_dir,
+            max_records_per_file=None,
+            sort_within=["_ckey"],
+            drop_cols=["_ckey"],
+        )
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
     if n_out == 1:
@@ -212,6 +250,7 @@ def compact(
     removed: set[str] = set()
     added_paths: list[str] = []
     bucket_by_path: dict[str, int] = {}
+    part_json_by_path: dict[str, str] = {}
     skipped = 0
     todo: list[CompactionGroup] = []
     for group in plan.groups:
@@ -219,6 +258,9 @@ def compact(
             row = done[group.group_id]
             added_paths.extend(row.output_paths or [])
             bucket_by_path.update({p: group.bucket for p in row.output_paths or []})
+            part_json_by_path.update(
+                {p: group.partition_json for p in row.output_paths or []}
+            )
             removed.update(f.path for f in group.files)
             skipped += 1
         else:
@@ -257,6 +299,7 @@ def compact(
             removed.update(f.path for f in group.files)
             added_paths.extend(out_paths)
             bucket_by_path.update({p: group.bucket for p in out_paths})
+            part_json_by_path.update({p: group.partition_json for p in out_paths})
             executed += 1
     elif todo:
         from concurrent.futures import ThreadPoolExecutor
@@ -267,15 +310,28 @@ def compact(
                 removed.update(f.path for f in group.files)
                 added_paths.extend(out_paths)
                 bucket_by_path.update({p: group.bucket for p in out_paths})
+                part_json_by_path.update(
+                    {p: group.partition_json for p in out_paths}
+                )
                 executed += 1
 
     if not plan.groups:
         return {"groups": 0, "files_in": 0, "files_out": 0, "run_id": run_id}
 
     added = mf.harvest_stats(added_paths)
+    pspec = table.partition_spec
     for s in added:
         s.sequence_number = new_seq
         s.bucket = bucket_by_path.get(s.path, -1)
+        # single-partition groups pass their tuple through; straggler-fold
+        # outputs carry _p dirs the path parse recovers
+        s.partition_json = part_json_by_path.get(s.path, "{}")
+        if s.partition_json == "{}" and pspec is not None:
+            from ..icelite import partition as ps
+
+            s.partition_json = ps.partition_json_from_path(
+                s.path, pspec, table.schema
+            )
 
     # eq-delete GC: a delete file is dead once no surviving data file has a
     # smaller sequence number (rewritten outputs carry new_seq >= its seq,

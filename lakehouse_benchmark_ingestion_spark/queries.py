@@ -156,6 +156,21 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     assert n_main < n_audit, "staged branch rows must be invisible to main"
     tbl_wap.fast_forward("audit")
 
+    # sequences_part: hidden partitioning (identity on source) — appends
+    # derive partition tuples invisibly, compaction rewrites WITHIN
+    # partitions only; the certified scan must still equal the plain
+    # synthesized table (partition columns are hidden, file contents pure)
+    tbl_part = cat.create_table("sequences_part", df.schema)
+    tbl_part.set_partition_spec([{"col": "source", "transform": "identity"}])
+    for i in range(2):
+        tbl_part.append(df.filter(F.col("doc_id").cast("long") % 2 == i))
+    from .operators.compaction import compact as _compact
+
+    _compact(spark, tbl_part, target_file_size=4 * 1024 * 1024)
+    assert all(
+        f.partition_json != "{}" for f in tbl_part.data_files()
+    ), "every post-compaction file must carry its partition tuple"
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -170,6 +185,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_bucketed": tbl_bkt,
         "table_evolved": tbl_evo,
         "table_wap": tbl_wap,
+        "table_part": tbl_part,
     }
     _PREPARED[key] = out
     return out
@@ -402,6 +418,16 @@ def q_maint_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(tbl.scan(spark))
 
 
+def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioned table (identity transform on source, Iceberg
+    partition-spec parity): appends wrote one file-set per partition tuple,
+    compaction rewrote within partitions only (asserted at build time). The
+    scan must equal the plain synthesized table — hidden partitioning may
+    never change query results, only layout."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(p["table_part"].scan(spark))
+
+
 def q_maint_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate scan through the FULL pruning stack: manifest-list footer
     summaries (two-level planning) → per-file min/max stats → Catalyst
@@ -497,6 +523,7 @@ MAINT_ORACLES: dict[str, str] = {
     """,
     "maint_time_travel_tag": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_wap_publish": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_partitioned_scan": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_predicate_scan": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok >= 100"
     ),
@@ -567,6 +594,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_delete_pos": q_maint_delete_pos,
         "maint_wap_publish": q_maint_wap_publish,
         "maint_predicate_scan": q_maint_predicate_scan,
+        "maint_partitioned_scan": q_maint_partitioned_scan,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

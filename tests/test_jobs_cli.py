@@ -154,3 +154,15 @@ def test_cli_rewrite_pos_deletes(spark, warehouse, capsys):
     assert r["delete_files_in"] == 2 and r["delete_files_out"] == 1
     after = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
     assert after < base
+
+
+def test_cli_partition_spec(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE,
+        "--spec", '[{"col": "source", "transform": "identity"}]')
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    r = run(capsys, "metadata", "--warehouse", warehouse, "--kind", "partitions")
+    assert len(r["rows"]) > 1
+    r = run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "1")
+    assert r["files_out"] >= 1
+    r = run(capsys, "set-partition-spec", "--warehouse", warehouse)
+    assert r["partition_spec"] is None
