@@ -98,9 +98,14 @@ def should_compact(
     files = table.data_files()
     n_small = sum(1 for f in files if f.file_size_bytes < policy.small_file_bytes)
     has_deletes = bool(table.delete_files()) or bool(table.pos_delete_files())
+    # unpartitioned stragglers on a spec'd table (pre-spec files, MERGE COW
+    # outputs) are layout debt compaction folds — they count as work
+    has_stragglers = table.partition_spec is not None and any(
+        f.partition_json == "{}" for f in files
+    )
     seconds_since = max(0, (as_of - last_maint_ms) // 1000)
 
-    work = n_small >= policy.min_small_files or has_deletes
+    work = n_small >= policy.min_small_files or has_deletes or has_stragglers
     triggered = commits_since >= policy.max_commits or seconds_since >= policy.max_seconds
     decision = bool(work and triggered)
     if not work:

@@ -172,7 +172,6 @@ def test_deletes_compose_with_partitions(spark, warehouse):
 
 
 def test_partition_json_path_roundtrip():
-    schema_fields = tokens_schema = None  # built below without Spark
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -198,3 +197,19 @@ def test_partition_json_path_roundtrip():
         "n_tok_truncate50": 100,
     }
     assert ps.partition_json_from_path("/wh/t/data/abc/part-0.parquet", spec, schema) == "{}"
+
+
+def test_should_compact_counts_stragglers_as_work(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        CompactionPolicy,
+        should_compact,
+    )
+
+    tbl, df = _table(spark, warehouse, None, name="policystrag")
+    tbl.append(df, num_files=1)  # one big-enough file, no deletes
+    policy = CompactionPolicy(
+        min_small_files=99, small_file_bytes=1, max_commits=1, max_seconds=10**9
+    )
+    assert not should_compact(tbl, policy)["compact"]
+    tbl.set_partition_spec(IDENTITY_SPEC)
+    assert should_compact(tbl, policy)["compact"]  # layout debt = work
