@@ -288,7 +288,7 @@ def _manifest_summary(files: list[DataFile]) -> dict:
             except TypeError:  # mixed types across files → no sound bound
                 continue
             lower[c], upper[c] = lo, hi
-    return {
+    out = {
         "count": len(files),
         "data_count": len(data),
         "bytes": sum(f.file_size_bytes for f in files),
@@ -296,6 +296,14 @@ def _manifest_summary(files: list[DataFile]) -> dict:
         "lower": lower,
         "upper": upper,
     }
+    # distinct partition tuples (hidden partitioning): lets the planner skip
+    # a whole manifest when a predicate's transformed constant matches none
+    # of them (Iceberg manifest-list partition summaries). Omitted when the
+    # distinct count is large — the per-file tuples still prune.
+    parts = sorted({f.partition_json for f in data})
+    if parts and len(parts) <= 64:
+        out["partitions"] = parts
+    return out
 
 
 def write_manifest(location: str, files: list[DataFile]) -> str:

@@ -103,6 +103,41 @@ def transform_expr(f: PartitionField, schema: T.StructType) -> Column:
     return bucket_expr(c, f.param)
 
 
+#: sentinel: the transform output for this constant cannot be computed
+#: driver-side (unsupported type) — callers must skip pruning on it.
+NOT_COMPUTABLE = object()
+
+
+def transform_value(f: PartitionField, value, schema: T.StructType):
+    """Driver-side twin of ``transform_expr`` for ONE scalar: the partition
+    tuple value a row carrying ``value`` in ``f.col`` would be written
+    under. This is what makes hidden partitioning prunable at plan time —
+    an equality predicate constant is pushed through the transform and
+    compared against recorded per-file tuples with no Spark job (Iceberg's
+    Transform.project equivalent). Returns NOT_COMPUTABLE when the dtype
+    has no driver-side twin; pruning must then be skipped (conservative).
+    """
+    if value is None:
+        return NOT_COMPUTABLE
+    dtype = schema[f.col].dataType
+    if f.transform == "identity":
+        return value
+    if f.transform == "truncate":
+        if isinstance(dtype, _INTEGRAL):
+            # Spark pmod: non-negative remainder, same as Python % for W>0
+            return int(value) - (int(value) % f.param)
+        if isinstance(dtype, T.StringType):
+            return str(value)[: f.param]
+        return NOT_COMPUTABLE
+    # bucket: pmod(xxhash64(v), N) — exact XXH64 twin (functions/hashing.py)
+    from ..functions.hashing import bucket_value
+
+    try:
+        return bucket_value(value, f.param, dtype.simpleString())
+    except TypeError:
+        return NOT_COMPUTABLE
+
+
 def output_is_integral(f: PartitionField, schema: T.StructType) -> bool:
     if f.transform == "bucket":
         return True

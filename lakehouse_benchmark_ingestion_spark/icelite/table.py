@@ -178,8 +178,78 @@ class IceliteTable:
     def data_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
         return [f for f in self.all_files(snapshot_id) if f.content == mf.CONTENT_DATA]
 
+    def _partition_predicate(self, where: dict):
+        """Hidden-partition pruning predicate: push each predicate constant
+        through the table's partition transforms driver-side (identity /
+        truncate / bucket — the bucket path rides the exact XXH64 twin in
+        functions/hashing.py) and compare against recorded per-file tuples.
+
+        This is the read-path half of hidden partitioning that min/max
+        stats CANNOT provide: a bucket-partitioned point lookup has file
+        key-ranges spanning the whole domain, but only 1/N of files can
+        hold the key's bucket. Returns ``keep(partition_json) -> bool`` or
+        None when the spec/predicates give no leverage. Files without
+        tuples ("{}": pre-spec writes, COW merge stragglers) are always
+        kept — pruning is sound, never lossy."""
+        import json as _json
+
+        from . import partition as ps
+
+        fields = self.partition_spec
+        if not fields or not where:
+            return None
+        schema = self.schema
+        eq_cons: list[tuple[str, object]] = []
+        rng_cons: list[tuple[str, object, object, int]] = []
+        for col, cond in where.items():
+            for f in fields:
+                if f.col != col:
+                    continue
+                if not isinstance(cond, tuple):
+                    exp = ps.transform_value(f, cond, schema)
+                    if exp is not ps.NOT_COMPUTABLE:
+                        eq_cons.append((f.name, exp))
+                elif f.transform == "identity":
+                    # recorded tuple value v covers exactly [v, v]
+                    rng_cons.append((f.name, cond[0], cond[1], 0))
+                elif f.transform == "truncate" and isinstance(
+                    schema[f.col].dataType, ps._INTEGRAL
+                ):
+                    # recorded tuple value t covers [t, t + W - 1]
+                    rng_cons.append((f.name, cond[0], cond[1], f.param - 1))
+        if not eq_cons and not rng_cons:
+            return None
+
+        def keep(pjson: str) -> bool:
+            if not pjson or pjson == "{}":
+                return True
+            try:
+                d = _json.loads(pjson)
+            except ValueError:
+                return True
+            for name, exp in eq_cons:
+                v = d.get(name)
+                if v is None or isinstance(v, str) != isinstance(exp, str):
+                    continue
+                if v != exp:
+                    return False
+            for name, plo, phi, span in rng_cons:
+                v = d.get(name)
+                if v is None:
+                    continue
+                try:
+                    if phi is not None and v > phi:
+                        return False
+                    if plo is not None and (v + span if span else v) < plo:
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        return keep
+
     @staticmethod
-    def _summary_prunable(summary: dict, where: dict) -> bool:
+    def _summary_prunable(summary: dict, where: dict, ppred=None) -> bool:
         """True iff the manifest-list summary PROVES no data file in the
         manifest can match ``where`` (some condition's interval is disjoint
         from the manifest-level [min,max]). Missing bounds or incomparable
@@ -197,6 +267,12 @@ class IceliteTable:
                     return True
             except TypeError:
                 continue
+        # partition summaries: prune the manifest when every recorded tuple
+        # fails the transformed predicate ("{}" entries keep via ppred)
+        parts = summary.get("partitions")
+        if ppred is not None and parts:
+            if not any(ppred(pj) for pj in parts):
+                return True
         return False
 
     def plan_data_files(
@@ -210,11 +286,12 @@ class IceliteTable:
         snap = self.meta.snapshot(snapshot_id)
         if snap is None:
             return [], {"manifests_total": 0, "manifests_read": 0}
+        ppred = self._partition_predicate(where)
         files: list[mf.DataFile] = []
         read = 0
         for name in snap.manifests:
             summary = mf.read_manifest_summary(self.location, name)
-            if summary is not None and self._summary_prunable(summary, where):
+            if summary is not None and self._summary_prunable(summary, where, ppred):
                 continue
             read += 1
             files.extend(
@@ -861,6 +938,12 @@ class IceliteTable:
         if where:
             keep = self._where_file_filter(where)
             files = [f for f in files if keep(f)]
+            # hidden-partition pruning: predicate constants pushed through
+            # the partition transforms vs recorded per-file tuples — the
+            # only plan-time skip possible for bucket[N] point lookups
+            ppred = self._partition_predicate(where)
+            if ppred is not None:
+                files = [f for f in files if ppred(f.partition_json)]
             # equality predicates additionally consult any bloom sidecar
             # built for this snapshot (operators/bloom_index.py): min/max
             # stats cannot prune point lookups once file ranges overlap,

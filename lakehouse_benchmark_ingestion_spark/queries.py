@@ -171,6 +171,20 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         f.partition_json != "{}" for f in tbl_part.data_files()
     ), "every post-compaction file must carry its partition tuple"
 
+    # sequences_bpart: bucket[8] hidden partitioning on doc_id — the layout
+    # whose point lookups min/max stats can NEVER prune (every file's
+    # doc_id range spans the whole domain); the planner must instead push
+    # the constant through the bucket transform (driver-side XXH64 twin)
+    # and keep only the matching tuple. Manifests are partition-clustered
+    # (rewrite_manifests by_partition) so the same lookup also skips whole
+    # manifests footer-only.
+    from .operators.manifest_rewrite import rewrite_manifests as _rw_manifests
+
+    tbl_bpart = cat.create_table("sequences_bpart", df.schema)
+    tbl_bpart.set_partition_spec([{"col": "doc_id", "transform": "bucket", "param": 8}])
+    tbl_bpart.append(df)
+    _rw_manifests(tbl_bpart, min_manifests=1)
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -186,6 +200,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_evolved": tbl_evo,
         "table_wap": tbl_wap,
         "table_part": tbl_part,
+        "table_bpart": tbl_bpart,
     }
     _PREPARED[key] = out
     return out
@@ -428,6 +443,30 @@ def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_part"].scan(spark))
 
 
+def q_maint_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partitioned point lookup (hidden-partition pruning): the
+    predicate constant is pushed through the bucket[8] transform with the
+    driver-side XXH64 twin and compared against recorded partition tuples —
+    the plan touches ONE manifest (partition-clustered manifests skip
+    footer-only) and ~1/8 of the files, which min/max stats could never
+    prove (every file's doc_id range spans the domain). Pruning evidence is
+    asserted here; the oracle certifies no row was lost to it."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_bpart"]
+    where = {"doc_id": "7"}
+    planned, stats = tbl.plan_data_files(where)
+    assert stats["manifests_read"] < stats["manifests_total"], (
+        f"partition-clustered manifests must be footer-skipped: {stats}"
+    )
+    ppred = tbl._partition_predicate(where)
+    kept = [f for f in planned if ppred(f.partition_json)]
+    total = len(tbl.data_files())
+    assert 0 < len(kept) and len(kept) * 2 <= total, (
+        f"bucket pruning must drop most files: kept {len(kept)} of {total}"
+    )
+    return _seq_scan_cols(tbl.scan(spark, where=where))
+
+
 def q_maint_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate scan through the FULL pruning stack: manifest-list footer
     summaries (two-level planning) → per-file min/max stats → Catalyst
@@ -527,6 +566,9 @@ MAINT_ORACLES: dict[str, str] = {
     "maint_predicate_scan": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok >= 100"
     ),
+    "maint_partition_prune": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE doc_id = '7'"
+    ),
     # n_tok = n_chars//4 + 1 >= 1 and never null in the oracle, so the
     # engine's inclusive-range predicates reduce to the comparisons below
     "maint_delete_where": digest_scan_sql(
@@ -595,6 +637,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_wap_publish": q_maint_wap_publish,
         "maint_predicate_scan": q_maint_predicate_scan,
         "maint_partitioned_scan": q_maint_partitioned_scan,
+        "maint_partition_prune": q_maint_partition_prune,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)
