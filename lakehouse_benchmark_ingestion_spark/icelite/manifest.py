@@ -66,6 +66,11 @@ class DataFile:
     # "n_tok_trunc50": 100}. "{}" = unpartitioned (pre-spec files, or
     # rewrite stragglers the next compaction folds back into partitions).
     partition_json: str = "{}"
+    # Iceberg sort_order_id analogue: the space-filling curve this file's
+    # rows are sorted by ("zorder"/"hilbert"; "" = unsorted). Compaction and
+    # clustering rewrites stamp it; cluster() skips the whole rewrite when
+    # every live data file already carries the requested order.
+    sort_order: str = ""
 
     def to_row(self) -> dict:
         return {
@@ -79,6 +84,7 @@ class DataFile:
             "sequence_number": self.sequence_number,
             "bucket": self.bucket,
             "partition_json": self.partition_json,
+            "sort_order": self.sort_order,
         }
 
 
@@ -106,6 +112,7 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("sequence_number", pa.int64(), nullable=False),
         pa.field("bucket", pa.int64(), nullable=False),
         pa.field("partition_json", pa.string(), nullable=False),
+        pa.field("sort_order", pa.string(), nullable=False),
     ]
 )
 
@@ -373,6 +380,7 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
             sequence_number=f.sequence_number,
             bucket=f.bucket,
             partition_json=f.partition_json,
+            sort_order=f.sort_order,
         )
         for f in parsed
     ]
@@ -397,6 +405,8 @@ def _parse_manifest(path: str) -> list[DataFile]:
                 bucket=row.get("bucket", -1),
                 # manifests written before hidden partitioning lack this
                 partition_json=row.get("partition_json") or "{}",
+                # manifests written before sort-order tracking lack this
+                sort_order=row.get("sort_order") or "",
             )
         )
     return out

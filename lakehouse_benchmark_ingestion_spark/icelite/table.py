@@ -119,13 +119,14 @@ class IceliteTable:
                     "sequence_number": f.sequence_number,
                     "bucket": f.bucket,
                     "partition_json": f.partition_json,
+                    "sort_order": f.sort_order,
                 }
                 for f in self.all_files()
             ]
             schema = (
                 "path string, content string, record_count long, "
                 "file_size_bytes long, sequence_number long, bucket long, "
-                "partition_json string"
+                "partition_json string, sort_order string"
             )
         elif kind == "snapshots":
             rows = [

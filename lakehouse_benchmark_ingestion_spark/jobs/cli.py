@@ -13,6 +13,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     ingest         --warehouse W --table T --from-documents DIR [--appends N]
     compact        --warehouse W --table T [--target-mb N] [--curve zorder|hilbert]
                    [--salts N] [--run-id ID] [--concurrency N]
+                   [--partial-progress N]  (commit every N groups instead of
+                   one all-or-nothing swap — Iceberg partial-progress)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     rewrite-manifests --warehouse W --table T
     rewrite-pos-deletes --warehouse W --table T   (merge small pos-delete
@@ -93,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salts", type=int, default=1)
     p.add_argument("--run-id")
     p.add_argument("--concurrency", type=int, default=8)
+    # compact: commit every N groups (Iceberg partial-progress.enabled)
+    p.add_argument("--partial-progress", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
@@ -174,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_salts=args.salts,
                 run_id=args.run_id,
                 max_concurrent_groups=args.concurrency,
+                partial_progress_commits=args.partial_progress,
             )
         )
 

@@ -68,6 +68,26 @@ def cluster(
     if not files:
         return {"files_in": 0, "files_out": 0, "run_id": run_id}
     del_files = table.delete_files(snap.snapshot_id)
+    # Idempotence: when the head snapshot IS a same-curve cluster commit
+    # (no writes since), a re-run would shuffle and rewrite every byte of
+    # the table to reproduce the exact layout it already has. At 100 TB
+    # that's the single most expensive no-op possible — detect and skip.
+    # Sound because any append/merge/delete since would be a NEWER commit.
+    if (
+        snap.operation == "replace"
+        and snap.summary.get("op") == "cluster"
+        and snap.summary.get("curve") == curve
+        and not del_files
+        and not table.pos_delete_files(snap.snapshot_id)
+        and all(f.sort_order == curve for f in files)
+    ):
+        return {
+            "files_in": len(files),
+            "files_out": len(files),
+            "skipped": "already-clustered",
+            "snapshot_id": snap.snapshot_id,
+            "run_id": run_id,
+        }
     new_seq = table.next_sequence_number()
     bytes_in = sum(f.file_size_bytes for f in files)
     rows_in = sum(f.record_count for f in files)
@@ -105,6 +125,7 @@ def cluster(
     added = mf.harvest_stats(out_paths)
     for s in added:
         s.sequence_number = new_seq
+        s.sort_order = curve  # globally range-disjoint AND file-sorted
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id,

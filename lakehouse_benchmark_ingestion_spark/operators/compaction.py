@@ -224,6 +224,7 @@ def compact(
     timestamp_ms: int | None = None,
     max_concurrent_groups: int = 8,
     max_group_size: int | None = None,
+    partial_progress_commits: int | None = None,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
 
@@ -238,6 +239,13 @@ def compact(
     ``fail_after_groups``: test hook — raise after N groups (simulated crash
     BEFORE the commit; the table must still read at the old snapshot);
     forces serial execution so the cut point is deterministic.
+    ``partial_progress_commits``: commit an intermediate snapshot every N
+    completed groups instead of one all-or-nothing swap (Iceberg's
+    rewrite_data_files ``partial-progress.enabled``). Readers see finished
+    groups early and a crash loses at most N groups of work. Lineage rows
+    are keyed by the base snapshot in this mode, because a resume replans
+    from a DIFFERENT snapshot (the last partial commit) and group ids from
+    the old plan must not leak into the new one.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
@@ -245,7 +253,11 @@ def compact(
     del_files = table.delete_files()
     new_seq = table.next_sequence_number()
     log = LineageLog(table.location)
-    done = log.done_tasks(run_id, "compact")
+    lineage_op = (
+        "compact" if partial_progress_commits is None
+        else f"compact@{plan.snapshot_id}"
+    )
+    done = log.done_tasks(run_id, lineage_op)
 
     removed: set[str] = set()
     added_paths: list[str] = []
@@ -274,7 +286,7 @@ def compact(
         log.write(
             LineageRow(
                 run_id=run_id,
-                op="compact",
+                op=lineage_op,
                 partition_id=group.group_id,
                 files_in=len(group.files),
                 files_out=len(out_paths),
@@ -288,50 +300,97 @@ def compact(
         )
         return out_paths
 
+    pspec = table.partition_spec
+
+    def _finalize(paths: list[str]) -> list[mf.DataFile]:
+        """Harvest + stamp manifest stats for a set of rewrite outputs."""
+        stats = mf.harvest_stats(paths)
+        for s in stats:
+            s.sequence_number = new_seq
+            s.bucket = bucket_by_path.get(s.path, -1)
+            # rewrite outputs are ckey-sorted within each file — record the
+            # order so cluster() can prove a re-sort is redundant
+            s.sort_order = curve
+            # single-partition groups pass their tuple through;
+            # straggler-fold outputs carry _p dirs the path parse recovers
+            s.partition_json = part_json_by_path.get(s.path, "{}")
+            if s.partition_json == "{}" and pspec is not None:
+                from ..icelite import partition as ps
+
+                s.partition_json = ps.partition_json_from_path(
+                    s.path, pspec, table.schema
+                )
+        return stats
+
+    def _absorb(group: CompactionGroup, out_paths: list[str]) -> None:
+        removed.update(f.path for f in group.files)
+        added_paths.extend(out_paths)
+        bucket_by_path.update({p: group.bucket for p in out_paths})
+        part_json_by_path.update({p: group.partition_json for p in out_paths})
+
     executed = 0
+    partial_commits = 0
+    committed_removed: set[str] = set()
+    committed_paths: set[str] = set()
+    # partial-progress accumulators (flushed every N completed groups)
+    batch_removed: set[str] = set()
+    batch_paths: list[str] = []
+    batch_groups = 0
+
+    def _after_group(group: CompactionGroup, out_paths: list[str]) -> None:
+        nonlocal executed, batch_groups, partial_commits
+        _absorb(group, out_paths)
+        executed += 1
+        if partial_progress_commits is None:
+            return
+        batch_removed.update(f.path for f in group.files)
+        batch_paths.extend(out_paths)
+        batch_groups += 1
+        if batch_groups >= partial_progress_commits:
+            table.replace_files(
+                set(batch_removed),
+                _finalize(list(batch_paths)),
+                operation="replace",
+                summary={
+                    "op": "compact-partial",
+                    "run-id": run_id,
+                    "commit-seq": str(partial_commits),
+                },
+                timestamp_ms=timestamp_ms,
+            )
+            partial_commits += 1
+            committed_removed.update(batch_removed)
+            committed_paths.update(batch_paths)
+            batch_removed.clear()
+            batch_paths.clear()
+            batch_groups = 0
+
     if fail_after_groups is not None:
         for group in todo:
             if executed >= fail_after_groups:
                 raise RuntimeError(
                     f"injected failure after {executed} groups (run_id={run_id})"
                 )
-            out_paths = run_one(group)
-            removed.update(f.path for f in group.files)
-            added_paths.extend(out_paths)
-            bucket_by_path.update({p: group.bucket for p in out_paths})
-            part_json_by_path.update({p: group.partition_json for p in out_paths})
-            executed += 1
+            _after_group(group, run_one(group))
     elif todo:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
         workers = max(1, min(max_concurrent_groups, len(todo)))
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            for group, out_paths in zip(todo, pool.map(run_one, todo)):
-                removed.update(f.path for f in group.files)
-                added_paths.extend(out_paths)
-                bucket_by_path.update({p: group.bucket for p in out_paths})
-                part_json_by_path.update(
-                    {p: group.partition_json for p in out_paths}
-                )
-                executed += 1
+            pending = {pool.submit(run_one, g): g for g in todo}
+            while pending:
+                ready, _ = wait(set(pending), return_when=FIRST_COMPLETED)
+                for fut in ready:
+                    group = pending.pop(fut)
+                    # commits happen on the driver thread, in completion
+                    # order — rewrite jobs keep running concurrently
+                    _after_group(group, fut.result())
 
     if not plan.groups:
         return {"groups": 0, "files_in": 0, "files_out": 0, "run_id": run_id}
 
-    added = mf.harvest_stats(added_paths)
-    pspec = table.partition_spec
-    for s in added:
-        s.sequence_number = new_seq
-        s.bucket = bucket_by_path.get(s.path, -1)
-        # single-partition groups pass their tuple through; straggler-fold
-        # outputs carry _p dirs the path parse recovers
-        s.partition_json = part_json_by_path.get(s.path, "{}")
-        if s.partition_json == "{}" and pspec is not None:
-            from ..icelite import partition as ps
-
-            s.partition_json = ps.partition_json_from_path(
-                s.path, pspec, table.schema
-            )
+    # everything not shipped by a partial commit lands in the final swap
+    added = _finalize([p for p in added_paths if p not in committed_paths])
 
     # eq-delete GC: a delete file is dead once no surviving data file has a
     # smaller sequence number (rewritten outputs carry new_seq >= its seq,
@@ -361,7 +420,7 @@ def compact(
             dead_deletes.add(d.path)
 
     snap = table.replace_files(
-        removed | dead_deletes,
+        (removed - committed_removed) | dead_deletes,
         added,
         operation="replace",
         summary={"op": "compact", "run-id": run_id},
@@ -374,8 +433,9 @@ def compact(
         "files_in": len(removed),
         "files_out": len(added_paths),
         "bytes_in": sum(g.bytes_in for g in plan.groups),
-        "bytes_out": sum(f.file_size_bytes for f in added),
+        "bytes_out": sum(os.path.getsize(p) for p in added_paths),
         "rows": sum(g.rows_in for g in plan.groups),
         "snapshot_id": snap.snapshot_id,
+        "partial_commits": partial_commits,
         "run_id": run_id,
     }
