@@ -293,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     elif args.command == "status":
+        from lakehouse_benchmark_ingestion_spark.plans.lineage import MetricsLog
         from lakehouse_benchmark_ingestion_spark.plans.maintenance import should_compact
 
         names = cat.list_tables()
@@ -310,6 +311,15 @@ def main(argv: list[str] | None = None) -> int:
                 "last_operation": snaps[-1].operation if snaps else None,
                 "last_updated_ms": snaps[-1].timestamp_ms if snaps else None,
                 "trigger": should_compact(tbl),
+                # last maintenance run's per-stage walls (MetricsLog)
+                "last_maintenance": [
+                    {
+                        "op": m.op, "wall_ms": m.wall_ms,
+                        "files_in": m.files_in, "files_out": m.files_out,
+                        "run_id": m.run_id,
+                    }
+                    for m in MetricsLog(tbl.location).last_run()
+                ],
             }
         out.pop("table", None)
         out["tables"] = tables_out

@@ -77,3 +77,63 @@ class LineageLog:
                 with open(os.path.join(self.dir, name)) as f:
                     out.append(LineageRow(**json.load(f)))
         return out
+
+
+@dataclass
+class MetricsRow:
+    """One maintenance STAGE of one run — the observability record the
+    reference exposes over its REST monitor port (MainRunner.java:145-212)
+    and Arctic's optimizer metrics. Lineage rows are per-partition progress
+    for RESUME; metrics rows are per-stage walls for OPERATORS."""
+
+    run_id: str
+    table: str
+    op: str  # compact | cluster | rewrite_manifests | expire_snapshots | ...
+    started_ms: int
+    wall_ms: int
+    files_in: int = 0
+    files_out: int = 0
+    rows: int = 0
+    bytes_in: int = 0
+    bytes_out: int = 0
+    snapshot_id: int = -1
+    extra: dict | None = None  # op-specific (e.g. partial_commits, skipped)
+
+
+class MetricsLog:
+    """Append-only per-table metrics journal under ``<table>/metrics/``.
+
+    One atomic JSON file per (run, op) — same write-temp + os.replace
+    protocol as lineage, so a crash can't torn-write an entry. O(runs)
+    driver-side reads; never touches data files."""
+
+    def __init__(self, table_location: str):
+        self.dir = os.path.join(table_location, "metrics")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, row: MetricsRow) -> None:
+        # per-dir sequence breaks started_ms ties (sub-ms stages) so
+        # lexicographic filename order == write order
+        seq = sum(1 for n in os.listdir(self.dir) if n.endswith(".json"))
+        final = os.path.join(
+            self.dir, f"{row.started_ms:015d}-{seq:06d}-{row.run_id}-{row.op}.json"
+        )
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(row), f)
+        os.replace(tmp, final)
+
+    def all_rows(self) -> list[MetricsRow]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):  # sorted = started_ms order
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(MetricsRow(**json.load(f)))
+        return out
+
+    def last_run(self) -> list[MetricsRow]:
+        rows = self.all_rows()
+        if not rows:
+            return []
+        last = rows[-1].run_id
+        return [r for r in rows if r.run_id == last]

@@ -10,6 +10,7 @@ Arctic self-optimizing ArcticCatalogSync.java:121-128).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -44,19 +45,61 @@ def run_full_maintenance(
     quota = table.meta.properties.get("maintenance.max-concurrent-groups")
     if quota is not None:
         max_concurrent_groups = min(max_concurrent_groups, int(quota))
+
+    import time
+    import uuid as _uuid
+
+    from .lineage import MetricsLog, MetricsRow
+
+    run_id = run_id or _uuid.uuid4().hex[:12]
+    mlog = MetricsLog(table.location)
+    table_name = os.path.basename(table.location)
+
+    def timed(op: str, fn) -> dict:
+        t0 = time.monotonic()
+        started = md.now_ms()
+        m = fn()
+        mlog.write(
+            MetricsRow(
+                run_id=run_id,
+                table=table_name,
+                op=op,
+                started_ms=started,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                files_in=int(m.get("files_in", 0)),
+                files_out=int(m.get("files_out", 0)),
+                rows=int(m.get("rows", 0)),
+                bytes_in=int(m.get("bytes_in", 0)),
+                bytes_out=int(m.get("bytes_out", 0)),
+                snapshot_id=int(m.get("snapshot_id", -1)),
+                extra={
+                    k: v
+                    for k, v in m.items()
+                    if k in ("skipped", "partial_commits", "groups",
+                             "groups_resumed", "expired", "kept")
+                },
+            )
+        )
+        return m
+
     metrics: dict = {}
-    metrics["compact"] = compact(
+    metrics["compact"] = timed("compact", lambda: compact(
         spark, table, target_file_size=target_file_size, curve=curve,
         n_salts=n_salts, run_id=run_id,
         max_concurrent_groups=max_concurrent_groups,
-    )
+    ))
     if table.bucket_spec is None:
-        metrics["cluster"] = cluster(
+        metrics["cluster"] = timed("cluster", lambda: cluster(
             spark, table, curve=curve, target_file_size=target_file_size,
             n_salts=n_salts,
-        )
-    metrics["rewrite_manifests"] = rewrite_manifests(table)
-    metrics["expire_snapshots"] = expire_snapshots(table, keep_last=expire_keep_last)
+        ))
+    metrics["rewrite_manifests"] = timed(
+        "rewrite_manifests", lambda: rewrite_manifests(table)
+    )
+    metrics["expire_snapshots"] = timed(
+        "expire_snapshots",
+        lambda: expire_snapshots(table, keep_last=expire_keep_last),
+    )
     return metrics
 
 
