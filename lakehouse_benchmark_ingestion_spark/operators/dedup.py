@@ -86,9 +86,21 @@ def _poly_hash_flat(g: Column, n: int) -> Column:
     return out % HASH_P
 
 
-def shingle_hashes(text_col: str, n: int = 3, hash_fn: str = "xxhash64") -> Column:
-    """Array of int64 hashes in [0, P), one per distinct shingle."""
-    grams = _shingles_sql(text_col, n)
+def shingle_hashes(
+    text_col: str, n: int = 3, hash_fn: str = "xxhash64", distinct: bool = True
+) -> Column:
+    """Array of int64 hashes in [0, P), one per distinct shingle.
+
+    ``distinct=False`` skips the dedupe pass — sound wherever the consumer
+    is duplicate-insensitive (a MIN over permuted hashes doesn't care how
+    many times a shingle occurs), and saves a full per-row hash-set build.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
     if hash_fn == "xxhash64":
         return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(HASH_P)))
     return F.transform(grams, lambda g: _poly_hash_flat(g, n))
@@ -102,7 +114,8 @@ def minhash_signature(
     hash_fn: str = "xxhash64",
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Append an array<long> MinHash signature column.
+    """MinHash signatures: returns every df column EXCEPT ``text_col``,
+    plus an array<long> signature column (text never enters the shuffle).
 
     signature[j] = min over shingles s of (a_j * H(s) + b_j) mod P.
     ``hash_fn="poly"`` uses the DuckDB-matchable rolling hash.
@@ -116,20 +129,25 @@ def minhash_signature(
     # Catalyst re-inlines the (interpreted-HOF) gram-hash expression into
     # every permutation, recomputing the shingle hashing n_perms times.
     # Exploding hashes each gram ONCE; the 16 permutation mins are then
-    # cheap codegen arithmetic with map-side partial aggregation. The
-    # groupBy shuffles the original columns — at scale prefer feeding this
-    # (id, text) only, or pre-aggregate by id and rejoin.
-    hashes = shingle_hashes(text_col, n, hash_fn)
-    exploded = df.withColumn("_h", F.explode(hashes))
+    # cheap codegen arithmetic with map-side partial aggregation.
+    # Two deliberate exclusions from the hot path:
+    #   - text_col is dropped BEFORE the explode: grouping by the raw text
+    #     would hash+shuffle kilobytes of key per exploded gram row;
+    #   - shingles are NOT deduped: MIN over permuted hashes is
+    #     duplicate-insensitive, so array_distinct's per-row hash-set
+    #     build buys nothing here.
+    group_cols = [c for c in df.columns if c != text_col]
+    hashes = shingle_hashes(text_col, n, hash_fn, distinct=False)
+    exploded = df.withColumn("_h", F.explode(hashes)).select(*group_cols, "_h")
     aggs = [
         F.min(F.pmod(F.col("_h") * a + b, F.lit(HASH_P))).alias(f"_m{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS[:n_perms])
     ]
     return (
-        exploded.groupBy(*df.columns)
+        exploded.groupBy(*group_cols)
         .agg(*aggs)
         .select(
-            *df.columns,
+            *group_cols,
             F.array(*[F.col(f"_m{j}") for j in range(n_perms)]).alias(out_col),
         )
     )

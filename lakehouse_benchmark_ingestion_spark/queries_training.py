@@ -79,12 +79,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label propagation (operators/dedup.duplicate_clusters)
     over the certified MinHash-LSH pair list. cluster_id = min doc_id of
     the component; doc_id == cluster_id marks the survivor."""
-    from .operators.dedup import duplicate_clusters, minhash_dedup_pairs
+    from .operators.dedup import duplicate_clusters
+    from .queries_pipeline import minhash_pairs_cached
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
-    pairs = minhash_dedup_pairs(d, jaccard_threshold=0.5, hash_fn="poly")
+    pairs = minhash_pairs_cached(spark, sf_dir)
     return duplicate_clusters(pairs)
 
 

@@ -108,13 +108,43 @@ def sessionize_stream(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ) -> int:
     """Stream event drops through the stateful sessionizer; append CLOSED
     sessions to the icelite table. Returns micro-batches committed. Sessions
     still open when the stream drains stay in the checkpoint state and close
     on a later run — exactly Flink's keyed-state continuation model, which
     is what the reference's checkpointed operators rely on
-    (FsStateBackend, MainRunner.java:85-88)."""
+    (FsStateBackend, MainRunner.java:85-88).
+
+    ``state_partitions`` sizes the state-store instance count (pinned into
+    the checkpoint at first run). Keyed state scales with DISTINCT USERS,
+    not event volume — a small drop-feed wants far fewer state stores than
+    the session's shuffle width (each store pays per-batch commit + Python
+    worker overhead); a 10^12-event production stream wants thousands.
+    None = inherit spark.sql.shuffle.partitions."""
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _run_stream(
+            spark, table, source_dir, checkpoint_dir, gap_seconds,
+            max_files_per_trigger,
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _run_stream(
+    spark: SparkSession,
+    table,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int,
+    max_files_per_trigger: int,
+) -> int:
     stream = (
         spark.readStream.schema(_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
