@@ -54,7 +54,10 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     )
     shutil.rmtree(wh, ignore_errors=True)
     cat = Catalog(wh)
-    df = tokens_df(spark, sf_dir)
+    # the synthesized table feeds ~15 appends across 8 tables below; persist
+    # so token generation (per-row transform over documents.parquet) runs
+    # once instead of once per append
+    df = tokens_df(spark, sf_dir).persist()
 
     # sequences: small-file appends (the reference's per-checkpoint cadence),
     # then the full maintenance suite; snapshot history retained so pinned
@@ -202,6 +205,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_part": tbl_part,
         "table_bpart": tbl_bpart,
     }
+    df.unpersist()
     _PREPARED[key] = out
     return out
 

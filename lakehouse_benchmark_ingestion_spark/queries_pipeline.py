@@ -282,7 +282,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = docs.select(
         F.col("doc_id").alias("b_id"),
-        F.col("lang").alias("lang_b"),
+        "lang",
         F.col("n_chars").alias("b_len"),
         F.col("g").alias("gb"),
         F.explode(
@@ -293,9 +293,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    pairs = a.join(b, ["band"]).filter(
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("a_id") < F.col("b_id"))
+    # equi-join on BOTH dims: cross-lang candidates never materialize
+    pairs = a.join(b, ["lang", "band"]).filter(
+        (F.col("a_id") < F.col("b_id"))
         & (F.abs(F.col("a_len") - F.col("b_len")) <= 5)
     )
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
@@ -710,15 +710,17 @@ def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events")
         sliced = events.withColumn(
             "_slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
-        )
+        ).persist()
         for k in range(1, 4):
             sliced.filter(F.col("_slice") == k).drop("_slice").coalesce(
                 1
             ).write.parquet(f"{base}/drops/drop-{k:04d}")
+        sliced.unpersist()
         tbl = Catalog(base).create_table("rollup", rollup_table_schema())
         windowed_rollup_stream(
             spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt",
             watermark_delay="3650 days",
+            state_partitions=8,  # live windows x groups, not event volume
         )
         _STREAM_CACHE[ck] = tbl
     tbl = _STREAM_CACHE[ck]

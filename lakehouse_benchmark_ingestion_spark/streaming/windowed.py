@@ -35,8 +35,13 @@ def windowed_rollup_stream(
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ) -> int:
     """Stream parquet drops of events into an hourly rollup table.
+
+    ``state_partitions`` sizes the streaming-agg state-store count (see
+    sessions.sessionize_stream — state scales with live windows × groups,
+    not event volume). None = inherit spark.sql.shuffle.partitions.
 
     Rollup table schema: (window_start timestamp, group string, n_events
     long, n_users long). Each micro-batch emits UPDATED windows; the sink
@@ -100,14 +105,22 @@ def windowed_rollup_stream(
         merge_into(spark, table, upserts, key="_key", seq_col="_seq")
         batches["n"] += 1
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return batches["n"]
 
 
