@@ -188,6 +188,26 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
     tbl_bpart.append(df)
     _rw_manifests(tbl_bpart, min_manifests=1)
 
+    # sequences_pp: partial-progress compaction (Iceberg
+    # partial-progress.enabled analogue) — small-file appends, then a
+    # compaction that commits every group as its own snapshot; the certified
+    # scan must still equal the synthesized table (no file double-committed
+    # or lost across the intermediate swaps)
+    tbl_pp = cat.create_table("sequences_pp", df.schema)
+    for i in range(2):
+        tbl_pp.append(
+            df.filter(F.col("doc_id").cast("long") % 2 == i), num_files=4
+        )
+    pp_bytes = sum(f.file_size_bytes for f in tbl_pp.data_files())
+    m_pp = _compact(
+        spark,
+        tbl_pp,
+        target_file_size=4 * 1024 * 1024,
+        max_group_size=max(pp_bytes // 3, 1),
+        partial_progress_commits=1,
+    )
+    assert m_pp["partial_commits"] >= 1, m_pp
+
     out = {
         "warehouse": wh,
         "table": tbl,
@@ -204,6 +224,7 @@ def prepared_warehouse(spark: SparkSession, sf_dir: str) -> dict:
         "table_wap": tbl_wap,
         "table_part": tbl_part,
         "table_bpart": tbl_bpart,
+        "table_pp": tbl_pp,
     }
     df.unpersist()
     _PREPARED[key] = out
@@ -447,6 +468,22 @@ def q_maint_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_part"].scan(spark))
 
 
+def q_maint_partial_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-progress compaction (Iceberg partial-progress.enabled
+    analogue): every group committed as its own intermediate snapshot
+    (≥1 partial commit asserted at build time), then the final swap. The
+    scan must equal the synthesized table — no file double-committed or
+    lost across the intermediate swaps, and every output stamped with its
+    sort order."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_pp"]
+    assert any(
+        s.summary.get("op") == "compact-partial" for s in tbl.history()
+    ), "expected at least one partial-progress commit in history"
+    assert all(f.sort_order == "zorder" for f in tbl.data_files())
+    return _seq_scan_cols(tbl.scan(spark))
+
+
 def q_maint_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-partitioned point lookup (hidden-partition pruning): the
     predicate constant is pushed through the bucket[8] transform with the
@@ -567,6 +604,7 @@ MAINT_ORACLES: dict[str, str] = {
     "maint_time_travel_tag": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_wap_publish": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_partitioned_scan": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_partial_progress": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_predicate_scan": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok >= 100"
     ),
@@ -641,6 +679,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_wap_publish": q_maint_wap_publish,
         "maint_predicate_scan": q_maint_predicate_scan,
         "maint_partitioned_scan": q_maint_partitioned_scan,
+        "maint_partial_progress": q_maint_partial_progress,
         "maint_partition_prune": q_maint_partition_prune,
         "zorder_key": q_zorder_key,
     }
