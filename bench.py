@@ -28,6 +28,10 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "256"))
+# co-tenant noise robustness: the timed suite runs on ROUNDS freshly-ingested
+# tables and each phase reports its min (the classic min-of-k protocol — min
+# is the noise-free estimator for deterministic work)
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 
 
 def run_bench() -> dict:
@@ -75,60 +79,69 @@ def run_bench() -> dict:
     # + per-row transform()) would otherwise run 4x
     df = tokens_df(spark, SF_DIR, replicate=REPLICATE).persist()
 
-    # ---- ingest: many small files across snapshots (the reference's 60 s
-    # checkpoint cadence pathology, MainRunner.java:86) — not part of the
-    # timed maintenance metric, but timed for context.
-    t0 = time.time()
-    tbl = cat.create_table("sequences", df.schema)
-    # fixed file count — the input layout must be IDENTICAL at every
-    # parallelism level for the N-vs-4N scaling comparison to be valid
-    for i in range(4):
-        part = df.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == i)
-        tbl.append(part, num_files=64)
-    t_ingest = time.time() - t0
-
-    files0 = tbl.data_files()
-    n_files0 = len(files0)
-    bytes_in = sum(f.file_size_bytes for f in files0)
-    rows_in = sum(f.record_count for f in files0)
-
-    timings: dict[str, float] = {"ingest": round(t_ingest, 3)}
-
-    # ---- the timed maintenance suite -------------------------------------
+    # ---- ingest + timed maintenance suite, min over ROUNDS fresh tables ---
     # ~10-15 groups at bench scale: enough concurrent jobs to saturate both
     # parallelism levels, few enough that Spark's fixed per-job latency
     # (which no amount of cores removes) stays a small fraction of the wall.
     # few WIDE group jobs: bins of up to 128 MB range-split into 8 MB files
     # → full shuffle width inside each job, negligible fixed job latency
     target = 8 * 1024 * 1024
-    t0 = time.time()
-    m_compact = compact(
-        spark, tbl, target_file_size=target,
-        max_group_size=128 * 1024 * 1024, max_concurrent_groups=8,
-    )
-    timings["compact"] = round(time.time() - t0, 3)
+    timings: dict[str, float] = {}
+    suite_phases = ("compact", "cluster", "rewrite_manifests", "expire_snapshots", "merge")
+    for rnd in range(max(1, ROUNDS)):
+        # ingest: many small files across snapshots (the reference's 60 s
+        # checkpoint cadence pathology, MainRunner.java:86) — not part of
+        # the timed maintenance metric, but timed for context.
+        t0 = time.time()
+        tbl = cat.create_table(f"sequences_r{rnd}", df.schema)
+        # fixed file count — the input layout must be IDENTICAL at every
+        # parallelism level for the N-vs-4N scaling comparison to be valid
+        for i in range(4):
+            part = df.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == i)
+            tbl.append(part, num_files=64)
+        t_ingest = time.time() - t0
 
-    t0 = time.time()
-    cluster(spark, tbl, target_file_size=target)
-    timings["cluster"] = round(time.time() - t0, 3)
+        files0 = tbl.data_files()
+        n_files0 = len(files0)
+        bytes_in = sum(f.file_size_bytes for f in files0)
+        rows_in = sum(f.record_count for f in files0)
 
-    t0 = time.time()
-    rewrite_manifests(tbl)
-    timings["rewrite_manifests"] = round(time.time() - t0, 3)
+        round_t: dict[str, float] = {"ingest": round(t_ingest, 3)}
+        t0 = time.time()
+        m_compact = compact(
+            spark, tbl, target_file_size=target,
+            max_group_size=128 * 1024 * 1024, max_concurrent_groups=8,
+        )
+        round_t["compact"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    expire_snapshots(tbl, keep_last=1)
-    timings["expire_snapshots"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        cluster(spark, tbl, target_file_size=target)
+        round_t["cluster"] = round(time.time() - t0, 3)
 
-    maintenance_wall = timings["compact"] + timings["cluster"] + timings["rewrite_manifests"] + timings["expire_snapshots"]
+        t0 = time.time()
+        rewrite_manifests(tbl)
+        round_t["rewrite_manifests"] = round(time.time() - t0, 3)
 
-    # ---- MERGE INTO -------------------------------------------------------
-    # same file-size target as the suite: without it the COW rewrite needs
-    # only ceil(bytes/128MB) output partitions — a one-task write at bench
-    # scale (at 100 TB the default is right; the target only sets sizing)
-    t0 = time.time()
-    merge_into(spark, tbl, updates_df(spark, SF_DIR), target_file_size=target)
-    timings["merge"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        expire_snapshots(tbl, keep_last=1)
+        round_t["expire_snapshots"] = round(time.time() - t0, 3)
+
+        # MERGE INTO — same file-size target as the suite: without it the
+        # COW rewrite needs only ceil(bytes/128MB) output partitions — a
+        # one-task write at bench scale (at 100 TB the default is right)
+        t0 = time.time()
+        merge_into(spark, tbl, updates_df(spark, SF_DIR), target_file_size=target)
+        round_t["merge"] = round(time.time() - t0, 3)
+
+        for k, v in round_t.items():
+            if k == "ingest":
+                # context-only number; later rounds reuse the cached
+                # generation, so only round 0 reflects real ingest cost
+                timings.setdefault(k, v)
+            else:
+                timings[k] = min(timings.get(k, v), v)
+
+    maintenance_wall = sum(timings[p] for p in suite_phases if p != "merge")
 
     # ---- post-maintenance scan latency -------------------------------------
     t0 = time.time()
@@ -259,6 +272,9 @@ def run_scaling() -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 BENCH_REPLICATE=replicate,
+                # noise robustness comes from the interleaved min-of-3
+                # REPEATS here; no need for in-process rounds on top
+                BENCH_ROUNDS="1",
                 SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
             )
             p = subprocess.run(

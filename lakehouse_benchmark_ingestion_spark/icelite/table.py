@@ -136,12 +136,16 @@ class IceliteTable:
                     "operation": s.operation,
                     "timestamp_ms": s.timestamp_ms,
                     "n_manifests": len(s.manifests),
+                    # commit provenance (which op produced it, which run)
+                    "summary_op": s.summary.get("op"),
+                    "run_id": s.summary.get("run-id"),
                 }
                 for s in self.history()
             ]
             schema = (
                 "snapshot_id long, parent_id long, operation string, "
-                "timestamp_ms long, n_manifests long"
+                "timestamp_ms long, n_manifests long, summary_op string, "
+                "run_id string"
             )
         elif kind == "refs":
             rows = [

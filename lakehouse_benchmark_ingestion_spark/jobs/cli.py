@@ -66,6 +66,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--ref NAME | --as-of-ms MS]   (time travel)
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
     remove-orphans --warehouse W --table T [--older-than-ms MS] [--dry-run]
+    vacuum         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
+                   [--dry-run]   (expire → rewrite-pos-deletes →
+                   remove-orphans, the one safe GC order)
     add-column     --warehouse W --table T --column NAME --type DDL
     drop-column    --warehouse W --table T --column NAME
     rename-column  --warehouse W --table T --column OLD --to-name NEW
@@ -469,6 +472,34 @@ def main(argv: list[str] | None = None) -> int:
                 dry_run=args.dry_run,
                 run_id=args.run_id,
             )
+        )
+
+    elif args.command == "vacuum":
+        # full storage-reclamation pass in one command: retire history
+        # (expire), consolidate delete sidecars (rewrite-pos-deletes), then
+        # sweep unreferenced files (remove-orphans) — the operational
+        # equivalent of running the three GC commands in their only safe
+        # order (expire first so its dropped files become orphans, sweep
+        # last so nothing swept is still referenced).
+        from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import expire_snapshots
+        from lakehouse_benchmark_ingestion_spark.operators.orphan_files import remove_orphan_files
+        from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+            rewrite_position_deletes,
+        )
+
+        tbl = cat.load_table(args.table)
+        out["expire"] = expire_snapshots(
+            tbl, keep_last=args.keep_last, older_than_ms=args.older_than_ms,
+            run_id=args.run_id,
+        )
+        out["rewrite_pos_deletes"] = rewrite_position_deletes(
+            spark, tbl, run_id=args.run_id
+        )
+        out["remove_orphans"] = remove_orphan_files(
+            tbl,
+            older_than_ms=args.older_than_ms if args.older_than_ms is not None else 3 * 24 * 3600 * 1000,
+            dry_run=args.dry_run,
+            run_id=args.run_id,
         )
 
     elif args.command in ("add-column", "drop-column", "rename-column"):

@@ -166,3 +166,20 @@ def test_cli_partition_spec(spark, warehouse, capsys):
     assert r["files_out"] >= 1
     r = run(capsys, "set-partition-spec", "--warehouse", warehouse)
     assert r["partition_spec"] is None
+
+
+def test_cli_vacuum(spark, warehouse, capsys):
+    """vacuum = expire -> rewrite-pos-deletes -> remove-orphans in the one
+    safe order: expired snapshots' files become orphans before the sweep."""
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "3")
+    run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "1")
+    r = run(
+        capsys, "vacuum", "--warehouse", warehouse,
+        "--keep-last", "1", "--older-than-ms", "0",
+    )
+    assert r["expire"]["expired"] >= 1
+    assert "remove_orphans" in r and "rewrite_pos_deletes" in r
+    # the table still answers after GC
+    r = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")
+    assert r["rows"] > 0
