@@ -284,8 +284,16 @@ def run_scaling() -> None:
                 text=True,
                 timeout=3600,
             )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            runs[cpus].append(json.loads(line))
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                # surface the leg's failure instead of a bare IndexError
+                # (a crashed JVM leaves stdout empty; stderr has the cause)
+                sys.stderr.write(
+                    f"scaling leg local[{cpus}] repeat {r} failed "
+                    f"(exit {p.returncode}):\n{p.stderr[-4000:]}\n"
+                )
+                raise RuntimeError(f"scaling leg local[{cpus}] produced no JSON")
+            runs[cpus].append(json.loads(lines[-1]))
     best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
     out = {f"local{c}": best[c] for c in levels}
     out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}

@@ -904,32 +904,34 @@ class IceliteTable:
 
         return keep
 
-    def scan(
+    def resolve_snapshot(
         self,
-        spark: SparkSession,
         snapshot_id: int | None = None,
-        columns: list[str] | None = None,
-        file_filter=None,
-        merge_key: str | None = None,
-        where: dict | None = None,
         ref: str | None = None,
         as_of_timestamp_ms: int | None = None,
-    ) -> DataFrame:
-        """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
-
-        ``file_filter(DataFile) -> bool`` enables stats-based file pruning
-        (the metadata-level partition pruning of SURVEY.md §4.1) before Spark
-        ever opens a file; Catalyst's own predicate pushdown + column pruning
-        then applies inside each file. If the snapshot carries eq-delete
-        files (merge-on-read MERGE INTO), they are applied here — the
-        read-side half of the v2 upsert contract (icelite/mor.py).
-        """
+    ) -> int | None:
+        """Resolve the mutually-exclusive time-travel selectors to a concrete
+        snapshot id (None = current head)."""
         if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp_ms)) > 1:
             raise ValueError("snapshot_id, ref, and as_of_timestamp_ms are exclusive")
         if ref is not None:
-            snapshot_id = self.resolve_ref(ref)
-        elif as_of_timestamp_ms is not None:
-            snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
+            return self.resolve_ref(ref)
+        if as_of_timestamp_ms is not None:
+            return self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
+        return snapshot_id
+
+    def select_data_files(
+        self,
+        where: dict | None = None,
+        snapshot_id: int | None = None,
+        file_filter=None,
+    ) -> list[mf.DataFile]:
+        """The complete plan-time file selection every reader shares —
+        scan(), and the ``icelite`` Python DataSource (sources/
+        icelite_source.py), so ``spark.read.format("icelite")`` prunes
+        exactly like the native scan. Layers, metadata-only throughout:
+        two-level manifest planning, per-file min/max stats, hidden-partition
+        transforms, and bloom sidecars for equality predicates."""
         # two-level planning: when a predicate is given, manifest-list
         # summaries (footer-only reads) skip whole manifests before any
         # body parse; the per-file filter below then prunes within the rest
@@ -961,6 +963,32 @@ class IceliteTable:
                 bf = bloom_file_filter(self, col, cond, snapshot_id=snapshot_id)
                 if bf is not None:
                     files = [f for f in files if bf(f)]
+        return files
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        file_filter=None,
+        merge_key: str | None = None,
+        where: dict | None = None,
+        ref: str | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan: resolve snapshot → manifests → exact file list.
+
+        ``file_filter(DataFile) -> bool`` enables stats-based file pruning
+        (the metadata-level partition pruning of SURVEY.md §4.1) before Spark
+        ever opens a file; Catalyst's own predicate pushdown + column pruning
+        then applies inside each file. If the snapshot carries eq-delete
+        files (merge-on-read MERGE INTO), they are applied here — the
+        read-side half of the v2 upsert contract (icelite/mor.py).
+        """
+        snapshot_id = self.resolve_snapshot(snapshot_id, ref, as_of_timestamp_ms)
+        files = self.select_data_files(
+            where=where, snapshot_id=snapshot_id, file_filter=file_filter
+        )
         schema = self.schema
         deletes = self.delete_files(snapshot_id)
         # POSITION deletes wrap the physical reader (anti-join on the row

@@ -286,6 +286,48 @@ def q_maint_token_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.crossJoin(tok)
 
 
+def _dsv2_read(spark: SparkSession, warehouse: str, table: str, **opts) -> DataFrame:
+    """Read through the ``icelite`` Spark Python DataSource
+    (sources/icelite_source.py) — the standard-API surface a plain-Spark
+    user sees. Registration is idempotent; filter pushdown is enabled so
+    plan-time file pruning runs inside the source."""
+    from .sources.icelite_source import IceliteDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IceliteDataSource)
+    r = spark.read.format("icelite").option("warehouse", warehouse).option(
+        "table", table
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def q_maint_dsv2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged table read back through ``spark.read.format("icelite")``
+    — certifies the Python DataSource (driver-side metadata planning +
+    executor-side Arrow reads) against the same oracle as the native
+    scan."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(_dsv2_read(spark, p["warehouse"], "sequences"))
+
+
+def q_maint_dsv2_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSource read pinned to the merge-on-read snapshot with LIVE
+    eq-delete files: the executor-side pyarrow kernel must apply the v2
+    sequence rule (delete hits strictly-older files) or updated rows
+    double-count."""
+    p = prepared_warehouse(spark, sf_dir)
+    return _seq_scan_cols(
+        _dsv2_read(
+            spark,
+            p["warehouse"],
+            "sequences_mor",
+            snapshot_id=p["mor_read_snapshot"],
+        )
+    )
+
+
 def q_merge_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current table after MERGE INTO (stats-pruned COW upsert)."""
     p = prepared_warehouse(spark, sf_dir)
@@ -576,6 +618,8 @@ MAINT_ORACLES: dict[str, str] = {
         FROM seq
     """,
     "merge_result": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
+    "maint_dsv2_scan": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
+    "maint_dsv2_mor_scan": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "maint_replica_sync": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "merge_mor_result": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     "merge_mor_materialized": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
@@ -663,6 +707,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_agg_by_source": q_maint_agg_by_source,
         "maint_token_checksum": q_maint_token_checksum,
         "merge_result": q_merge_result,
+        "maint_dsv2_scan": q_maint_dsv2_scan,
+        "maint_dsv2_mor_scan": q_maint_dsv2_mor_scan,
         "merge_agg": q_merge_agg,
         "merge_mor_result": q_merge_mor_result,
         "merge_mor_materialized": q_merge_mor_materialized,

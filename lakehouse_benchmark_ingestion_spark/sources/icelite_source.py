@@ -1,0 +1,471 @@
+"""``icelite`` as a Spark Python DataSource (pyspark 4 ``spark.dataSource``):
+
+    from lakehouse_benchmark_ingestion_spark.sources.icelite_source import (
+        IceliteDataSource,
+    )
+    spark.dataSource.register(IceliteDataSource)
+
+    spark.read.format("icelite").option("warehouse", wh)
+         .option("table", "sequences").load()             # batch, MOR-correct
+    spark.readStream.format("icelite")...load()           # CDC tail
+    df.write.format("icelite").mode("append")...save()    # vectorized writer
+
+This is the interoperability surface: a plain-Spark user (no engine imports)
+reads and writes icelite tables through the standard API. The reference's
+whole product is "CDC source + lakehouse sink behind standard engine APIs"
+(BaseCatalogSync.java:63-101 wires Flink's Source/Sink interfaces); this
+module is the Spark-native analogue built on the public Python DataSource
+API instead of a JVM DSv2.
+
+Design notes (scale):
+
+- **Planning is metadata-only on the driver** and reuses the exact same
+  layered pruning as the native ``scan()`` — two-level manifest planning,
+  min/max stats, hidden-partition transforms, bloom sidecars — via
+  ``IceliteTable.select_data_files``. ``pushFilters`` translates Catalyst's
+  pushed predicates into the engine's ``where`` dict, so
+  ``.load().filter("doc_id = 7")`` plans O(matching files) partitions. All
+  filters are returned to Spark: file skipping is a sound superset, Spark
+  keeps exact row semantics.
+- **One input partition per data file**; each partition's payload is a
+  small plain record (path + the delete files addressing it + the column
+  name lineage). Executors read with pyarrow and yield Arrow RecordBatches
+  — no per-row Python anywhere.
+- **Full MOR semantics in the executor**: position deletes mask exact row
+  indices (sidecars are (file_path, pos)-sorted, so the path filter prunes
+  row groups), equality deletes apply per the Iceberg v2 sequence rule
+  (a delete file hits data files with strictly smaller sequence), under the
+  table's recorded merge key, alias-aware across column renames.
+- The **stream reader**'s offsets are snapshot ids — the icelite commit log
+  IS the changelog, so a restart resumes exactly (offset checkpointing is
+  Spark's). Batches are the files appended between two snapshots
+  (append-tail contract, like the reference's forever-running CDC tail).
+  Snapshots a running stream still needs must not be expired — same
+  retention contract as Iceberg's own streaming read.
+- The **writer** is the Arrow path (``DataSourceArrowWriter``): each task
+  streams its RecordBatches into one zstd parquet file inside the table's
+  data dir; the driver-side ``commit`` harvests footer stats and commits
+  one append (or overwrite) snapshot through the same optimistic commit
+  loop every engine writer uses — concurrent writers linearize.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+
+def _load_table(options):
+    from ..icelite.catalog import Catalog
+
+    wh = options.get("warehouse")
+    name = options.get("table")
+    if not wh or not name:
+        raise ValueError(
+            "icelite reads need .option('warehouse', path) and .option('table', name)"
+        )
+    return Catalog(wh).load_table(name)
+
+
+def _resolve_snapshot_option(tbl, options):
+    sid = options.get("snapshot_id")
+    ref = options.get("ref")
+    as_of = options.get("as_of_ms")
+    return tbl.resolve_snapshot(
+        int(sid) if sid is not None else None,
+        ref,
+        int(as_of) if as_of is not None else None,
+    )
+
+
+@dataclass
+class IceliteFilePartition(InputPartition):
+    """Per-file read recipe — everything the executor needs, as plain data."""
+
+    path: str
+    # eq-delete files applying to this file (dseq > fseq), each with the
+    # physical name lineage of the merge key inside THAT delete file
+    eq_deletes: list = field(default_factory=list)  # [(path, [key candidates])]
+    # pos-delete files whose (file_path) bounds may address this file
+    pos_deletes: list = field(default_factory=list)  # [path]
+
+
+class _ArrowFileReader:
+    """Executor-side pyarrow kernel shared by the batch and stream readers.
+
+    Pickled once per scan; per-file variation lives on the partitions."""
+
+    def __init__(self, schema: StructType, column_aliases: dict, merge_key: str):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.arrow_schema = to_arrow_schema(schema)
+        # logical name -> physical candidates, current name first (the
+        # same coalesce-across-lineage contract as IceliteTable.read_files)
+        self.columns = [
+            (f.name, [f.name] + list(column_aliases.get(f.name, [])))
+            for f in schema.fields
+        ]
+        self.merge_key = merge_key
+
+    def read_file(self, part: IceliteFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(part.path)
+
+        # 1. position deletes FIRST — they address physical row indices
+        if part.pos_deletes:
+            import numpy as np
+            import pyarrow.dataset as ds
+
+            dels = ds.dataset(part.pos_deletes).to_table(
+                filter=ds.field("file_path") == part.path, columns=["pos"]
+            )
+            if dels.num_rows:
+                keep = np.ones(t.num_rows, dtype=bool)
+                pos = dels.column("pos").to_numpy()
+                keep[pos[(pos >= 0) & (pos < t.num_rows)]] = False
+                t = t.filter(pa.array(keep))
+
+        # 2. resolve physical columns to the logical schema (renames ->
+        # coalesce across the name lineage; added columns -> nulls)
+        arrays = []
+        for (name, candidates), afield in zip(self.columns, self.arrow_schema):
+            present = [c for c in candidates if c in t.column_names]
+            if not present:
+                arr = pa.chunked_array([pa.nulls(t.num_rows, type=afield.type)])
+            elif len(present) == 1:
+                arr = t.column(present[0])
+            else:
+                arr = pc.coalesce(*[t.column(c) for c in present])
+            arrays.append(arr)
+        out = pa.table(arrays, names=[n for n, _ in self.columns])
+
+        # 3. equality deletes (already sequence-filtered at plan time):
+        # a row survives iff its merge key is in NO applicable delete file
+        if part.eq_deletes:
+            keys = []
+            for dpath, cands in part.eq_deletes:
+                dt = pq.read_table(dpath)
+                present = [c for c in cands if c in dt.column_names]
+                if not present:
+                    continue
+                col = (
+                    dt.column(present[0])
+                    if len(present) == 1
+                    else pc.coalesce(*[dt.column(c) for c in present])
+                )
+                keys.append(col)
+            if keys:
+                chunks = [
+                    c
+                    for k in keys
+                    for c in (k.chunks if isinstance(k, pa.ChunkedArray) else [k])
+                ]
+                deleted = pc.unique(pa.chunked_array(chunks).combine_chunks())
+                mask = pc.invert(
+                    pc.is_in(out.column(self.merge_key), value_set=deleted)
+                )
+                # a NULL key can never match a delete key — keep it
+                mask = pc.fill_null(mask, True)
+                out = out.filter(mask)
+
+        yield from out.cast(self.arrow_schema).to_batches()
+
+
+def _plan_partitions(
+    tbl, files, snapshot_id: int | None = None
+) -> list[IceliteFilePartition]:
+    """Driver-side: attach each file's applicable delete files."""
+    from ..icelite.mor import _ranges_overlap
+
+    sid_files = files
+    eq_dels = tbl.delete_files(snapshot_id)
+    pos_dels = tbl.pos_delete_files(snapshot_id)
+    merge_key = tbl.recorded_merge_key() or "doc_id"
+    key_cands = [merge_key] + list(tbl.meta.column_aliases.get(merge_key, []))
+    parts = []
+    for f in sid_files:
+        eq = [
+            (d.path, key_cands)
+            for d in eq_dels
+            # Iceberg v2 sequence rule + stats overlap (native-typed)
+            if d.sequence_number > f.sequence_number
+            and _ranges_overlap(f, d, merge_key)
+        ]
+        pos = [
+            d.path
+            for d in pos_dels
+            if d.sequence_number >= f.sequence_number
+            and (
+                d.lower_bounds.get("file_path") is None
+                or d.upper_bounds.get("file_path") is None
+                or d.lower_bounds["file_path"] <= f.path <= d.upper_bounds["file_path"]
+            )
+        ]
+        parts.append(IceliteFilePartition(f.path, eq, pos))
+    return parts
+
+
+def _where_from_filters(filters: list[Filter]) -> dict:
+    """Translate Catalyst's pushed filters to the engine ``where`` dict
+    (scalar = equality, (lo, hi) = inclusive range). Strict bounds relax to
+    inclusive — sound for FILE pruning (superset); Spark re-applies the
+    exact predicate row-wise because pushFilters returns every filter."""
+    where: dict = {}
+
+    def _narrow(col, lo, hi):
+        plo, phi = where.get(col, (None, None)) if isinstance(
+            where.get(col), tuple
+        ) else (None, None)
+        if isinstance(where.get(col), tuple) or col not in where:
+            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+            where[col] = (lo, hi)
+
+    for f in filters:
+        col = getattr(f, "attribute", None)
+        if col is None or len(col) != 1:
+            continue
+        name = col[0]
+        v = getattr(f, "value", None)
+        if v is None:
+            continue
+        try:
+            if isinstance(f, EqualTo):
+                where[name] = v  # equality wins (also consults bloom)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                _narrow(name, v, None)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                _narrow(name, None, v)
+        except TypeError:  # incomparable narrow — skip, stay conservative
+            continue
+    return where
+
+
+# ---------------------------------------------------------------------------
+# batch reader
+# ---------------------------------------------------------------------------
+
+
+class IceliteBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        self.schema = schema
+        self.where: dict = {}
+        # built on the DRIVER (the reader is pickled to executors after
+        # __init__/pushFilters but before partitions() — state set in
+        # partitions() is NOT visible to read())
+        tbl = _load_table(options)
+        self._kernel = _ArrowFileReader(
+            tbl.schema,
+            tbl.meta.column_aliases,
+            tbl.recorded_merge_key() or "doc_id",
+        )
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        self.where = _where_from_filters(list(filters))
+        # every filter still evaluated by Spark: pruning is a superset
+        return filters
+
+    def partitions(self):
+        tbl = _load_table(self.options)
+        sid = _resolve_snapshot_option(tbl, self.options)
+        files = tbl.select_data_files(
+            where=self.where or None, snapshot_id=sid
+        )
+        parts = _plan_partitions(tbl, files, snapshot_id=sid)
+        # zero surviving files must still yield an empty scan, not a crash
+        return parts or [IceliteFilePartition(path="")]
+
+    def read(self, partition: IceliteFilePartition):
+        if not partition.path:
+            return iter(())
+        return self._kernel.read_file(partition)
+
+
+# ---------------------------------------------------------------------------
+# stream reader (CDC tail: offsets ARE snapshot ids)
+# ---------------------------------------------------------------------------
+
+
+class IceliteStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        self.schema = schema
+        tbl = _load_table(options)
+        self._kernel = _ArrowFileReader(
+            tbl.schema,
+            tbl.meta.column_aliases,
+            tbl.recorded_merge_key() or "doc_id",
+        )
+        start = options.get("starting_snapshot_id")
+        if start in ("current", "latest"):
+            self._start = int(tbl.meta.current_snapshot_id or 0)
+        else:
+            # default 0 = bootstrap: the first batch carries the whole
+            # current table (the reference's snapshot-then-tail contract)
+            self._start = int(start) if start is not None else 0
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"snapshot_id": self._start}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        tbl = _load_table(self.options)  # reload = see new commits
+        return {"snapshot_id": int(tbl.meta.current_snapshot_id or 0)}
+
+    def _files_at(self, tbl, sid: int):
+        if sid == 0:
+            return []
+        try:
+            return tbl.data_files(sid)
+        except Exception as e:  # expired mid-stream → unrecoverable, be loud
+            raise RuntimeError(
+                f"stream offset snapshot {sid} is no longer readable "
+                f"(expired?): keep snapshots a running stream still needs "
+                f"(expire_snapshots keep_last / older_than_ms)"
+            ) from e
+
+    def partitions(self, start: dict, end: dict):
+        a, b = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if a == b:
+            return [IceliteFilePartition(path="")]
+        tbl = _load_table(self.options)
+        old = {f.path for f in self._files_at(tbl, a)}
+        added = [f for f in self._files_at(tbl, b) if f.path not in old]
+        # append-tail contract: new FILES only (inserts); deletes/rewrites
+        # between offsets are maintenance, not new rows — same contract as
+        # Iceberg's own incremental append scan
+        parts = [IceliteFilePartition(f.path) for f in added]
+        return parts or [IceliteFilePartition(path="")]
+
+    def read(self, partition: IceliteFilePartition):
+        if not partition.path:
+            return iter(())
+        return self._kernel.read_file(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# writer (Arrow path — executors stream RecordBatches to parquet)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IceliteWriteMessage(WriterCommitMessage):
+    paths: list
+
+
+class IceliteWriter(DataSourceArrowWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.options = options
+        self.overwrite = overwrite
+        tbl = _load_table(options)
+        if tbl.bucket_spec is not None or tbl.partition_spec is not None:
+            raise ValueError(
+                "DataSource writes to bucketed/partitioned icelite tables "
+                "are not supported — their layout invariants are enforced "
+                "by IceliteTable.append(); use the engine API"
+            )
+        if [f.name for f in schema.fields] != [f.name for f in tbl.schema.fields]:
+            raise ValueError(
+                f"dataframe columns {[f.name for f in schema.fields]} do not "
+                f"match table schema {[f.name for f in tbl.schema.fields]}"
+            )
+        # one commit dir per write job: abort() can sweep it atomically
+        self.commit_dir = os.path.join(tbl.location, "data", f"dsv2-{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.commit_dir, exist_ok=True)
+        path = os.path.join(self.commit_dir, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema, compression="zstd")
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is None:  # empty task → no file, no manifest entry
+            return IceliteWriteMessage(paths=[])
+        writer.close()
+        return IceliteWriteMessage(paths=[path])
+
+    def commit(self, messages) -> None:
+        from ..icelite import manifest as mf
+
+        tbl = _load_table(self.options)
+        paths = sorted(p for m in messages if m is not None for p in m.paths)
+        stats = mf.harvest_stats(paths)
+        if self.overwrite:
+            removed = {f.path for f in tbl.data_files()}
+            tbl.replace_files(removed, stats, operation="overwrite")
+            return
+        seq = tbl.next_sequence_number()
+        for s in stats:
+            s.sequence_number = seq
+        if not stats:  # all-empty write: still a valid (empty) append
+            return
+        name = mf.write_manifest(tbl.location, stats)
+        tbl._commit_snapshot("append", add_manifests=[name])
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.commit_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+
+class IceliteDataSource(DataSource):
+    """``spark.dataSource.register(IceliteDataSource)`` then
+    ``spark.read.format("icelite")`` / ``readStream`` / ``write``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icelite"
+
+    def schema(self):
+        return _load_table(self.options).schema
+
+    def reader(self, schema: StructType) -> IceliteBatchReader:
+        return IceliteBatchReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> IceliteStreamReader:  # noqa: N802
+        return IceliteStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> IceliteWriter:
+        return IceliteWriter(schema, self.options, overwrite)
