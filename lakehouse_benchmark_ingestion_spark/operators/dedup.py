@@ -345,6 +345,7 @@ def duplicate_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_fp: int | None = None
     for _ in range(max_iter):
         # neighbor labels: for each edge dst, the label of src
         nb = edges.join(
@@ -367,17 +368,31 @@ def duplicate_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "old"), "node"
+        # convergence: a full-shuffle join-and-compare per round would cost
+        # as much as the round itself; instead fingerprint the labeling with
+        # one map-side agg over the just-materialized partitions (bit_xor of
+        # per-row 64-bit hashes: order-independent, overflow-free under ANSI
+        # — equal fingerprints on different labelings need hash deltas to
+        # cancel exactly, ~2^-64/round), then CONFIRM the suspected fixed
+        # point with the exact join ONCE before exiting
+        fp = new_labels.agg(
+            F.expr("bit_xor(xxhash64(node, lbl))").alias("h"),
+        ).collect()[0]["h"]
+        if prev_fp is not None and fp == prev_fp:
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("lbl", "old"), "node"
+                )
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
             )
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+        prev_fp = fp
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
