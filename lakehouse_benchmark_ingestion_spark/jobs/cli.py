@@ -73,6 +73,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     drop-column    --warehouse W --table T --column NAME
     rename-column  --warehouse W --table T --column OLD --to-name NEW
     history        --warehouse W --table T
+    sql            --warehouse W -e "SELECT ..."   (every catalog table is a
+                   temp view; MOR/aliases/pos-deletes applied)
 
 Every command prints one JSON metrics line (machine-parseable, like the
 lineage rows the north_rule requires).
@@ -109,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--from-snapshot", type=int)
     p.add_argument("--to-snapshot", type=int)
     p.add_argument("--limit", type=int, default=20)
+    p.add_argument("-e", "--query", help="Spark SQL for the `sql` command")
     p.add_argument("--cpus", type=int)
     p.add_argument("--column")
     p.add_argument("--type", dest="col_type")
@@ -442,6 +445,27 @@ def main(argv: list[str] | None = None) -> int:
             ref=args.ref, as_of_timestamp_ms=args.as_of_ms,
         )
         out["rows"] = df.count()
+        out["sample"] = [
+            {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
+            for r in df.limit(args.limit).collect()
+        ]
+
+    elif args.command == "sql":
+        # ad-hoc Spark SQL over the whole warehouse: every catalog table is
+        # registered as a temp view (snapshot-pinned scan under the hood,
+        # MOR/aliases/pos-deletes all applied), so a user can run ANY query
+        # they run today against the reference's tables with plain SQL —
+        # the engine's equivalent of the reference exposing its synced
+        # tables to downstream engines.
+        if not args.query:
+            p.error("sql requires -e/--query")
+        for name in cat.list_tables():
+            t = cat.load_table(name)
+            if t.current_snapshot() is not None:
+                t.scan(spark).createOrReplaceTempView(name)
+        df = spark.sql(args.query)
+        out["rows"] = df.count()
+        out["columns"] = df.columns
         out["sample"] = [
             {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
             for r in df.limit(args.limit).collect()

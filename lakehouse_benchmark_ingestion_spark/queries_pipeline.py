@@ -35,6 +35,43 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document average unigram
+    log-probability under the corpus's own unigram model — the classic
+    cheap LM filter (docs far below the per-source mean are boilerplate or
+    noise). Shape: explode words → corpus freq table (one groupBy) → join
+    back (hash join on the word; the model side is vocabulary-sized, tiny
+    relative to the corpus at 10^12 docs) → per-doc fold, per-source mean.
+    logP(doc)/n = (Σ ln cnt(w) − n·ln total) / n with all-integer counts,
+    so only the final division is float (rounded, both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    freq = w.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = w.groupBy().agg(F.count("*").alias("_tot"))
+    per_doc = (
+        w.join(freq, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.log("cnt")).alias("_sumln"),
+            F.count("*").alias("_n"),
+        )
+        .crossJoin(F.broadcast(total))  # scalar: one row
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("_sumln") - F.col("_n") * F.log("_tot")) / F.col("_n")).alias(
+                "_lp"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("_lp"), 6).alias("avg_token_logprob"),
+    )
+
+
 # a BPE-ish pre-tokenization split (alpha runs | digit runs | single
 # non-alnum), the regex family GPT-2-style tokenizers apply before byte-pair
 # merging. Same RE2/Java-compatible pattern on both engines.
@@ -328,6 +365,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pipe_unigram_logprob": q_unigram_logprob,
     "pipe_token_count": q_token_count,
     "pipe_token_bpe": q_token_bpe,
     "pipe_quality_score": q_quality_score,
@@ -341,6 +379,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_unigram_logprob": r"""
+        WITH w AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), w2 AS (
+            SELECT * FROM w WHERE length(w) > 0
+        ), freq AS (
+            SELECT w, count(*) AS cnt FROM w2 GROUP BY w
+        ), tot AS (
+            SELECT count(*) AS t FROM w2
+        ), per_doc AS (
+            SELECT doc_id, any_value(source) AS source,
+                   (sum(ln(cnt)) - count(*) * ln((SELECT t FROM tot)))
+                     / count(*) AS lp
+            FROM w2 JOIN freq USING (w)
+            GROUP BY doc_id
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(lp), 6) AS avg_token_logprob
+        FROM per_doc GROUP BY source
+    """,
     "pipe_token_count": r"""
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,

@@ -168,6 +168,22 @@ def test_cli_partition_spec(spark, warehouse, capsys):
     assert r["partition_spec"] is None
 
 
+def test_cli_sql(spark, warehouse, capsys):
+    """Ad-hoc SQL over the warehouse: every table is a temp view, and the
+    view reads through scan() (here: after a compaction, so the view serves
+    the post-maintenance files)."""
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "1")
+    r = run(
+        capsys, "sql", "--warehouse", warehouse,
+        "-e", "SELECT source, count(*) AS n FROM sequences GROUP BY source ORDER BY source",
+    )
+    assert r["rows"] > 0
+    assert r["columns"] == ["source", "n"]
+    assert sum(row["n"] for row in r["sample"]) > 0
+
+
 def test_cli_vacuum(spark, warehouse, capsys):
     """vacuum = expire -> rewrite-pos-deletes -> remove-orphans in the one
     safe order: expired snapshots' files become orphans before the sweep."""
