@@ -341,28 +341,48 @@ class IceliteStreamReader(DataSourceStreamReader):
         tbl = _load_table(self.options)  # reload = see new commits
         return {"snapshot_id": int(tbl.meta.current_snapshot_id or 0)}
 
-    def _files_at(self, tbl, sid: int):
-        if sid == 0:
-            return []
-        try:
-            return tbl.data_files(sid)
-        except Exception as e:  # expired mid-stream → unrecoverable, be loud
-            raise RuntimeError(
-                f"stream offset snapshot {sid} is no longer readable "
-                f"(expired?): keep snapshots a running stream still needs "
-                f"(expire_snapshots keep_last / older_than_ms)"
-            ) from e
-
     def partitions(self, start: dict, end: dict):
+        """Append-tail contract (Iceberg incremental-append-scan semantics):
+        walk the snapshot parent chain end→start and emit the files added
+        by ``append`` commits ONLY. Maintenance rewrites (compaction,
+        clustering, manifest rewrite) between offsets emit NOTHING — a
+        naive files(end)−files(start) diff would re-emit the whole table
+        after a compaction. Row-rewriting commits (merge/update/delete)
+        also emit nothing here: their row-level diff is ``changes()``'s
+        job, not an append tail's."""
         a, b = int(start["snapshot_id"]), int(end["snapshot_id"])
         if a == b:
             return [IceliteFilePartition(path="")]
         tbl = _load_table(self.options)
-        old = {f.path for f in self._files_at(tbl, a)}
-        added = [f for f in self._files_at(tbl, b) if f.path not in old]
-        # append-tail contract: new FILES only (inserts); deletes/rewrites
-        # between offsets are maintenance, not new rows — same contract as
-        # Iceberg's own incremental append scan
+        if a == 0:
+            # bootstrap: the whole current table, deletes applied
+            files = tbl.select_data_files(snapshot_id=b)
+            parts = _plan_partitions(tbl, files, snapshot_id=b)
+            return parts or [IceliteFilePartition(path="")]
+        snaps = {s.snapshot_id: s for s in tbl.history()}
+        chain = []
+        cur = b
+        while cur != a:
+            s = snaps.get(cur)
+            if s is None or s.parent_id is None:
+                raise RuntimeError(
+                    f"stream offset {a} is not a retained ancestor of "
+                    f"{b} (expired history or rollback): keep snapshots a "
+                    f"running stream still needs (expire_snapshots "
+                    f"keep_last / older_than_ms)"
+                )
+            chain.append(s)
+            cur = s.parent_id
+        added = []
+        for s in reversed(chain):
+            if s.operation != "append":
+                continue
+            parent_paths = {f.path for f in tbl.data_files(s.parent_id)}
+            added.extend(
+                f
+                for f in tbl.data_files(s.snapshot_id)
+                if f.path not in parent_paths
+            )
         parts = [IceliteFilePartition(f.path) for f in added]
         return parts or [IceliteFilePartition(path="")]
 

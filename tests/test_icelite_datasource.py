@@ -200,6 +200,84 @@ def test_stream_starting_snapshot_current_is_tail_only(
     assert got.filter(F.col("source") == "after-start").count() == 5
 
 
+def test_stream_skips_maintenance_rewrites(spark, warehouse, seq_table, tmp_path):
+    """Iceberg incremental-append-scan semantics: a compaction (or merge)
+    between offsets emits NOTHING — a naive file diff would re-emit the
+    whole table as fresh rows after every maintenance pass."""
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    df = tokens_df(spark, SF_SMOKE)
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+
+    def drain():
+        q = (
+            spark.readStream.format("icelite")
+            .option("warehouse", warehouse)
+            .option("table", "seq")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n0 = spark.read.parquet(out).count()
+    assert n0 == seq_table.scan(spark).count()
+
+    # maintenance + a row-rewriting merge: the tail must emit NOTHING
+    compact(spark, seq_table, target_file_size=1024 * 1024)
+    upd = (
+        seq_table.scan(spark)
+        .limit(9)
+        .withColumn("source", F.lit("rewritten"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, seq_table, upd)
+    drain()
+    assert spark.read.parquet(out).count() == n0
+
+    # a real append afterwards emits exactly its rows
+    seq_table.append(df.limit(11).withColumn("source", F.lit("post-maint")))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == n0 + 11
+    assert got.filter(F.col("source") == "post-maint").count() == 11
+
+
+def test_stream_bootstrap_applies_deletes(spark, warehouse, seq_table, tmp_path):
+    """The bootstrap batch reads through the full delete-aware planner: a
+    MOR table's eq-deletes must not resurrect in the stream's first batch."""
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    upd = (
+        seq_table.scan(spark)
+        .limit(13)
+        .withColumn("source", F.lit("mor-upd"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, seq_table, upd, strategy="mor")
+    out, ckpt = str(tmp_path / "o4"), str(tmp_path / "c4")
+    q = (
+        spark.readStream.format("icelite")
+        .option("warehouse", warehouse)
+        .option("table", "seq")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == seq_table.scan(spark).count()
+    assert got.filter(F.col("source") == "mor-upd").count() == 13
+
+
 def test_writer_append_commits_snapshot(spark, warehouse, seq_table):
     df = tokens_df(spark, SF_SMOKE).limit(31).withColumn(
         "source", F.lit("dsv2-write")
