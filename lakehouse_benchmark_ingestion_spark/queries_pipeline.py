@@ -72,6 +72,46 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level TF-IDF: which terms characterize each source against
+    the rest of the corpus (the standard domain-signature / mixture-audit
+    tool). Shape: explode words → one (source, w) groupBy for tf → one w
+    groupBy for df → vocab-sized hash join → per-source top-k window. All
+    counts integer; the single ln() is rounded before ranking so both
+    engines rank identical scores, with the term as the deterministic
+    tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = w.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_sources = w.groupBy().agg(
+        F.countDistinct("source").cast("double").alias("_s")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_sources))  # scalar: one row
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("_s") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk.cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", "tfidf", "rank")
+    )
+
+
 # a BPE-ish pre-tokenization split (alpha runs | digit runs | single
 # non-alnum), the regex family GPT-2-style tokenizers apply before byte-pair
 # merging. Same RE2/Java-compatible pattern on both engines.
@@ -366,6 +406,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pipe_unigram_logprob": q_unigram_logprob,
+    "pipe_tfidf_topk": q_tfidf_topk,
     "pipe_token_count": q_token_count,
     "pipe_token_bpe": q_token_bpe,
     "pipe_quality_score": q_quality_score,
@@ -379,6 +420,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_tfidf_topk": r"""
+        WITH w AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ), w2 AS (
+            SELECT * FROM w WHERE length(w) > 0
+        ), tf AS (
+            SELECT source, w, count(*) AS tf FROM w2 GROUP BY source, w
+        ), dfq AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), s AS (
+            SELECT CAST(count(DISTINCT source) AS DOUBLE) AS s FROM w2
+        ), scored AS (
+            SELECT source, w AS term,
+                   round(tf * ln((SELECT s FROM s) / df), 6) AS tfidf
+            FROM tf JOIN dfq USING (w)
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY tfidf DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT source, term, tfidf, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
     "pipe_unigram_logprob": r"""
         WITH w AS (
             SELECT doc_id, source, unnest(string_split(text, ' ')) AS w

@@ -446,7 +446,14 @@ class IceliteWriter(DataSourceArrowWriter):
 
         tbl = _load_table(self.options)
         paths = sorted(p for m in messages if m is not None for p in m.paths)
-        stats = mf.harvest_stats(paths)
+        # footer harvest on the driver for normal commits; a huge write
+        # (>=10k files) auto-dispatches to the distributed _metadata job
+        # when commit() runs where a session is active
+        from pyspark.sql import SparkSession
+
+        stats = mf.harvest_stats_auto(
+            paths, spark=SparkSession.getActiveSession()
+        )
         if self.overwrite:
             removed = {f.path for f in tbl.data_files()}
             tbl.replace_files(removed, stats, operation="overwrite")
