@@ -36,6 +36,12 @@ Design notes (scale):
   row groups), equality deletes apply per the Iceberg v2 sequence rule
   (a delete file hits data files with strictly smaller sequence), under the
   table's recorded merge key, alias-aware across column renames.
+  Trade-off vs the native scan: the Arrow kernel has no broadcast, so each
+  AFFECTED partition re-reads its applicable delete files (bounded by the
+  plan-time sequence + stats-overlap gate; clean files pay nothing). Tables
+  with heavy outstanding delete traffic should compact (which materializes
+  deletes) before being served to DataSource readers — the same guidance
+  Iceberg gives for its own MOR read amplification.
 - The **stream reader**'s offsets are snapshot ids — the icelite commit log
   IS the changelog, so a restart resumes exactly (offset checkpointing is
   Spark's). Batches are the files appended between two snapshots
