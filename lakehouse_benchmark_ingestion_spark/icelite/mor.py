@@ -44,6 +44,24 @@ def _ranges_overlap(a: mf.DataFile, b: mf.DataFile, key: str) -> bool:
         return True
 
 
+def pos_delete_addresses(d: mf.DataFile, path: str, fseq: int | None) -> bool:
+    """Can position-delete file ``d`` address rows of data file ``path``
+    (data sequence ``fseq``)? The ONE implementation of the v2 rule shared
+    by the native reader (table.pos_reader) and the ``icelite`` DataSource —
+    a drifted copy of this predicate silently resurrects deleted rows.
+
+    ``fseq is None`` = path unknown to the snapshot (mid-rewrite temp read):
+    pos-delete rows can only name committed paths and paths are never
+    reused, so unaddressable."""
+    if fseq is None:
+        return False
+    if d.sequence_number < fseq:
+        return False
+    lo = d.lower_bounds.get("file_path")
+    hi = d.upper_bounds.get("file_path")
+    return lo is None or hi is None or (lo <= path <= hi)
+
+
 def mor_scan(
     spark: SparkSession,
     schema: StructType,

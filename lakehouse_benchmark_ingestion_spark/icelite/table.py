@@ -556,20 +556,10 @@ class IceliteTable:
         schema_cols = [f.name for f in self.schema.fields]
 
         def _addressable(path: str) -> bool:
+            from .mor import pos_delete_addresses
+
             fseq = seq_by_path.get(path)
-            if fseq is None:
-                # path unknown to this snapshot (mid-rewrite temp read):
-                # a pos-delete row can only name a committed path, and
-                # paths are never reused — unaddressable
-                return False
-            for d in pos_dels:
-                if d.sequence_number < fseq:
-                    continue
-                lo = d.lower_bounds.get("file_path")
-                hi = d.upper_bounds.get("file_path")
-                if lo is None or hi is None or (lo <= path <= hi):
-                    return True
-            return False
+            return any(pos_delete_addresses(d, path, fseq) for d in pos_dels)
 
         def reader(paths: list[str]):
             from functools import reduce
@@ -836,6 +826,40 @@ class IceliteTable:
             meta.last_updated_ms = snap.timestamp_ms
             if set_properties:
                 meta.properties.update(set_properties)
+            return meta
+
+        return md.commit(self.location, mutate).snapshot()
+
+    def overwrite_all(
+        self,
+        added: list[mf.DataFile],
+        operation: str = "overwrite",
+        timestamp_ms: int | None = None,
+    ) -> md.Snapshot:
+        """Truncate-and-replace: the new snapshot references ONLY ``added``.
+
+        Unlike ``replace_files`` (whose removed set a caller computes BEFORE
+        the commit), the drop-everything decision here executes INSIDE the
+        optimistic commit loop, so a concurrent append cannot leak files
+        into the "overwritten" table, and every outstanding eq-/pos-delete
+        entry is dropped with the manifests it lives in — stale deletes can
+        never apply to the fresh rows (which restart at sequence 0 with no
+        live deletes to hit them)."""
+        added_manifest = mf.write_manifest(self.location, added) if added else None
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            sid = md.new_snapshot_id(meta)
+            snap = md.Snapshot(
+                snapshot_id=sid,
+                parent_id=meta.current_snapshot_id,
+                timestamp_ms=timestamp_ms or md.now_ms(),
+                operation=operation,
+                manifests=[added_manifest] if added_manifest else [],
+                summary={"added-files": str(len(added)), "truncate": "true"},
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            meta.last_updated_ms = snap.timestamp_ms
             return meta
 
         return md.commit(self.location, mutate).snapshot()

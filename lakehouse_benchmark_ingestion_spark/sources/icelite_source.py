@@ -120,6 +120,12 @@ class IceliteFilePartition(InputPartition):
     eq_deletes: list = field(default_factory=list)  # [(path, [key candidates])]
     # pos-delete files whose (file_path) bounds may address this file
     pos_deletes: list = field(default_factory=list)  # [path]
+    # plan-time column lineage [(logical name, [physical candidates])]:
+    # partitions are rebuilt fresh each (micro)batch, so a rename committed
+    # mid-stream updates the candidates here while the kernel (pickled once
+    # at stream start) would still hold the stale lineage. None = use the
+    # kernel's.
+    columns: list | None = None
 
 
 class _ArrowFileReader:
@@ -161,9 +167,17 @@ class _ArrowFileReader:
                 t = t.filter(pa.array(keep))
 
         # 2. resolve physical columns to the logical schema (renames ->
-        # coalesce across the name lineage; added columns -> nulls)
+        # coalesce across the name lineage; added columns -> nulls). Use the
+        # partition's plan-time lineage when present (fresh across mid-
+        # stream renames); positions line up because rename replaces a
+        # field in place.
+        columns = (
+            part.columns
+            if part.columns is not None and len(part.columns) == len(self.columns)
+            else self.columns
+        )
         arrays = []
-        for (name, candidates), afield in zip(self.columns, self.arrow_schema):
+        for (name, candidates), afield in zip(columns, self.arrow_schema):
             present = [c for c in candidates if c in t.column_names]
             if not present:
                 arr = pa.chunked_array([pa.nulls(t.num_rows, type=afield.type)])
@@ -206,19 +220,33 @@ class _ArrowFileReader:
         yield from out.cast(self.arrow_schema).to_batches()
 
 
+def _fresh_columns(tbl) -> list:
+    """Plan-time column lineage (current names + aliases), positional with
+    the table schema — see IceliteFilePartition.columns."""
+    aliases = tbl.meta.column_aliases
+    return [
+        (f.name, [f.name] + list(aliases.get(f.name, [])))
+        for f in tbl.schema.fields
+    ]
+
+
 def _plan_partitions(
     tbl, files, snapshot_id: int | None = None
 ) -> list[IceliteFilePartition]:
-    """Driver-side: attach each file's applicable delete files."""
-    from ..icelite.mor import _ranges_overlap
+    """Driver-side: attach each file's applicable delete files. ONE
+    metadata snapshot must govern files AND deletes — callers pass the
+    pinned snapshot_id they planned the file list under (an unpinned mix
+    could pair snapshot-X files with snapshot-X+1 deletes and produce a
+    result valid at neither)."""
+    from ..icelite.mor import _ranges_overlap, pos_delete_addresses
 
-    sid_files = files
     eq_dels = tbl.delete_files(snapshot_id)
     pos_dels = tbl.pos_delete_files(snapshot_id)
     merge_key = tbl.recorded_merge_key() or "doc_id"
     key_cands = [merge_key] + list(tbl.meta.column_aliases.get(merge_key, []))
+    cols = _fresh_columns(tbl)
     parts = []
-    for f in sid_files:
+    for f in files:
         eq = [
             (d.path, key_cands)
             for d in eq_dels
@@ -229,14 +257,9 @@ def _plan_partitions(
         pos = [
             d.path
             for d in pos_dels
-            if d.sequence_number >= f.sequence_number
-            and (
-                d.lower_bounds.get("file_path") is None
-                or d.upper_bounds.get("file_path") is None
-                or d.lower_bounds["file_path"] <= f.path <= d.upper_bounds["file_path"]
-            )
+            if pos_delete_addresses(d, f.path, f.sequence_number)
         ]
-        parts.append(IceliteFilePartition(f.path, eq, pos))
+        parts.append(IceliteFilePartition(f.path, eq, pos, cols))
     return parts
 
 
@@ -290,6 +313,15 @@ class IceliteBatchReader(DataSourceReader):
         # __init__/pushFilters but before partitions() — state set in
         # partitions() is NOT visible to read())
         tbl = _load_table(options)
+        if schema is not None and [f.name for f in schema.fields] != [
+            f.name for f in tbl.schema.fields
+        ]:
+            raise ValueError(
+                f"user-supplied read schema {[f.name for f in schema.fields]} "
+                f"does not match table schema "
+                f"{[f.name for f in tbl.schema.fields]}; omit .schema() — "
+                f"the icelite source serves the table's own schema"
+            )
         self._kernel = _ArrowFileReader(
             tbl.schema,
             tbl.meta.column_aliases,
@@ -304,6 +336,11 @@ class IceliteBatchReader(DataSourceReader):
     def partitions(self):
         tbl = _load_table(self.options)
         sid = _resolve_snapshot_option(tbl, self.options)
+        if sid is None:
+            # PIN the head now: IceliteTable.meta re-reads metadata on every
+            # access, so planning files and deletes "at current" across two
+            # reads could straddle a concurrent commit and mix snapshots
+            sid = tbl.meta.current_snapshot_id
         files = tbl.select_data_files(
             where=self.where or None, snapshot_id=sid
         )
@@ -327,6 +364,14 @@ class IceliteStreamReader(DataSourceStreamReader):
         self.options = options
         self.schema = schema
         tbl = _load_table(options)
+        if schema is not None and [f.name for f in schema.fields] != [
+            f.name for f in tbl.schema.fields
+        ]:
+            raise ValueError(
+                "user-supplied stream schema does not match the table "
+                "schema; omit .schema() — the icelite source serves the "
+                "table's own schema"
+            )
         self._kernel = _ArrowFileReader(
             tbl.schema,
             tbl.meta.column_aliases,
@@ -366,30 +411,49 @@ class IceliteStreamReader(DataSourceStreamReader):
             parts = _plan_partitions(tbl, files, snapshot_id=b)
             return parts or [IceliteFilePartition(path="")]
         snaps = {s.snapshot_id: s for s in tbl.history()}
+        retention_err = (
+            f"stream offset {a} is not a retained ancestor of "
+            f"{b} (expired history or rollback): keep snapshots a "
+            f"running stream still needs (expire_snapshots "
+            f"keep_last / older_than_ms)"
+        )
+        if a not in snaps:
+            raise RuntimeError(retention_err)
         chain = []
         cur = b
         while cur != a:
             s = snaps.get(cur)
             if s is None or s.parent_id is None:
-                raise RuntimeError(
-                    f"stream offset {a} is not a retained ancestor of "
-                    f"{b} (expired history or rollback): keep snapshots a "
-                    f"running stream still needs (expire_snapshots "
-                    f"keep_last / older_than_ms)"
-                )
+                raise RuntimeError(retention_err)
             chain.append(s)
             cur = s.parent_id
+        # incremental planning cost must be O(new files), not O(chain ×
+        # table): an append commit's manifests are parent.manifests + ONE
+        # new manifest (_commit_snapshot), so the added files are exactly
+        # the entries of the manifests the parent lacks — no per-snapshot
+        # full file listing
+        from ..icelite import manifest as mf
+
         added = []
+        cols = _fresh_columns(tbl)
         for s in reversed(chain):
             if s.operation != "append":
                 continue
-            parent_paths = {f.path for f in tbl.data_files(s.parent_id)}
-            added.extend(
-                f
-                for f in tbl.data_files(s.snapshot_id)
-                if f.path not in parent_paths
-            )
-        parts = [IceliteFilePartition(f.path) for f in added]
+            parent = snaps.get(s.parent_id)
+            if parent is None:
+                raise RuntimeError(retention_err)
+            parent_manifests = set(parent.manifests)
+            for name in s.manifests:
+                if name in parent_manifests:
+                    continue
+                added.extend(
+                    f
+                    for f in mf.read_manifest(tbl.location, name)
+                    if f.content == mf.CONTENT_DATA
+                )
+        parts = [
+            IceliteFilePartition(f.path, columns=cols) for f in added
+        ]
         return parts or [IceliteFilePartition(path="")]
 
     def read(self, partition: IceliteFilePartition):
@@ -422,10 +486,15 @@ class IceliteWriter(DataSourceArrowWriter):
                 "are not supported — their layout invariants are enforced "
                 "by IceliteTable.append(); use the engine API"
             )
-        if [f.name for f in schema.fields] != [f.name for f in tbl.schema.fields]:
+        got = [(f.name, f.dataType) for f in schema.fields]
+        want = [(f.name, f.dataType) for f in tbl.schema.fields]
+        if got != want:
+            # names AND types: a name-only check would let a type-mismatched
+            # write land, poisoning every later schema-pinned read
             raise ValueError(
-                f"dataframe columns {[f.name for f in schema.fields]} do not "
-                f"match table schema {[f.name for f in tbl.schema.fields]}"
+                f"dataframe schema {[(n, t.simpleString()) for n, t in got]} "
+                f"does not match table schema "
+                f"{[(n, t.simpleString()) for n, t in want]}"
             )
         # one commit dir per write job: abort() can sweep it atomically
         self.commit_dir = os.path.join(tbl.location, "data", f"dsv2-{uuid.uuid4().hex}")
@@ -461,8 +530,11 @@ class IceliteWriter(DataSourceArrowWriter):
             paths, spark=SparkSession.getActiveSession()
         )
         if self.overwrite:
-            removed = {f.path for f in tbl.data_files()}
-            tbl.replace_files(removed, stats, operation="overwrite")
+            # truncate-and-replace INSIDE the optimistic commit loop
+            # (overwrite_all): a pre-computed removed set would let a
+            # concurrent append leak files past the overwrite, and keeping
+            # delete manifests would let stale eq-deletes hit the new rows
+            tbl.overwrite_all(stats)
             return
         seq = tbl.next_sequence_number()
         for s in stats:

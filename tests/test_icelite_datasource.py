@@ -318,6 +318,89 @@ def test_writer_overwrite_replaces_table(spark, warehouse, seq_table):
     assert tbl.scan(spark, snapshot_id=prev).count() > 7
 
 
+def test_writer_overwrite_drops_stale_eq_deletes(spark, warehouse, seq_table):
+    """Overwrite must commit inside the optimistic loop AND drop delete
+    manifests: a pre-overwrite MOR merge's eq-delete files would otherwise
+    apply to the fresh rows (new files restart at sequence 0 < delete seq)
+    and silently erase any overwritten row whose key was once updated."""
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    upd = (
+        seq_table.scan(spark)
+        .limit(19)
+        .withColumn("source", F.lit("pre-ow-upd"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, seq_table, upd, strategy="mor")
+    assert seq_table.delete_files(), "precondition: live eq-deletes"
+    df = tokens_df(spark, SF_SMOKE).limit(50)  # keys overlap the deleted set
+    (
+        df.write.format("icelite")
+        .option("warehouse", warehouse)
+        .option("table", "seq")
+        .mode("overwrite")
+        .save()
+    )
+    tbl = Catalog(warehouse).load_table("seq")
+    assert not tbl.delete_files(), "overwrite must drop delete manifests"
+    assert tbl.scan(spark).count() == 50  # nothing silently vanished
+    _same(tbl.scan(spark), _dsv2(spark, warehouse))
+
+
+def test_writer_rejects_type_mismatch(spark, warehouse, seq_table):
+    df = tokens_df(spark, SF_SMOKE).limit(3).withColumn(
+        "n_tok", F.col("n_tok").cast("string")  # right name, wrong type
+    )
+    with pytest.raises(Exception, match="does not match the table schema|does not match table schema"):
+        (
+            df.write.format("icelite")
+            .option("warehouse", warehouse)
+            .option("table", "seq")
+            .mode("append")
+            .save()
+        )
+
+
+def test_stream_survives_midstream_rename(spark, warehouse, seq_table, tmp_path):
+    """Partitions carry plan-time column lineage: files appended AFTER a
+    mid-stream rename carry the new physical name and must still stream
+    (under the stream's fixed start-time column names), not as NULLs."""
+    df = tokens_df(spark, SF_SMOKE)
+    out, ckpt = str(tmp_path / "o5"), str(tmp_path / "c5")
+
+    def drain():
+        q = (
+            spark.readStream.format("icelite")
+            .option("warehouse", warehouse)
+            .option("table", "seq")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n0 = spark.read.parquet(out).count()
+    seq_table.rename_column("source", "origin")
+    seq_table.append(
+        df.limit(7)
+        .withColumnRenamed("source", "origin")
+        .withColumn("origin", F.lit("post-rename"))
+    )
+    drain()
+    # each availableNow start() re-plans the schema, so the post-rename
+    # batch lands under the NEW name (mixed-schema sink dir -> mergeSchema);
+    # its values must be real data, not the NULLs a stale alias lineage
+    # would produce
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert got.count() == n0 + 7
+    assert got.filter(F.col("origin") == "post-rename").count() == 7
+    assert got.filter(F.col("origin").isNull()).count() == n0  # pre-rename files
+
+
 def test_writer_refuses_partitioned_tables(spark, warehouse):
     df = tokens_df(spark, SF_SMOKE)
     cat = Catalog(warehouse)
