@@ -341,9 +341,10 @@ def read_manifest_summary(location: str, name: str) -> dict | None:
     meta = pq.read_schema(key).metadata
     raw = (meta or {}).get(SUMMARY_KEY)
     out = None if raw is None else json.loads(raw)
-    if len(_SUMMARY_CACHE) >= _MANIFEST_CACHE_MAX:
-        _SUMMARY_CACHE.pop(next(iter(_SUMMARY_CACHE)))
-    _SUMMARY_CACHE[key] = out
+    with _CACHE_LOCK:
+        if len(_SUMMARY_CACHE) >= _MANIFEST_CACHE_MAX:
+            _SUMMARY_CACHE.pop(next(iter(_SUMMARY_CACHE)))
+        _SUMMARY_CACHE[key] = out
     return out
 
 
@@ -356,6 +357,12 @@ _SUMMARY_CACHE: dict[str, dict | None] = {}
 # within one query) from re-parsing the same footers and JSON bounds.
 _MANIFEST_CACHE: dict[str, list] = {}
 _MANIFEST_CACHE_MAX = 256
+# compaction submits group rewrites from a thread pool and every group read
+# plans through these caches — unsynchronized FIFO eviction would let two
+# threads pop the same key (KeyError) and abort the run
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
 
 
 def read_manifest(location: str, name: str) -> list[DataFile]:
@@ -363,9 +370,10 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
     parsed = _MANIFEST_CACHE.get(key)
     if parsed is None:
         parsed = _parse_manifest(key)
-        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
-            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-        _MANIFEST_CACHE[key] = parsed
+        with _CACHE_LOCK:
+            if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[key] = parsed
     # fresh DataFile objects per call: callers may tag content/sequence on
     # the returned objects and must never mutate the shared cache
     return [

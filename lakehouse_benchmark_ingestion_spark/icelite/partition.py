@@ -178,6 +178,7 @@ def write_partitioned(
     max_records_per_file: int | None = None,
     sort_within: list[str] | None = None,
     drop_cols: list[str] | None = None,
+    mode: str = "error",
 ) -> list[str]:
     """Hash-distribute by partition tuple and write one leaf dir per tuple
     (``partitionBy`` on synthetic ``_p{i}`` columns — excluded from file
@@ -200,7 +201,9 @@ def write_partitioned(
         # projection after the sort: per-partition order is preserved, the
         # helper columns (e.g. the cluster key) stay out of file contents
         out = out.drop(*drop_cols)
-    writer = out.write.mode("error").partitionBy(*pnames)
+    # mode="overwrite" for RESUMABLE rewrites (compaction straggler fold):
+    # a crashed attempt's half-written dir is replaced instead of raising
+    writer = out.write.mode(mode).partitionBy(*pnames)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(commit_dir)

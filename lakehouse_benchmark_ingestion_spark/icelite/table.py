@@ -597,6 +597,48 @@ class IceliteTable:
 
         return reader
 
+    def rewrite_reader(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        delete_files: list[mf.DataFile] | None = None,
+    ):
+        """The ONE delete-applied reader every rewrite path must use:
+        ``reader(files: list[DataFile]) -> DataFrame`` applying outstanding
+        position deletes AND equality deletes (v2 sequence rule, recorded
+        merge key, alias-aware) for the given snapshot. Compaction and
+        clustering both read through this — a drifted copy of the
+        delete-application logic in either operator silently resurrects
+        deleted rows in rewritten outputs. The snapshot is pinned ONCE at
+        construction, so concurrent commits (e.g. partial-progress
+        intermediate snapshots) cannot shift the delete set mid-run."""
+        snapshot_id = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.meta.current_snapshot_id
+        )
+        dels = (
+            delete_files
+            if delete_files is not None
+            else self.delete_files(snapshot_id)
+        )
+        pos = self.pos_reader(spark, snapshot_id)
+        if not dels:
+            return lambda files: pos([f.path for f in files])
+        from . import mor
+
+        key = self.recorded_merge_key() or "doc_id"
+        schema = self.schema
+        delete_reader = self._read_delete_keys(spark, key)
+
+        def read(files: list[mf.DataFile]) -> DataFrame:
+            return mor.mor_scan(
+                spark, schema, files, dels, key=key,
+                reader=pos, delete_reader=delete_reader,
+            )
+
+        return read
+
     def recorded_merge_key(self) -> str | None:
         """The equality-delete key persisted at merge-on-read commit time
         (property ``merge-key``). Scans MUST apply outstanding eq-deletes

@@ -93,26 +93,20 @@ def cluster(
     rows_in = sum(f.record_count for f in files)
     n_out = max(1, -(-bytes_in // target_file_size))
 
-    if del_files:
-        # global rewrite MATERIALIZES outstanding eq-deletes (merge-on-read
-        # debt is retired here): read delete-applied, drop the delete files
-        from ..icelite.mor import mor_scan
-
-        mor_key = table.recorded_merge_key() or "doc_id"
-        df = mor_scan(
-            spark, table.schema, files, del_files, key=mor_key,
-            reader=table.pos_reader(spark, snap.snapshot_id),
-            delete_reader=table._read_delete_keys(spark, mor_key),
-        )
-    else:
-        # pos-aware read: a global rewrite must not bake position-deleted
-        # rows back into its outputs
-        df = table.pos_reader(spark, snap.snapshot_id)([f.path for f in files])
+    # the ONE shared delete-applied rewrite reader (table.rewrite_reader):
+    # materializes outstanding eq-deletes and masks pos-deletes, pinned to
+    # this snapshot — a drifted private copy of that logic would silently
+    # resurrect deleted rows in the clustered outputs
+    df = table.rewrite_reader(
+        spark, snapshot_id=snap.snapshot_id, delete_files=del_files
+    )(files)
     # zorder uses the Catalyst morton expression — the range sampler
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
     if n_salts > 1:
-        df = df.withColumn("_salt", salt_expr("doc_id", n_salts))
+        from .compaction import _salt_col
+
+        df = df.withColumn("_salt", salt_expr(_salt_col(df), n_salts))
         df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
     else:
         df = df.repartitionByRange(n_out, "_ckey")

@@ -140,54 +140,62 @@ def plan_compaction(
     return plan
 
 
+def _salt_col(df) -> str:
+    """Column the skew salt hashes. Tables keep working after doc_id is
+    renamed/dropped (schema evolution): fall back to the first data column
+    — any deterministic value spreads duplicate-ckey hot spots."""
+    return "doc_id" if "doc_id" in df.columns else [
+        c for c in df.columns if c != "_ckey"
+    ][0]
+
+
 def _rewrite_group(
     spark: SparkSession,
     table: IceliteTable,
     group: CompactionGroup,
-    run_id: str,
+    out_tag: str,
     curve: str,
     target_file_size: int,
     n_salts: int,
-    delete_files: list[mf.DataFile] | None = None,
+    reader,
 ) -> list[str]:
-    """Distributed rewrite of one group; returns output file paths."""
-    schema = table.schema
-    if delete_files:
-        # materialize outstanding eq-deletes (merge-on-read commits) for
-        # this group's files while rewriting — outputs are delete-free
-        from ..icelite.mor import mor_scan
+    """Distributed rewrite of one group; returns output file paths.
 
-        mor_key = table.recorded_merge_key() or "doc_id"
-        df = mor_scan(
-            spark, schema, group.files, delete_files, key=mor_key,
-            reader=table.pos_reader(spark),
-            delete_reader=table._read_delete_keys(spark, mor_key),
-        )
-    else:
-        # pos-aware read: rewritten outputs must not resurrect
-        # position-deleted rows
-        df = table.pos_reader(spark)([f.path for f in group.files])
+    ``reader`` is the table's shared delete-applied rewrite reader, pinned
+    to the PLAN snapshot (table.rewrite_reader) — outputs are delete-free
+    and partial commits landing mid-run cannot shift the delete set.
+    ``out_tag`` embeds the plan snapshot id: a resume replans from a NEW
+    snapshot and must write to fresh directories — reusing (run_id, gid)
+    paths would overwrite files an earlier partial commit already
+    published."""
+    df = reader(group.files)
     df = with_cluster_key(df, curve=curve)
 
+    out_dir = os.path.join(
+        table.location, "data", f"rw-{out_tag}-g{group.group_id:06d}"
+    )
     pspec = table.partition_spec
     if pspec is not None and group.partition_json == "{}":
         # straggler fold: files written without partition tuples (pre-spec
         # data, MERGE COW outputs) are re-laid-out under the CURRENT spec —
         # partition-aware write, ckey-sorted within each partition, so the
         # layout self-heals at the next compaction instead of accreting an
-        # ever-growing unpartitioned residue
+        # ever-growing unpartitioned residue. maxRecordsPerFile derived from
+        # the group's own bytes/row ratio keeps fold outputs near the
+        # target size — an unsplittable giant would violate it forever.
         from ..icelite import partition as ps
 
-        out_dir = os.path.join(
-            table.location, "data", f"rw-{run_id}-g{group.group_id:06d}"
+        per_file = max(
+            1, int(group.rows_in * target_file_size / max(group.bytes_in, 1))
         )
         return ps.write_partitioned(
             df,
             pspec,
             out_dir,
-            max_records_per_file=None,
+            max_records_per_file=per_file,
             sort_within=["_ckey"],
             drop_cols=["_ckey"],
+            mode="overwrite",  # resumable: a crashed attempt's dir is replaced
         )
 
     n_out = max(1, -(-group.bytes_in // target_file_size))  # ceil
@@ -199,13 +207,12 @@ def _rewrite_group(
         # salt INSIDE the range-partition key, OUTSIDE the sort key
         # (SURVEY.md §7.3): duplicate-ckey hot spots split across salts,
         # while each output file stays internally ckey-sorted.
-        df = df.withColumn("_salt", salt_expr("doc_id", n_salts))
+        df = df.withColumn("_salt", salt_expr(_salt_col(df), n_salts))
         df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
     else:
         df = df.repartitionByRange(n_out, "_ckey")
     df = df.sortWithinPartitions("_ckey").drop("_ckey")
 
-    out_dir = os.path.join(table.location, "data", f"rw-{run_id}-g{group.group_id:06d}")
     df.write.mode("overwrite").parquet(out_dir)
     import glob
 
@@ -250,14 +257,35 @@ def compact(
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
         plan = plan_compaction(table, target_file_size, max_group_size=max_group_size)
-    del_files = table.delete_files()
+    # everything below is pinned to the PLAN snapshot: delete set, group
+    # reads, and resume matching — a run must be internally consistent even
+    # while partial commits (or concurrent writers) move the head
+    del_files = table.delete_files(plan.snapshot_id) if plan.snapshot_id != -1 else []
     new_seq = table.next_sequence_number()
     log = LineageLog(table.location)
     lineage_op = (
         "compact" if partial_progress_commits is None
         else f"compact@{plan.snapshot_id}"
     )
-    done = log.done_tasks(run_id, lineage_op)
+    # resume only absorbs rows from THE SAME plan: group ids are plan-local,
+    # so a row from a run over a different snapshot naming the same gid
+    # would splice the wrong outputs in (dropping this plan's group rows)
+    done = {
+        gid: row
+        for gid, row in log.done_tasks(run_id, lineage_op).items()
+        if row.snapshot_id == plan.snapshot_id
+    }
+    # rewrite outputs land under run_id+snapshot-tagged dirs: a same-run_id
+    # resume replans from a NEW snapshot and must not overwrite directories
+    # an earlier attempt's partial commits already published
+    out_tag = f"{run_id}-s{plan.snapshot_id}"
+    reader = (
+        table.rewrite_reader(
+            spark, snapshot_id=plan.snapshot_id, delete_files=del_files
+        )
+        if plan.snapshot_id != -1
+        else None
+    )
 
     removed: set[str] = set()
     added_paths: list[str] = []
@@ -280,8 +308,8 @@ def compact(
 
     def run_one(group: CompactionGroup) -> list[str]:
         out_paths = _rewrite_group(
-            spark, table, group, run_id, curve, target_file_size, n_salts,
-            delete_files=del_files,
+            spark, table, group, out_tag, curve, target_file_size, n_salts,
+            reader,
         )
         log.write(
             LineageRow(
