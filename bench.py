@@ -260,6 +260,14 @@ def run_scaling() -> None:
     inputs). Override with SCALING_LEVELS=2,8 / SCALING_REPEATS / etc."""
     levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")]
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    # SCALING_MODE=executors: N-vs-4N REAL EXECUTOR JVM PROCESSES via
+    # Spark's local-cluster master (1 executor x 4 cores vs 4 executors x
+    # 4 cores) — the literal shape of the north rule's two cluster sizes.
+    # Thread mode (default local[N]) additionally measures SMT/JVM thread
+    # scaling, which on a shared virtualized host caps well below what
+    # separate executor processes reach (see BENCH.md controls).
+    executor_mode = os.environ.get("SCALING_MODE", "threads") == "executors"
+    exec_mem_mb = int(os.environ.get("SCALING_EXECUTOR_MB", "8192"))
     # 1024 → ~0.4 GB zstd / 5.1M sequences → ~50 output files at the 8 MB
     # bench target, so the rewrite stage is ~3x wider than the big leg's
     # core count. Anything much smaller and output width (not the engine)
@@ -277,6 +285,13 @@ def run_scaling() -> None:
                 BENCH_ROUNDS="1",
                 SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
             )
+            if executor_mode:
+                # `cpus` total cores split into (cpus // 4) executor JVMs
+                # of 4 cores each: levels 4,16 → 1 vs 4 executors
+                n_exec = max(1, cpus // 4)
+                env["SPARK_GRAFT_MASTER"] = (
+                    f"local-cluster[{n_exec},4,{exec_mem_mb}]"
+                )
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

@@ -28,7 +28,11 @@ def get_spark(
         set this to 2-3x total cores via spark-submit conf).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER overrides the master verbatim — e.g.
+    # "local-cluster[4,4,8192]" spins up 4 REAL executor JVM processes
+    # (the N-vs-4N EXECUTORS shape of a true cluster, not threads in one
+    # JVM); SPARK_GRAFT_CPUS still sizes shuffle width
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
