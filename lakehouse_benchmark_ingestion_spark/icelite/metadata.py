@@ -28,6 +28,12 @@ class CommitConflict(Exception):
     """Another writer committed the same metadata version."""
 
 
+class ValidationFailed(CommitConflict):
+    """A pre-commit validation (e.g. validate-no-new-deletes) found a
+    conflicting concurrent commit; the operation must replan from the new
+    table head rather than retry the same swap."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int

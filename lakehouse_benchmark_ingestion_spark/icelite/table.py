@@ -818,6 +818,7 @@ class IceliteTable:
         summary: dict | None = None,
         timestamp_ms: int | None = None,
         set_properties: dict | None = None,
+        validate_no_new_deletes_since: int | None = None,
     ) -> md.Snapshot:
         """Commit a snapshot that atomically swaps removed files for added.
 
@@ -826,15 +827,38 @@ class IceliteTable:
         Manifests that reference no removed file are reused as-is (no
         rewrite amplification); touched manifests are rewritten minus the
         removed entries; added files land in one new manifest.
+
+        ``validate_no_new_deletes_since``: Iceberg's RewriteFiles
+        validate-no-new-deletes check. Pass the snapshot id the rewrite was
+        PLANNED against: if any eq-/pos-delete file not live at that
+        snapshot is live at commit time, the commit aborts with
+        ``ValidationFailed`` — the concurrent delete was not applied during
+        the group reads and its sequence number would not gate the
+        rewritten outputs (strict ``<`` rule), so committing would
+        resurrect the deleted rows. The check runs INSIDE the optimistic
+        loop, so a delete landing between retries is still caught.
         """
         added_manifest = mf.write_manifest(self.location, added) if added else None
+        baseline_deletes: set[str] | None = None
+        if validate_no_new_deletes_since is not None:
+            baseline_deletes = (
+                {f.path for f in self.delete_files(validate_no_new_deletes_since)}
+                | {f.path for f in self.pos_delete_files(validate_no_new_deletes_since)}
+                if validate_no_new_deletes_since != -1
+                else set()
+            )
 
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
             parent = meta.snapshot()
             new_manifests: list[str] = []
             seen_removed = 0
+            live_deletes: set[str] = set()
             for name in (parent.manifests if parent else []):
                 files = mf.read_manifest(self.location, name)
+                if baseline_deletes is not None:
+                    live_deletes.update(
+                        f.path for f in files if f.content != mf.CONTENT_DATA
+                    )
                 hit = [f for f in files if f.path in removed_paths]
                 if not hit:
                     new_manifests.append(name)
@@ -843,6 +867,14 @@ class IceliteTable:
                 kept = [f for f in files if f.path not in removed_paths]
                 if kept:
                     new_manifests.append(mf.write_manifest(self.location, kept))
+            if baseline_deletes is not None:
+                conflicting = live_deletes - baseline_deletes - removed_paths
+                if conflicting:
+                    raise md.ValidationFailed(
+                        f"{operation}: {len(conflicting)} delete file(s) committed "
+                        f"since planning snapshot {validate_no_new_deletes_since}; "
+                        "replan the rewrite from the current snapshot"
+                    )
             if seen_removed != len(removed_paths):
                 raise md.CommitConflict(
                     f"replace_files: {len(removed_paths) - seen_removed} of "

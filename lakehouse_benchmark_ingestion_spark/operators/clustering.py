@@ -27,6 +27,43 @@ from ..plans.lineage import LineageLog, LineageRow
 from .compaction import DEFAULT_TARGET_FILE_SIZE
 
 
+def _already_clustered(
+    table: IceliteTable, snap, files, curve: str, accept_ops: tuple[str, ...]
+) -> bool:
+    """True iff a re-cluster would reproduce the exact current layout.
+
+    Sound when the head snapshot IS a same-curve rewrite in ``accept_ops``
+    with no outstanding deletes and every live file already carries
+    ``sort_order == curve`` — any append/merge/delete since the rewrite
+    would be a NEWER head commit and fail the check. ``accept_ops`` is
+    ("cluster",) on unpartitioned tables (a multi-group bin-pack compact
+    leaves files internally sorted but NOT globally range-disjoint, so it
+    must not satisfy a GLOBAL cluster) and ("cluster", "compact") on
+    partitioned tables, where cluster itself delegates to the per-partition
+    compact rewrite and the layouts coincide. At 100 TB a blind re-run is
+    the single most expensive no-op possible: a full-table shuffle +
+    rewrite that changes nothing."""
+    return (
+        bool(files)
+        and snap.operation == "replace"
+        and snap.summary.get("op") in accept_ops
+        and snap.summary.get("curve") == curve
+        and not table.delete_files(snap.snapshot_id)
+        and not table.pos_delete_files(snap.snapshot_id)
+        and all(f.sort_order == curve for f in files)
+    )
+
+
+def _skip_result(files, snap, run_id: str) -> dict:
+    return {
+        "files_in": len(files),
+        "files_out": len(files),
+        "skipped": "already-clustered",
+        "snapshot_id": snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
 def cluster(
     spark: SparkSession,
     table: IceliteTable,
@@ -43,12 +80,25 @@ def cluster(
             "(key->bucket routing); use compact() — it Z-sorts within each "
             "bucket and never mixes buckets in a group"
         )
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"files_in": 0, "files_out": 0, "run_id": run_id}
+    files = table.data_files(snap.snapshot_id)
+    if not files:
+        return {"files_in": 0, "files_out": 0, "run_id": run_id}
     if table.partition_spec is not None:
         # hidden-partitioned table: a GLOBAL ckey-range rewrite would mix
         # partitions in one file. Cluster WITHIN partitions instead: an
         # all-files compaction plan — its group rewrite applies the same
         # ckey repartitionByRange + sortWithinPartitions per partition and
-        # folds unpartitioned stragglers under the current spec.
+        # folds unpartitioned stragglers under the current spec. Same
+        # idempotence skip as the unpartitioned path: without it every
+        # run_full_maintenance cycle rewrites 100% of the table even when
+        # every file already carries the requested sort order.
+        if _already_clustered(
+            table, snap, files, curve, accept_ops=("cluster", "compact")
+        ):
+            return _skip_result(files, snap, run_id)
         from .compaction import compact, plan_compaction
 
         plan = plan_compaction(
@@ -61,33 +111,9 @@ def cluster(
             spark, table, target_file_size, curve=curve, n_salts=n_salts,
             run_id=run_id, plan=plan, timestamp_ms=timestamp_ms,
         )
-    snap = table.current_snapshot()
-    if snap is None:
-        return {"files_in": 0, "files_out": 0, "run_id": run_id}
-    files = table.data_files(snap.snapshot_id)
-    if not files:
-        return {"files_in": 0, "files_out": 0, "run_id": run_id}
     del_files = table.delete_files(snap.snapshot_id)
-    # Idempotence: when the head snapshot IS a same-curve cluster commit
-    # (no writes since), a re-run would shuffle and rewrite every byte of
-    # the table to reproduce the exact layout it already has. At 100 TB
-    # that's the single most expensive no-op possible — detect and skip.
-    # Sound because any append/merge/delete since would be a NEWER commit.
-    if (
-        snap.operation == "replace"
-        and snap.summary.get("op") == "cluster"
-        and snap.summary.get("curve") == curve
-        and not del_files
-        and not table.pos_delete_files(snap.snapshot_id)
-        and all(f.sort_order == curve for f in files)
-    ):
-        return {
-            "files_in": len(files),
-            "files_out": len(files),
-            "skipped": "already-clustered",
-            "snapshot_id": snap.snapshot_id,
-            "run_id": run_id,
-        }
+    if _already_clustered(table, snap, files, curve, accept_ops=("cluster",)):
+        return _skip_result(files, snap, run_id)
     new_seq = table.next_sequence_number()
     bytes_in = sum(f.file_size_bytes for f in files)
     rows_in = sum(f.record_count for f in files)

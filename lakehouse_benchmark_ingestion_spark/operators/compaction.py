@@ -232,6 +232,49 @@ def compact(
     max_concurrent_groups: int = 8,
     max_group_size: int | None = None,
     partial_progress_commits: int | None = None,
+    delete_conflict_retries: int = 1,
+) -> dict:
+    """Compaction with validate-no-new-deletes: every commit (partial and
+    final) validates that no eq-/pos-delete file landed after the PLAN
+    snapshot — a concurrent MOR delete committed mid-rewrite was not
+    applied during the group reads, and its sequence number would not gate
+    the rewritten outputs (strict ``<`` rule), so swapping would resurrect
+    the deleted rows. On ``ValidationFailed`` the whole run replans from
+    the current snapshot (which now includes the delete, so the group
+    reads apply it) up to ``delete_conflict_retries`` times; already-
+    shipped partial commits stay (each was validated at ITS commit time),
+    and the abandoned attempt's outputs become orphans for the GC sweep.
+    Iceberg parity: RewriteFiles#validateNoNewDeletesForDataFiles."""
+    from ..icelite import metadata as md
+
+    attempts = max(1, 1 + delete_conflict_retries)
+    for attempt in range(attempts):
+        try:
+            return _compact_attempt(
+                spark, table, target_file_size, curve, n_salts,
+                run_id if attempt == 0 else None, plan if attempt == 0 else None,
+                fail_after_groups, timestamp_ms, max_concurrent_groups,
+                max_group_size, partial_progress_commits,
+            )
+        except md.ValidationFailed:
+            if attempt == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _compact_attempt(
+    spark: SparkSession,
+    table: IceliteTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    curve: str = "zorder",
+    n_salts: int = 1,
+    run_id: str | None = None,
+    plan: CompactionPlan | None = None,
+    fail_after_groups: int | None = None,
+    timestamp_ms: int | None = None,
+    max_concurrent_groups: int = 8,
+    max_group_size: int | None = None,
+    partial_progress_commits: int | None = None,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
 
@@ -382,9 +425,11 @@ def compact(
                 summary={
                     "op": "compact-partial",
                     "run-id": run_id,
+                    "curve": curve,
                     "commit-seq": str(partial_commits),
                 },
                 timestamp_ms=timestamp_ms,
+                validate_no_new_deletes_since=plan.snapshot_id,
             )
             partial_commits += 1
             committed_removed.update(batch_removed)
@@ -451,8 +496,9 @@ def compact(
         (removed - committed_removed) | dead_deletes,
         added,
         operation="replace",
-        summary={"op": "compact", "run-id": run_id},
+        summary={"op": "compact", "run-id": run_id, "curve": curve},
         timestamp_ms=timestamp_ms,
+        validate_no_new_deletes_since=plan.snapshot_id,
     )
     return {
         "groups": len(plan.groups),

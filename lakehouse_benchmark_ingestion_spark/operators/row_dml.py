@@ -93,6 +93,7 @@ def delete_where(
     key: str = "doc_id",
     run_id: str | None = None,
     timestamp_ms: int | None = None,
+    verify_key_safety: bool = True,
 ) -> dict:
     """DELETE FROM table WHERE <where>. Returns commit metrics."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -103,7 +104,8 @@ def delete_where(
 
     if strategy == "mor":
         return _delete_where_mor(
-            spark, table, where, candidates, key, run_id, timestamp_ms
+            spark, table, where, candidates, key, run_id, timestamp_ms,
+            verify_key_safety=verify_key_safety,
         )
     if strategy == "mor-pos":
         return _delete_where_pos(
@@ -130,7 +132,14 @@ def delete_where(
             reader=table.pos_reader(spark),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
-        kept_rows = data.filter(~predicate_column(where))
+        # SQL DELETE removes only rows where the predicate is TRUE; rows
+        # where it evaluates to NULL (null in a predicate column) must be
+        # KEPT. ~NULL is NULL, which filter() drops — coalesce to FALSE
+        # first so null-predicate rows survive the rewrite (matching the
+        # mor / mor-pos strategies, which select matches positively).
+        kept_rows = data.filter(
+            ~F.coalesce(predicate_column(where), F.lit(False))
+        )
         bytes_in = sum(f.file_size_bytes for f in partial)
         n_out = max(1, -(-bytes_in // target_file_size))
         out_dir = os.path.join(table.location, "data", f"del-{run_id}")
@@ -185,10 +194,20 @@ def _delete_where_mor(
     key: str,
     run_id: str,
     timestamp_ms: int | None,
+    verify_key_safety: bool = True,
 ) -> dict:
     """Merge-on-read predicate delete: write the matching KEYS as an
     eq-delete file. Reads only the key+predicate columns of candidate files
-    (Catalyst prunes the rest, including the token arrays)."""
+    (Catalyst prunes the rest, including the token arrays).
+
+    An eq-delete removes EVERY older row carrying a matched key, so on a
+    table where ``key`` is not unique a predicate delete would collaterally
+    remove live rows the predicate never selected. ``verify_key_safety``
+    (default on) runs one column-pruned scan over the live files and
+    refuses to commit if any non-matching row shares a matched key,
+    steering the caller to ``strategy='mor-pos'`` (exact row surgery) or
+    ``'cow'``. Disable only when the key is known unique (e.g. enforced by
+    the ingest path), which skips the extra scan."""
     recorded = table.recorded_merge_key()
     if recorded is not None and recorded != key and table.delete_files():
         raise ValueError(
@@ -202,7 +221,30 @@ def _delete_where_mor(
     # predicate must not contribute its key — an eq-delete on that key
     # would take out live same-key rows the predicate never selected
     data = table.pos_reader(spark)([f.path for f in candidates]).select(*cols)
-    keys = data.filter(predicate_column(where)).select(key)
+    pred = predicate_column(where)
+    keys = data.filter(pred).select(key)
+    if verify_key_safety:
+        # collateral check across the WHOLE live table (a same-key row may
+        # live in a file the stats filter skipped): any live row where the
+        # predicate is false-or-null whose key is in the matched set would
+        # be wrongly erased by the eq-delete. Key-column-pruned scan +
+        # left-semi join — no data rewrite, one extra pass.
+        snap = table.current_snapshot()
+        all_files = table.data_files(snap.snapshot_id) if snap else []
+        live = table.pos_reader(spark)([f.path for f in all_files]).select(*cols)
+        collateral = (
+            live.filter(~F.coalesce(pred, F.lit(False)))
+            .join(keys, on=key, how="left_semi")
+            .limit(1)
+            .count()
+        )
+        if collateral:
+            raise ValueError(
+                f"mor delete on non-unique key {key!r}: a live row NOT matching "
+                "the predicate shares a matched key and would be collaterally "
+                "deleted; use strategy='mor-pos' (position delete) or 'cow', "
+                "or pass verify_key_safety=False if the key is known unique"
+            )
     del_dir = os.path.join(table.location, "data", f"delw-{run_id}-deletes")
     keys.repartitionByRange(1, key).write.mode("overwrite").parquet(del_dir)
     del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))

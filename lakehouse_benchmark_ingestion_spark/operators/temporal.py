@@ -93,9 +93,27 @@ def range_join(
     byte offsets, ...). ``bucket_width`` must be >= the longest interval
     for the O(1)-buckets-per-interval bound to hold (wider is always
     correct, just coarser).
+
+    ``how`` may be ``inner`` or ``left`` (probe-preserving). The BETWEEN
+    lives in the JOIN CONDITION, not a post-join filter — a post-filter
+    would see NULL for unmatched outer rows and silently reduce any outer
+    join to inner. Catalyst still extracts the bucket equality as the
+    equi-key and applies the range as a join residual, so the physical
+    plan is the same shuffled hash/sort-merge join. Left-outer is sound
+    under banding because each probe owns exactly ONE bucket: a (probe,
+    interval) pair can only meet in that bucket, so no duplicate matches;
+    an unmatched probe yields exactly one null-extended row. Right/full
+    outer are rejected — an unmatched interval appears once per exploded
+    bucket copy and would emit duplicate null rows.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"range_join supports how='inner' or 'left', got {how!r}: "
+            "banding explodes intervals per bucket, so interval-preserving "
+            "joins would duplicate unmatched intervals"
+        )
     iv = intervals.withColumn(
-        "_bkt",
+        "_bkt_iv",
         F.explode(
             F.sequence(
                 (interval_lo / bucket_width).cast("long"),
@@ -104,7 +122,11 @@ def range_join(
         ),
     )
     pr = probes.withColumn("_bkt", (probe_key / bucket_width).cast("long"))
-    joined = pr.join(iv, "_bkt", how).filter(
-        (interval_lo <= probe_key) & (probe_key <= interval_hi)
+    joined = pr.join(
+        iv,
+        (F.col("_bkt") == F.col("_bkt_iv"))
+        & (interval_lo <= probe_key)
+        & (probe_key <= interval_hi),
+        how,
     )
-    return joined.drop("_bkt")
+    return joined.drop("_bkt", "_bkt_iv")

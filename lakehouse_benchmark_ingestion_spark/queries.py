@@ -696,6 +696,74 @@ MAINT_ORACLES: dict[str, str] = {
 # registry assembly
 # --------------------------------------------------------------------------
 
+# The correctness driver checks queries in dict-iteration order with a
+# bounded budget (50 in rounds 1-2). Round 2 certified the first 50 entries
+# triple-green; this list front-loads the 34 queries that sat past that
+# cutoff (the whole LLM-pipeline / streaming / training-op surface) plus the
+# 16 north-star maintenance queries, so a 50-query round certifies the tail
+# while keeping the core suite under continuous check. Everything else
+# (r2-green relational/text queries) follows in stable order.
+_CERTIFICATION_PRIORITY = [
+    # r1-fail fixes that MUST produce a green row this round
+    "pipe_events_props_json",
+    "pipe_minhash_signature",
+    # scale-path dedup / ANN, never driver-checked
+    "pipe_neardup_lsh",
+    "pipe_lsh_buckets",
+    "pipe_dedup_minhash_pairs",
+    "pipe_dup_clusters",
+    "pipe_ann_lsh",
+    "pipe_simhash",
+    "pipe_ngram_jaccard",
+    "pipe_embedding_neardup",
+    "pipe_incremental_dedup",
+    # streaming surface (S1), never driver-checked
+    "stream_ingested_scan",
+    "stream_merge_upsert",
+    "stream_dedup_ingest",
+    "stream_windowed_rollup",
+    "stream_sessions",
+    # multimodal + grouped-map surface
+    "pipe_multimodal_meta",
+    "pipe_multimodal_features",
+    "pipe_frame_sample",
+    "pipe_source_median_ntok",
+    # training-data ops, never driver-checked
+    "pipe_pack_sequences",
+    "pipe_token_topk",
+    "pipe_stratified_sample",
+    "pipe_contamination",
+    "pipe_pii_redaction",
+    "pipe_repetition",
+    "pipe_mixture_plan",
+    "pipe_shard_balance",
+    "pipe_curriculum_batches",
+    "pipe_bigram_topk",
+    "pipe_e2e_training_prep",
+    "pipe_length_quantiles",
+    # temporal joins, never driver-checked
+    "rel_asof_error_click",
+    "rel_events_in_windows",
+    # north-star maintenance core, re-certified every round
+    "maint_scan",
+    "maint_scan_pre_compaction",
+    "maint_agg_by_source",
+    "maint_token_checksum",
+    "merge_result",
+    "merge_mor_result",
+    "merge_bucketed_result",
+    "maint_partial_progress",
+    "maint_partition_prune",
+    "maint_predicate_scan",
+    "maint_delete_where",
+    "maint_wap_publish",
+    "maint_changes",
+    "zorder_key",
+    "rel_dedup_exact_docs",
+    "pipe_ann_ivf",
+]
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import queries_relational as qr
     from . import queries_pipeline as qp
@@ -732,7 +800,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(qr.QUERIES)
     out.update(qp.QUERIES)
     out.update(qt.QUERIES)
-    return out
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _CERTIFICATION_PRIORITY:
+        ordered[name] = out[name]
+    for name, fn in out.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def build_oracles() -> dict[str, str]:
