@@ -1058,7 +1058,11 @@ class IceliteTable:
             for col, cond in where.items():
                 if isinstance(cond, tuple):
                     continue
-                bf = bloom_file_filter(self, col, cond, snapshot_id=snapshot_id)
+                # candidates= → the probe lazily reads ONLY the sidecar
+                # rows of files that survived stats/partition pruning
+                bf = bloom_file_filter(
+                    self, col, cond, snapshot_id=snapshot_id, candidates=files
+                )
                 if bf is not None:
                     files = [f for f in files if bf(f)]
         return files

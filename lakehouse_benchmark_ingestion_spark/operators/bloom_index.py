@@ -7,14 +7,24 @@ this with parquet bloom filters (`write.parquet.bloom-filter-enabled`); the
 icelite equivalent is a snapshot-pinned sidecar: one small bitmap per data
 file over a chosen column.
 
-Build is DISTRIBUTED and one-pass: read only the indexed column plus
+Build is DISTRIBUTED end-to-end: read only the indexed column plus
 ``_metadata.file_path`` (Catalyst prunes everything else), compute k hash
-bit positions per value, and ``collect_set`` the positions per file — the
-shuffle is O(files × bits), never O(rows). The hash family is
-engine-portable by construction: ``h_i(v) = int(sha256("{i}:" + str(v))
-[:15 hex], 16) % bits`` computes bit-identically in Spark
-(sha2/conv/substring — all codegen built-ins) and in driver-side Python
-(hashlib), so probing needs NO Spark job.
+bit positions per value, ``collect_set`` the positions per file, pack each
+file's bitmap with a vectorized pandas UDF, and WRITE THE SIDECAR AS
+PARQUET — one row per data file ``(file_path, bitmap binary, n_set)``,
+range-sorted by file_path. No bitmap ever rides to the driver: at 800k
+files × 1 MiB bitmaps the sidecar is hundreds of GB, which the previous
+driver-collected JSON design would have OOM'd on. A tiny JSON header
+(column, bits, k, snapshot id — no bitmaps) is the only driver-side state.
+
+Probing is LAZY: ``select_data_files`` passes the candidate files that
+survived stats + partition pruning, and the probe reads ONLY those rows
+from the sidecar via a parquet predicate on ``file_path`` (the sidecar is
+file_path-sorted, so row-group stats prune the read to the touched
+slivers). The hash family is engine-portable by construction:
+``h_i(v) = int(sha256("{i}:" + str(v))[:15 hex], 16) % bits`` computes
+bit-identically in Spark (sha2/conv/substring — all codegen built-ins) and
+in driver-side Python (hashlib), so probing needs NO Spark job.
 
 Probing composes with ``IceliteTable.scan(file_filter=...)``: a file whose
 bitmap lacks any of the key's k bits provably does not contain the key; a
@@ -24,7 +34,7 @@ kept. False positives only cost a wasted file read — never wrong results.
 
 from __future__ import annotations
 
-import base64
+import glob
 import hashlib
 import json
 import os
@@ -35,7 +45,8 @@ from pyspark.sql import functions as F
 DEFAULT_K = 4
 BITS_PER_KEY = 10  # with k=4: FP ~ (1 - e^(-4/10))^4 ≈ 1.2%
 MIN_BITS = 8192
-MAX_BITS = 1 << 23  # 1 MiB bitmap per file — the driver-side cap
+MAX_BITS = 1 << 23  # 1 MiB bitmap per file
+SIDECAR_TARGET_BYTES = 128 * 1024 * 1024  # per sidecar parquet file
 
 
 def _positions_py(value, bits: int, k: int) -> list[int]:
@@ -63,10 +74,18 @@ def _position_cols(col: str, bits: int, k: int):
     ]
 
 
-def _index_path(location: str, column: str, snapshot_id: int) -> str:
-    return os.path.join(
-        location, "metadata", f"bloom-{column}-{snapshot_id}.json"
-    )
+def _header_path(location: str, column: str, snapshot_id: int) -> str:
+    return os.path.join(location, "metadata", f"bloom-{column}-{snapshot_id}.json")
+
+
+def _sidecar_dir(location: str, column: str, snapshot_id: int) -> str:
+    return os.path.join(location, "metadata", f"bloom-{column}-{snapshot_id}")
+
+
+def _norm(path: str) -> str:
+    # _metadata.file_path is a URI ("file:/abs/path" or "file:///abs/path");
+    # realpath collapses the leftover leading slashes either way
+    return os.path.realpath(path.removeprefix("file:"))
 
 
 def build_bloom_index(
@@ -82,7 +101,7 @@ def build_bloom_index(
 
     ``bits`` auto-sizes to BITS_PER_KEY × the largest file's row count
     (clamped to [MIN_BITS, MAX_BITS]) — an undersized bloom silently
-    saturates and skips nothing; bitmaps are stored byte-packed + base64."""
+    saturates and skips nothing."""
     snap = table.current_snapshot()
     if snap is None:
         return {"files": 0}
@@ -103,76 +122,186 @@ def build_bloom_index(
     if not cands:
         raise ValueError(f"column {column!r} not present in any data file")
     expr = F.coalesce(*[F.col(c) for c in cands]) if len(cands) > 1 else F.col(cands[0])
-    df = raw.select(
-        expr.alias(column), F.col("_metadata.file_path").alias("_fp")
-    )
+    df = raw.select(expr.alias(column), F.col("_metadata.file_path").alias("_fp"))
     pos = df.select(
         "_fp", F.explode(F.array(*_position_cols(column, bits, k))).alias("_p")
     )
-    rows = (
-        pos.groupBy("_fp")
-        .agg(F.collect_set("_p").alias("_bits"))
-        .collect()
+    agg = pos.groupBy("_fp").agg(F.collect_set("_p").alias("_bits"))
+
+    n_bytes = bits // 8
+
+    @F.pandas_udf("binary")
+    def _pack(positions):  # pd.Series of lists/arrays of int
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for arr in positions:
+            bm = np.zeros(n_bytes, dtype=np.uint8)
+            p = np.asarray(arr, dtype=np.int64)
+            np.bitwise_or.at(
+                bm, p >> 3, (np.uint8(1) << (p & 7).astype(np.uint8))
+            )
+            out.append(bm.tobytes())
+        return pd.Series(out)
+
+    @F.pandas_udf("string")
+    def _norm_path(paths):
+        import pandas as pd
+
+        return pd.Series(
+            [os.path.realpath(p.removeprefix("file:")) for p in paths]
+        )
+
+    sidecar = agg.select(
+        _norm_path("_fp").alias("file_path"),
+        _pack("_bits").alias("bitmap"),
+        F.size("_bits").alias("n_set"),
     )
-    # _metadata.file_path is a URI ("file:/abs/path" or "file:///abs/path");
-    # realpath collapses the leftover leading slashes either way
-    bitmap: dict[str, str] = {}
-    n_bits_set = 0
-    for r in rows:
-        bm = bytearray(bits // 8)
-        for p in r["_bits"]:
-            bm[p >> 3] |= 1 << (p & 7)
-        n_bits_set += len(r["_bits"])
-        key = os.path.realpath(r["_fp"].removeprefix("file:"))
-        bitmap[key] = base64.b64encode(bytes(bm)).decode("ascii")
-    payload = {
+    # range-sort by file_path so a probe's parquet predicate prunes to the
+    # row groups holding its candidate files; size outputs ~128 MiB each
+    n_out = max(1, (len(files) * n_bytes) // SIDECAR_TARGET_BYTES)
+    out_dir = _sidecar_dir(table.location, column, snap.snapshot_id)
+    (
+        sidecar.repartitionByRange(n_out, "file_path")
+        .sortWithinPartitions("file_path")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    header = {
         "column": column,
         "bits": bits,
         "k": k,
         "snapshot_id": snap.snapshot_id,
-        "files": bitmap,
+        "format": "parquet",
+        "n_files": len(files),
     }
-    path = _index_path(table.location, column, snap.snapshot_id)
-    tmp = path + ".tmp"
+    hpath = _header_path(table.location, column, snap.snapshot_id)
+    tmp = hpath + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-    os.replace(tmp, path)
+        json.dump(header, fh)
+    os.replace(tmp, hpath)
+    # summary metrics: tiny column-pruned driver read of the n_set column
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    n_set_total = 0
+    n_rows = 0
+    for p in parts:
+        t = pq.read_table(p, columns=["n_set"])
+        n_rows += t.num_rows
+        n_set_total += sum(t.column("n_set").to_pylist())
     return {
-        "files": len(bitmap),
+        "files": n_rows,
         "bits": bits,
-        "bits_set_total": n_bits_set,
-        "bytes": os.path.getsize(path),
+        "bits_set_total": n_set_total,
+        "bytes": sum(os.path.getsize(p) for p in parts),
+        "sidecar_files": len(parts),
         "snapshot_id": snap.snapshot_id,
-        "path": path,
+        "path": out_dir,
     }
 
 
 def load_bloom_index(table, column: str, snapshot_id: int | None = None) -> dict | None:
+    """The sidecar HEADER (column, bits, k, snapshot_id) — never bitmaps."""
     snap = table.current_snapshot() if snapshot_id is None else None
     sid = snapshot_id if snapshot_id is not None else (snap.snapshot_id if snap else None)
     if sid is None:
         return None
-    path = _index_path(table.location, column, sid)
+    path = _header_path(table.location, column, sid)
     if not os.path.exists(path):
         return None
     with open(path) as fh:
         return json.load(fh)
 
 
-def bloom_file_filter(table, column: str, value, snapshot_id: int | None = None):
+def _read_bitmaps(
+    table, column: str, snapshot_id: int, candidate_paths: list[str] | None
+) -> dict[str, bytes]:
+    """Bitmaps for ``candidate_paths`` (normalized) — or all, when None.
+    Pushes the path set as a parquet predicate so the file_path-sorted
+    sidecar reads only the row groups containing candidates."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if candidate_paths is not None and not candidate_paths:
+        return {}  # nothing survived stats pruning — no sidecar read at all
+    out_dir = _sidecar_dir(table.location, column, snapshot_id)
+    flt = (
+        pc.field("file_path").isin(candidate_paths)
+        if candidate_paths is not None
+        else None
+    )
+    bitmaps: dict[str, bytes] = {}
+    for p in sorted(glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        t = pq.read_table(p, columns=["file_path", "bitmap"], filters=flt)
+        for fp, bm in zip(
+            t.column("file_path").to_pylist(), t.column("bitmap").to_pylist()
+        ):
+            bitmaps[fp] = bm
+    return bitmaps
+
+
+def bloom_file_filter(
+    table,
+    column: str,
+    value,
+    snapshot_id: int | None = None,
+    candidates: list | None = None,
+):
     """A ``scan(file_filter=...)`` callable that skips every file whose
     bloom bitmap proves ``column != value`` for all rows. Returns None when
-    no index exists for the snapshot (caller falls back to stats-only)."""
+    no index exists for the snapshot (caller falls back to stats-only).
+
+    ``candidates``: the DataFiles that survived stats/partition pruning —
+    when given, only THEIR sidecar rows are read (lazy load); when None,
+    the whole sidecar loads (fine for direct/bench use on small tables)."""
     idx = load_bloom_index(table, column, snapshot_id)
     if idx is None:
         return None
     want = _positions_py(value, idx["bits"], idx["k"])
-    bitmaps = {p: base64.b64decode(b) for p, b in idx["files"].items()}
+    cand_paths = (
+        [_norm(f.path) for f in candidates] if candidates is not None else None
+    )
+    bitmaps = _read_bitmaps(table, column, idx["snapshot_id"], cand_paths)
 
     def keep(f) -> bool:
-        bm = bitmaps.get(os.path.realpath(f.path))
+        bm = bitmaps.get(_norm(f.path))
         if bm is None:
             return True  # not indexed (newer than the build) — conservative
         return all(bm[p >> 3] & (1 << (p & 7)) for p in want)
+
+    return keep
+
+
+def bloom_multi_probe_filter(
+    table,
+    column: str,
+    values,
+    snapshot_id: int | None = None,
+    candidates: list | None = None,
+):
+    """Like ``bloom_file_filter`` for a SET of probe values: keep a file iff
+    ANY value may be present (all k bits set for that value). One sidecar
+    read for the whole set — the streaming append-dedup path probes every
+    micro-batch digest against the per-file bitmaps this way, scanning only
+    the files that could collide instead of the whole table. Returns None
+    when no index exists for the snapshot."""
+    idx = load_bloom_index(table, column, snapshot_id)
+    if idx is None:
+        return None
+    wants = [_positions_py(v, idx["bits"], idx["k"]) for v in values]
+    cand_paths = (
+        [_norm(f.path) for f in candidates] if candidates is not None else None
+    )
+    bitmaps = _read_bitmaps(table, column, idx["snapshot_id"], cand_paths)
+
+    def keep(f) -> bool:
+        bm = bitmaps.get(_norm(f.path))
+        if bm is None:
+            return True  # not indexed — conservative
+        return any(
+            all(bm[p >> 3] & (1 << (p & 7)) for p in want) for want in wants
+        )
 
     return keep

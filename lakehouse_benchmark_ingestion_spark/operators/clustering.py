@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 from ..functions.hashing import salt_expr
 from ..functions.zorder import with_cluster_key
 from ..icelite import manifest as mf
+from ..icelite import metadata as md
 from ..icelite.table import IceliteTable
 from ..plans.lineage import LineageLog, LineageRow
 from .compaction import DEFAULT_TARGET_FILE_SIZE
@@ -72,6 +73,7 @@ def cluster(
     n_salts: int = 1,
     run_id: str | None = None,
     timestamp_ms: int | None = None,
+    _retry_on_delete_conflict: bool = True,
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
     if table.bucket_spec is not None:
@@ -162,17 +164,30 @@ def cluster(
         )
     )
     # a global rewrite consumes every data file, so every eq- AND pos-delete
-    # file is materialized into the outputs — drop them all in the commit
+    # file is materialized into the outputs — drop them all in the commit.
+    # validate-no-new-deletes: a MOR delete landing mid-rewrite was not
+    # applied by the pinned reader above — abort and replan (same race as
+    # compaction; the retry reads from the post-delete head)
     pos_files = table.pos_delete_files(snap.snapshot_id)
-    new_snap = table.replace_files(
-        {f.path for f in files}
-        | {d.path for d in del_files}
-        | {d.path for d in pos_files},
-        added,
-        operation="replace",
-        summary={"op": "cluster", "curve": curve, "run-id": run_id},
-        timestamp_ms=timestamp_ms,
-    )
+    try:
+        new_snap = table.replace_files(
+            {f.path for f in files}
+            | {d.path for d in del_files}
+            | {d.path for d in pos_files},
+            added,
+            operation="replace",
+            summary={"op": "cluster", "curve": curve, "run-id": run_id},
+            timestamp_ms=timestamp_ms,
+            validate_no_new_deletes_since=snap.snapshot_id,
+        )
+    except md.ValidationFailed:
+        if not _retry_on_delete_conflict:
+            raise
+        return cluster(
+            spark, table, curve=curve, target_file_size=target_file_size,
+            n_salts=n_salts, timestamp_ms=timestamp_ms,
+            _retry_on_delete_conflict=False,
+        )
     return {
         "files_in": len(files),
         "files_out": len(out_paths),

@@ -98,6 +98,7 @@ def merge_into(
         return _merge_bucketed(
             spark, table, winners, n_updates, spec, run_id, target_file_size,
             timestamp_ms, files,
+            base_snapshot_id=snap.snapshot_id if snap else -1,
         )
     # broadcast only where winners participates in a join (anti/overlap);
     # the union side uses the plain plan.
@@ -187,12 +188,17 @@ def merge_into(
         s.sequence_number = seq
     rows_out = sum(f.record_count for f in added)
 
+    # validate-no-new-deletes (same race as compaction): a MOR delete
+    # committed after this merge pinned its snapshot was neither applied in
+    # the matched-file read above nor sequence-gates the outputs — abort
+    # rather than resurrect (caller retries the merge from the new head)
     new_snap = table.replace_files(
         set(matched_paths),
         added,
         operation="merge",
         summary={"op": "merge", "updates": str(n_updates), "run-id": run_id},
         timestamp_ms=timestamp_ms,
+        validate_no_new_deletes_since=snap.snapshot_id if snap else -1,
     )
     LineageLog(table.location).write(
         LineageRow(
@@ -231,6 +237,7 @@ def _merge_bucketed(
     target_file_size: int,
     timestamp_ms: int | None,
     files: list[mf.DataFile],
+    base_snapshot_id: int = -1,
 ) -> dict:
     """Hash-bucket co-located COW merge (the reference's Hudi bucket index,
     HudiCatalogSync.java:151-159): every key lives in exactly one bucket, so
@@ -335,6 +342,9 @@ def _merge_bucketed(
             "run-id": run_id,
         },
         timestamp_ms=timestamp_ms,
+        # bucketed merge requires no outstanding deletes at entry (guard in
+        # merge_into); abort if one landed mid-rewrite (same resurrect race)
+        validate_no_new_deletes_since=base_snapshot_id,
     )
     winners.unpersist()
     return {

@@ -723,6 +723,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_dedup_ingest",
     "stream_windowed_rollup",
     "stream_sessions",
+    "stream_multiplex_demux",
     # multimodal + grouped-map surface
     "pipe_multimodal_meta",
     "pipe_multimodal_features",
@@ -759,7 +760,6 @@ _CERTIFICATION_PRIORITY = [
     "maint_wap_publish",
     "maint_changes",
     "zorder_key",
-    "rel_dedup_exact_docs",
     "pipe_ann_ivf",
 ]
 

@@ -811,6 +811,73 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_multiplex_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table single-scan CDC multiplexing (streaming/multiplex.py):
+    ONE envelope feed carries documents AND events rows interleaved across
+    3 micro-batches; the sink demuxes each batch to two icelite tables by
+    the _table routing column and deserializes typed rows per table schema
+    (SyncDbFunction.java:77-86, 166-193 — one binlog tail, N side-output
+    sinks). Certified via per-table count + arithmetic digest, which must
+    equal the same digests computed directly over the source parquet —
+    any misrouted, dropped, duplicated, or type-corrupted row breaks it.
+    The events digest includes floor-seconds of ts, certifying timestamp
+    round-trip through the JSON envelope."""
+    import shutil
+
+    from .icelite import Catalog
+    from .streaming.multiplex import (
+        drop_envelope_batches,
+        envelope,
+        stream_ingest_multiplexed,
+    )
+
+    ck = ("multiplex", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_multiplex")
+        shutil.rmtree(base, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        evts = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        cat = Catalog(base)
+        tdocs = cat.create_table("mux_documents", docs.schema)
+        tevts = cat.create_table("mux_events", evts.schema)
+        drop_envelope_batches(
+            [envelope(docs, "mux_documents"), envelope(evts, "mux_events")],
+            f"{base}/drops",
+            n_batches=3,
+        )
+        stream_ingest_multiplexed(
+            spark,
+            {"mux_documents": tdocs, "mux_events": tevts},
+            f"{base}/drops/drop-*",
+            f"{base}/ckpt",
+        )
+        _STREAM_CACHE[ck] = (tdocs, tevts)
+    tdocs, tevts = _STREAM_CACHE[ck]
+    da = (
+        tdocs.scan(spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("doc_id") * 31 + F.col("n_chars")).alias("digest"),
+        )
+        .select(F.lit("documents").alias("tbl"), "n_rows", "digest")
+    )
+    ea = (
+        tevts.scan(spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("event_id") * 7
+                + F.col("user_id")
+                + F.unix_timestamp("ts")
+            ).alias("digest"),
+        )
+        .select(F.lit("events").alias("tbl"), "n_rows", "digest")
+    )
+    return da.unionByName(ea)
+
+
 def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time tumbling-window rollup over a streamed feed
     (streaming/windowed.py), upserted per micro-batch into an icelite table.
@@ -963,6 +1030,7 @@ QUERIES.update(
         "stream_merge_upsert": q_stream_merge_upsert,
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "stream_windowed_rollup": q_stream_windowed_rollup,
+        "stream_multiplex_demux": q_stream_multiplex_demux,
     }
 )
 
@@ -1163,6 +1231,20 @@ ORACLES["stream_windowed_rollup"] = """
     SELECT date_trunc('hour', ts) AS window_start, event_type AS grp,
            count(*) AS n_events
     FROM events GROUP BY 1, 2
+"""
+
+# the demuxed tables must carry EXACTLY the source rows: per-table count +
+# arithmetic digest over the source parquet (events ts at floor-seconds —
+# the JSON envelope round-trips millisecond precision, seconds certify it)
+ORACLES["stream_multiplex_demux"] = """
+    SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id * 31 + n_chars) AS BIGINT) AS digest
+    FROM documents
+    UNION ALL
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(event_id * 7 + user_id + (epoch_us(ts) // 1000000))
+                AS BIGINT) AS digest
+    FROM events
 """
 
 # declarative closed-session twin of the stateful kernel: lag + cumsum

@@ -37,6 +37,7 @@ def stream_ingest_files(
     stop_after_batches: int | None = None,
     timeout_seconds: float = 120.0,
     trigger_interval: str = "500 milliseconds",
+    bloom_probe_cap: int = 10_000,
 ) -> int:
     """Stream parquet drops from ``source_dir`` into the table.
 
@@ -91,11 +92,43 @@ def stream_ingest_files(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            # cross-batch: drop digests the table already holds (anti-join
-            # against a one-column scan of the existing table)
+            # cross-batch: drop digests the table already holds. When a
+            # bloom sidecar exists on the digest column (run build-bloom as
+            # part of maintenance), probe every batch digest against the
+            # per-file bitmaps FIRST and anti-join only against the files
+            # that could collide — at 10^12 rows that turns a table-wide
+            # one-column scan per micro-batch into a few file reads. The
+            # probe is driver-side over at most ``bloom_probe_cap``
+            # distinct digests (micro-batches at a 60 s cadence are
+            # bounded); an oversized batch falls back to the full
+            # column-pruned anti-join, which stays the scalable path.
             snap = table.current_snapshot()
             if snap is not None and table.data_files(snap.snapshot_id):
-                existing = table.scan(spark, columns=[dedup_col]).distinct()
+                from ..operators.bloom_index import (
+                    bloom_multi_probe_filter,
+                    load_bloom_index,
+                )
+
+                file_filter = None
+                if load_bloom_index(table, dedup_col, snap.snapshot_id):
+                    digests = [
+                        r[0]
+                        for r in fresh.select(dedup_col)
+                        .distinct()
+                        .limit(bloom_probe_cap + 1)
+                        .collect()
+                    ]
+                    if len(digests) <= bloom_probe_cap:
+                        file_filter = bloom_multi_probe_filter(
+                            table,
+                            dedup_col,
+                            digests,
+                            snapshot_id=snap.snapshot_id,
+                            candidates=table.data_files(snap.snapshot_id),
+                        )
+                existing = table.scan(
+                    spark, columns=[dedup_col], file_filter=file_filter
+                ).distinct()
                 fresh = fresh.join(existing, dedup_col, "left_anti")
             if not fresh.isEmpty():
                 table.append(fresh)

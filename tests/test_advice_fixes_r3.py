@@ -239,3 +239,73 @@ def test_mor_delete_key_check_optout(spark, tmp_path):
     )
     assert res["deleted_keys"] == 2
     assert {r.doc_id for r in tbl.scan(spark).collect()} == {"d3"}
+
+
+def test_merge_cow_aborts_on_concurrent_mor_delete(spark, tmp_path):
+    """Same resurrect race as compaction, on the MERGE COW path: the merge
+    pins its snapshot, a mor delete lands mid-rewrite, the stale swap must
+    abort (ValidationFailed) instead of resurrecting the deleted row."""
+    import importlib
+
+    mi = importlib.import_module(
+        "lakehouse_benchmark_ingestion_spark.operators.merge_into"
+    )
+    merge_into = mi.merge_into
+
+    rows = [(i, f"old-{i}") for i in range(20)]
+    tbl = _docs_table(spark, tmp_path, rows, "k int, v string")
+    upd = spark.createDataFrame([(5, "new-5", 1)], "k int, v string, _seq long")
+
+    # inject the concurrent delete between snapshot pinning and commit:
+    # patch harvest_stats (called during the rewrite) to fire the delete once
+    fired = {"done": False}
+    orig = mi.mf.harvest_stats
+
+    def hooked(paths, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            delete_where(spark, tbl, {"k": 7}, strategy="mor", key="k")
+        return orig(paths, **kw)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mi.mf, "harvest_stats", hooked)
+        with _pytest.raises(ValidationFailed):
+            merge_into(spark, tbl, upd, key="k")
+
+    got = {r.k: r.v for r in tbl.scan(spark).collect()}
+    assert 7 not in got, "concurrently deleted row must stay deleted"
+    assert got[5] == "old-5", "aborted merge must not partially apply"
+
+
+def test_cluster_replans_on_concurrent_mor_delete(spark, tmp_path):
+    """cluster() aborts the stale global swap and replans; the rerun applies
+    the concurrent delete and the final table must not resurrect the row."""
+    from lakehouse_benchmark_ingestion_spark.operators import clustering as cl
+    from lakehouse_benchmark_ingestion_spark.operators.clustering import cluster
+
+    tbl = _seq_table(spark, tmp_path)
+    victim = tbl.scan(spark).select("doc_id").first().doc_id
+    n_before = tbl.scan(spark).count()
+
+    fired = {"done": False}
+    orig = cl.mf.harvest_stats
+
+    def hooked(paths, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            delete_where(spark, tbl, {"doc_id": victim}, strategy="mor", key="doc_id")
+        return orig(paths, **kw)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(cl.mf, "harvest_stats", hooked)
+        res = cluster(spark, tbl, curve="zorder")
+
+    assert "snapshot_id" in res
+    scan = tbl.scan(spark)
+    assert scan.filter(F.col("doc_id") == victim).count() == 0
+    assert scan.count() == n_before - 1
+    assert tbl.delete_files() == [], "replanned rewrite materializes the delete"

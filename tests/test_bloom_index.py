@@ -86,3 +86,34 @@ def test_scan_where_consults_bloom_automatically(spark, sequences_table):
     assert tbl.scan(spark, where={"doc_id": "nope-zzz"}).count() == 0
     # range predicates must NOT consult the bloom (only equality can)
     assert tbl.scan(spark, where={"n_tok": (0, 10**9)}).count() == tbl.scan(spark).count()
+
+
+def test_sidecar_is_parquet_no_driver_bitmaps(spark, sequences_table):
+    """Round-2 advisor: the old sidecar collect()ed every bitmap to the
+    driver and stored them in ONE JSON (OOM at 800k files). The header must
+    stay bitmap-free and the bitmaps must live in a parquet dataset."""
+    import glob
+    import json
+    import os
+
+    tbl = sequences_table
+    m = build_bloom_index(spark, tbl, "doc_id")
+    sid = tbl.current_snapshot().snapshot_id
+    header_path = os.path.join(
+        tbl.location, "metadata", f"bloom-doc_id-{sid}.json"
+    )
+    with open(header_path) as fh:
+        header = json.load(fh)
+    assert "files" not in header and "bitmap" not in json.dumps(header)
+    assert os.path.getsize(header_path) < 4096, "header must stay tiny"
+    parts = glob.glob(
+        os.path.join(tbl.location, "metadata", f"bloom-doc_id-{sid}", "part-*.parquet")
+    )
+    assert parts and m["sidecar_files"] == len(parts)
+
+    # lazy probe: candidates= loads only the named files' rows
+    files = tbl.data_files()
+    keep = bloom_file_filter(tbl, "doc_id", "zzz-absent", candidates=files[:1])
+    assert keep is not None
+    # non-candidate files fall back to conservative keep=True
+    assert keep(files[-1]) is True

@@ -102,3 +102,44 @@ def test_stream_append_dedup_drops_known_digests(spark, warehouse, tmp_path):
     assert n >= 1  # later batches are entirely duplicates -> empty appends skipped
     got = sorted((r.doc_id, r.h) for r in tbl.scan(spark).collect())
     assert got == [(0, "content-0"), (1, "content-1"), (2, "content-2"), (3, "content-3")]
+
+
+def test_stream_append_dedup_uses_bloom_sidecar(spark, warehouse, tmp_path, monkeypatch):
+    """With a digest bloom sidecar built, the cross-batch dedup probes the
+    per-file bitmaps and anti-joins only against colliding files; results
+    must be identical to the full-scan path, and the probe must engage."""
+    from lakehouse_benchmark_ingestion_spark.operators import bloom_index
+    from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+        build_bloom_index,
+    )
+
+    rows = [(i, f"content-{i % 4}", "s") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "h", "source"])
+    # seed the table with batch 0 and build the bloom on the digest column
+    tbl = Catalog(warehouse).create_table("dedup_bloom", df.schema)
+    tbl.append(df.filter(F.col("doc_id") < 4))
+    build_bloom_index(spark, tbl, "h")
+
+    engaged = {"n": 0}
+    orig = bloom_index.bloom_multi_probe_filter
+
+    def spy(*a, **kw):
+        engaged["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(
+        "lakehouse_benchmark_ingestion_spark.operators.bloom_index"
+        ".bloom_multi_probe_filter",
+        spy,
+    )
+
+    df.filter(F.col("doc_id") >= 4).coalesce(1).write.parquet(
+        str(tmp_path / "drops/drop-0000")
+    )
+    stream_ingest_files(
+        spark, tbl, str(tmp_path / "drops/drop-*"), str(tmp_path / "ckpt"),
+        mode="append_dedup", key="doc_id", dedup_col="h",
+    )
+    assert engaged["n"] >= 1, "bloom probe must engage when a sidecar exists"
+    got = sorted((r.doc_id, r.h) for r in tbl.scan(spark).collect())
+    assert got == [(0, "content-0"), (1, "content-1"), (2, "content-2"), (3, "content-3")]
