@@ -576,6 +576,73 @@ def q_maint_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_wap"].scan(spark))
 
 
+def q_maint_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg rollback-to-snapshot, metadata-only): the
+    even half of the table is committed (S1), the odd half on top (S2), then
+    the head is rolled back to S1. The scan must answer ONLY the even half —
+    and the rolled-past snapshot must stay in history (rollback is
+    reversible until expire_snapshots reaps it)."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_rb" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_rb", df.schema)
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 2 == 0), num_files=2)
+        s1 = tbl.current_snapshot().snapshot_id
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 2 == 1), num_files=2)
+        s2 = tbl.current_snapshot().snapshot_id
+        tbl.rollback(s1)
+        assert tbl.current_snapshot().snapshot_id == s1
+        assert any(s.snapshot_id == s2 for s in tbl.history()), (
+            "rolled-past snapshot must stay in history until expiration"
+        )
+        p["table_rb"] = tbl
+    return _seq_scan_cols(p["table_rb"].scan(spark))
+
+
+def q_maint_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` metadata table (Iceberg ``table.files`` analogue) over
+    the hidden-partitioned table, aggregated per partition tuple: manifest
+    record counts and partition assignments must reproduce the true
+    per-source row counts — a wrong partition tuple, a lost file, or a stale
+    record count all mismatch the data-side oracle."""
+    p = prepared_warehouse(spark, sf_dir)
+    files = p["table_part"].metadata_df(spark, "files")
+    return (
+        files.filter(F.col("content") == "data")
+        .select(
+            F.get_json_object("partition_json", "$.source").alias("source"),
+            "record_count",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("record_count").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_maint_pos_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_delete_files analogue certified end-to-end: two
+    separate position-delete commits leave two sidecars; the maintenance
+    action merges them into ONE (file_path, pos)-sorted sidecar (asserted),
+    and the delete-applied scan must still drop exactly the same rows."""
+    from .operators.pos_delete_rewrite import rewrite_position_deletes
+    from .operators.row_dml import delete_where
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_posrw" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_posrw", df.schema)
+        tbl.append(df, num_files=3)
+        delete_where(spark, tbl, {"n_tok": (0, 35)}, strategy="mor-pos")
+        delete_where(spark, tbl, {"n_tok": (100, None)}, strategy="mor-pos")
+        assert len(tbl.pos_delete_files()) == 2
+        m = rewrite_position_deletes(spark, tbl, min_delete_files=2)
+        assert m["delete_files_in"] == 2, m
+        assert len(tbl.pos_delete_files()) == 1, "sidecars must be merged"
+        p["table_posrw"] = tbl
+    return _seq_scan_cols(p["table_posrw"].scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -675,6 +742,17 @@ MAINT_ORACLES: dict[str, str] = {
                    CASE WHEN n_tok >= 100 THEN source || '_long' ELSE source END AS source
             FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 60"""
     ),
+    "maint_rollback_scan": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE CAST(doc_id AS BIGINT) % 2 = 0"
+    ),
+    "maint_metadata_files": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL})
+        SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        FROM seq GROUP BY source
+    """,
+    "maint_pos_rewrite_scan": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
+    ),
     "maint_schema_evolution": f"""
         SELECT doc_id, n_tok AS tok_count, source,
                {TOK_DIGEST_DUCK} AS tok_digest
@@ -745,6 +823,11 @@ _CERTIFICATION_PRIORITY = [
     # temporal joins, never driver-checked
     "rel_asof_error_click",
     "rel_events_in_windows",
+    # round-3 additions: rollback / metadata tables / pos-delete rewrite,
+    # never driver-checked (pytest-only until now)
+    "maint_rollback_scan",
+    "maint_metadata_files",
+    "maint_pos_rewrite_scan",
     # north-star maintenance core, re-certified every round
     "maint_scan",
     "maint_scan_pre_compaction",
@@ -795,6 +878,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_partitioned_scan": q_maint_partitioned_scan,
         "maint_partial_progress": q_maint_partial_progress,
         "maint_partition_prune": q_maint_partition_prune,
+        "maint_rollback_scan": q_maint_rollback_scan,
+        "maint_metadata_files": q_maint_metadata_files,
+        "maint_pos_rewrite_scan": q_maint_pos_rewrite_scan,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

