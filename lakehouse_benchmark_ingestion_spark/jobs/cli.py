@@ -39,7 +39,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     delete-where   --warehouse W --table T --where JSON [--strategy cow|mor|mor-pos]
                    (stats-pruned predicate delete; fully-matching files drop
                    metadata-only; mor writes an eq-delete file instead)
-    update-where   --warehouse W --table T --where JSON --set JSON
+    update-where   --warehouse W --table T --where JSON --set JSON [--strategy cow|mor]
                    (e.g. --set '{"source": "concat(source, chr(95))"}' —
                    values are Spark SQL expressions over the OLD row)
     create-tag     --warehouse W --table T --name N [--snapshot-id S]
@@ -356,7 +356,8 @@ def main(argv: list[str] | None = None) -> int:
             out.update(
                 update_where(
                     spark, tbl, where, json.loads(args.set_json),
-                    target_file_size=target, key=args.key, run_id=args.run_id,
+                    target_file_size=target, key=args.key,
+                    strategy=args.strategy, run_id=args.run_id,
                 )
             )
 

@@ -355,13 +355,22 @@ def update_where(
     assignments: dict[str, str],
     target_file_size: int = 128 * 1024 * 1024,
     key: str = "doc_id",
+    strategy: str = "cow",
     run_id: str | None = None,
     timestamp_ms: int | None = None,
 ) -> dict:
-    """UPDATE table SET <assignments> WHERE <where> as a stats-pruned COW
-    rewrite. ``assignments`` maps column name -> Spark SQL expression string
-    (evaluated against the pre-update row, standard UPDATE semantics: all
-    SET expressions see the OLD values)."""
+    """UPDATE table SET <assignments> WHERE <where>. ``assignments`` maps
+    column name -> Spark SQL expression string (evaluated against the
+    pre-update row, standard UPDATE semantics: all SET expressions see the
+    OLD values).
+
+    ``strategy="cow"``: stats-pruned copy-on-write rewrite of every
+    candidate file. ``strategy="mor"``: Iceberg v2 merge-on-read UPDATE —
+    the old row images are POSITION-deleted ((file_path, pos) sidecar, no
+    merge key involved, exact row surgery) and the updated copies appended
+    as new data files, all in ONE atomic commit; write cost is O(matching
+    rows), no candidate file rewritten. Readers apply the pos-delete via
+    the pos-aware scan; the next compaction materializes it."""
     run_id = run_id or uuid.uuid4().hex[:12]
     schema = table.schema
     for c in assignments:
@@ -373,6 +382,13 @@ def update_where(
     candidates = [f for f in files if keep(f)]
     if not candidates:
         return {"files_matched": 0, "files_out": 0, "rows_out": 0}
+    if strategy == "mor":
+        return _update_where_mor(
+            spark, table, where, assignments, candidates,
+            target_file_size, key, run_id, timestamp_ms,
+        )
+    if strategy != "cow":
+        raise ValueError(f"unknown update strategy {strategy!r}")
 
     from ..icelite.mor import mor_scan
 
@@ -425,6 +441,125 @@ def update_where(
         "files_matched": len(candidates),
         "files_out": len(out_paths),
         "rows_out": rows_out,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _update_where_mor(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    assignments: dict[str, str],
+    candidates: list[mf.DataFile],
+    target_file_size: int,
+    key: str,
+    run_id: str,
+    timestamp_ms: int | None,
+) -> dict:
+    """Merge-on-read UPDATE (Iceberg v2 MOR-update parity): position-delete
+    the old images + append the updated copies, one atomic commit.
+
+    Two column-pruned passes over the candidate files, no rewrite:
+
+    1. **Updated copies** — the VISIBLE matching rows (outstanding pos- and
+       eq-deletes applied through the same mor_scan every read uses; an
+       already-deleted row must not resurrect as an updated copy) with the
+       SET expressions applied against the OLD values, appended as new data
+       files at the commit's sequence number.
+    2. **Position sidecar** — the (file_path, pos) addresses of ALL
+       candidate rows matching the predicate, raw-read (``read_files
+       with_positions=True``). This is a sound SUPERSET of pass 1's rows:
+       an address whose row was already invisible (eq- or pos-deleted) is a
+       no-op — the row stays invisible — so the raw read is safe and avoids
+       threading per-row visibility through the position scan. Duplicate
+       addresses dedupe in the read-side anti-join.
+
+    The sidecar's sequence number gates every candidate file (all older);
+    it can never address the freshly-appended copies because addresses are
+    (path, pos) of OLD files and paths are never reused."""
+    from ..icelite.mor import mor_scan
+    from ..icelite.table import POS_IDX_COL, POS_PATH_COL
+
+    schema = table.schema
+    pred = predicate_column(where)
+
+    # pass 1: visible matching rows, SET applied against OLD values
+    mor_key = table.recorded_merge_key() or key
+    visible = mor_scan(
+        spark, schema, candidates, table.delete_files(), key=mor_key,
+        reader=table.pos_reader(spark),
+        delete_reader=table._read_delete_keys(spark, mor_key),
+    )
+    updated = visible.filter(pred).select(
+        *[
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    out_dir = os.path.join(table.location, "data", f"updm-{run_id}")
+    updated.repartitionByRange(1, key).write.mode("overwrite").parquet(out_dir)
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    added = [a for a in mf.harvest_stats(out_paths) if a.record_count > 0]
+    rows_out = sum(f.record_count for f in added)
+
+    # pass 2: position addresses of every matching candidate row (raw read —
+    # superset of pass 1, see docstring), (file_path, pos)-sorted sidecar
+    addrs = (
+        table.read_files(spark, [f.path for f in candidates], with_positions=True)
+        .filter(pred)
+        .select(
+            F.col(POS_PATH_COL).alias("file_path"),
+            F.col(POS_IDX_COL).alias("pos"),
+        )
+    )
+    del_dir = os.path.join(table.location, "data", f"updm-{run_id}-posdeletes")
+    addrs.repartitionByRange(1, "file_path", "pos").sortWithinPartitions(
+        "file_path", "pos"
+    ).write.mode("overwrite").parquet(del_dir)
+    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    dels = [
+        d
+        for d in mf.harvest_stats(del_paths, stat_columns=["file_path", "pos"])
+        if d.record_count > 0
+    ]
+    n_pos = sum(f.record_count for f in dels)
+
+    seq = table.next_sequence_number()
+    for s in added:
+        s.sequence_number = seq
+    for s in dels:
+        s.content = mf.CONTENT_POS_DELETES
+        s.sequence_number = seq
+
+    new_snap = table.replace_files(
+        set(), added + dels, operation="update-mor",
+        summary={
+            "op": "update-where-mor",
+            "positions": str(n_pos),
+            "rows-appended": str(rows_out),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="update-mor", partition_id=0,
+            files_in=len(candidates), files_out=len(out_paths) + len(del_paths),
+            rows=rows_out, bytes_in=0,
+            bytes_out=sum(f.file_size_bytes for f in added + dels),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=out_paths + del_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "files_out": len(out_paths),
+        "delete_files_out": len(del_paths),
+        "rows_out": rows_out,
+        "deleted_positions": n_pos,
         "snapshot_id": new_snap.snapshot_id,
         "run_id": run_id,
     }

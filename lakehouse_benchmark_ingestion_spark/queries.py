@@ -643,6 +643,32 @@ def q_maint_pos_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_posrw"].scan(spark))
 
 
+def q_maint_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Iceberg v2 MOR-update parity): old images
+    position-deleted + updated copies appended in ONE commit — no candidate
+    file rewritten (asserted). The scan must apply the pos-delete sidecar
+    and show exactly the updated values."""
+    from .operators.row_dml import update_where
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_updm" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_updm", df.schema)
+        tbl.append(df, num_files=3)
+        files_before = {f.path for f in tbl.data_files()}
+        m = update_where(
+            spark, tbl, {"n_tok": (100, None)},
+            {"source": "concat(source, '_mor')"}, strategy="mor",
+        )
+        assert m["rows_out"] > 0 and m["delete_files_out"] == 1, m
+        assert files_before < {f.path for f in tbl.data_files()}, (
+            "MOR update must append, never rewrite"
+        )
+        assert tbl.pos_delete_files(), "sidecar must be outstanding at scan"
+        p["table_updm"] = tbl
+    return _seq_scan_cols(p["table_updm"].scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -753,6 +779,11 @@ MAINT_ORACLES: dict[str, str] = {
     "maint_pos_rewrite_scan": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
     ),
+    "maint_update_mor": digest_scan_sql(
+        f"""SELECT doc_id, tokens, n_tok,
+                   CASE WHEN n_tok >= 100 THEN source || '_mor' ELSE source END AS source
+            FROM ({TOKENS_ORACLE_SQL})"""
+    ),
     "maint_schema_evolution": f"""
         SELECT doc_id, n_tok AS tok_count, source,
                {TOK_DIGEST_DUCK} AS tok_digest
@@ -828,6 +859,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_rollback_scan",
     "maint_metadata_files",
     "maint_pos_rewrite_scan",
+    "maint_update_mor",
     # north-star maintenance core, re-certified every round
     "maint_scan",
     "maint_scan_pre_compaction",
@@ -881,6 +913,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_rollback_scan": q_maint_rollback_scan,
         "maint_metadata_files": q_maint_metadata_files,
         "maint_pos_rewrite_scan": q_maint_pos_rewrite_scan,
+        "maint_update_mor": q_maint_update_mor,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

@@ -211,3 +211,76 @@ def test_rollback_and_metadata_tables(spark, sequences_table):
 
     with _pytest.raises(KeyError):
         tbl.rollback(999999999)
+
+
+# --------------------------------------------------------------------------
+# merge-on-read UPDATE (pos-delete + append, one commit)
+# --------------------------------------------------------------------------
+
+def test_update_where_mor_defers_rewrite(spark, ranged_table):
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+    files_before = {f.path for f in tbl.data_files()}
+
+    res = update_where(
+        spark, tbl, {"n_tok": (30, None)},
+        {"source": "concat(source, '_long')"}, strategy="mor",
+    )
+    assert res["deleted_positions"] == res["rows_out"] > 0
+    # ONLY appended: every pre-update data file still live, plus new ones
+    assert files_before < {f.path for f in tbl.data_files()}
+    assert len(tbl.pos_delete_files()) == 1
+
+    out = tbl.scan(spark)
+    assert out.count() == df.count()  # update never changes cardinality
+    n_expected = df.filter(F.col("n_tok") >= 30).count()
+    assert out.filter(F.col("source").endswith("_long")).count() == n_expected
+    assert (
+        out.filter((F.col("n_tok") < 30) & F.col("source").endswith("_long")).count()
+        == 0
+    )
+    # snapshot isolation: pre-update snapshot unaffected
+    prev = tbl.history()[-2]
+    assert (
+        tbl.scan(spark, snapshot_id=prev.snapshot_id)
+        .filter(F.col("source").endswith("_long"))
+        .count()
+        == 0
+    )
+
+    # compaction materializes: sidecar retired, result unchanged
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+    compact(spark, tbl, target_file_size=4 << 20)
+    assert not tbl.pos_delete_files()
+    assert tbl.scan(spark).filter(F.col("source").endswith("_long")).count() == n_expected
+
+
+def test_update_where_mor_does_not_resurrect_deleted_rows(spark, ranged_table):
+    """Rows already invisible through an eq-delete or a pos-delete must not
+    come back as updated copies."""
+    tbl = ranged_table
+    df = tokens_df(spark, SF_SMOKE)
+
+    # eq-delete n_tok >= 60, pos-delete n_tok in [50, 54]
+    delete_where(spark, tbl, {"n_tok": (60, None)}, strategy="mor")
+    delete_where(spark, tbl, {"n_tok": (50, 54)}, strategy="mor-pos")
+    visible = df.filter(
+        ~((F.col("n_tok") >= 60) | ((F.col("n_tok") >= 50) & (F.col("n_tok") <= 54)))
+    )
+    assert tbl.scan(spark).count() == visible.count()
+
+    # MOR update overlapping BOTH deleted ranges
+    update_where(
+        spark, tbl, {"n_tok": (40, None)},
+        {"source": "concat(source, '_u')"}, strategy="mor",
+    )
+    out = tbl.scan(spark)
+    assert out.count() == visible.count()
+    assert (
+        out.filter(F.col("source").endswith("_u")).count()
+        == visible.filter(F.col("n_tok") >= 40).count()
+    )
+    # nothing >= 60 or in [50,54] resurrected
+    assert out.filter(F.col("n_tok") >= 60).count() == 0
+    assert out.filter((F.col("n_tok") >= 50) & (F.col("n_tok") <= 54)).count() == 0
