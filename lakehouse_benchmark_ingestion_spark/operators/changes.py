@@ -62,3 +62,46 @@ def snapshot_changes(
     inserts = after.exceptAll(before).withColumn(change_col, F.lit("insert"))
     deletes = before.exceptAll(after).withColumn(change_col, F.lit("delete"))
     return inserts.unionByName(deletes)
+
+
+def snapshot_changelog(
+    spark: SparkSession,
+    table: IceliteTable,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+    key: str = "doc_id",
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Debezium-shaped changelog (the row-image protocol the reference's
+    CDC source speaks, SyncDbFunction.java:137-164): the net diff of
+    ``snapshot_changes`` refined into four change types by pairing deletes
+    with inserts on ``key`` —
+
+      - ``update_before`` / ``update_after``: the old and new images of a
+        key present on both sides of the diff (an upsert that changed the
+        row);
+      - ``insert``: keys only on the new side;
+      - ``delete``: keys only on the old side.
+
+    Scale shape: ONE window pass keyed on ``key`` over the (already
+    file-pruned, typically tiny) diff — the diff plan is evaluated once,
+    the full table is never re-read, and the only added cost is one shuffle
+    of the diff rows. Rows rewritten byte-identically cancelled out
+    upstream in ``exceptAll``, so a compaction-only delta yields an empty
+    changelog."""
+    from pyspark.sql.window import Window
+
+    net = snapshot_changes(
+        spark, table, from_snapshot_id, to_snapshot_id, change_col=change_col
+    )
+    w = Window.partitionBy(key)
+    is_upd = (
+        F.max(F.when(F.col(change_col) == "insert", 1).otherwise(0)).over(w)
+        + F.max(F.when(F.col(change_col) == "delete", 1).otherwise(0)).over(w)
+    ) == 2
+    return net.withColumn(
+        change_col,
+        F.when(is_upd & (F.col(change_col) == "insert"), "update_after")
+        .when(is_upd & (F.col(change_col) == "delete"), "update_before")
+        .otherwise(F.col(change_col)),
+    )

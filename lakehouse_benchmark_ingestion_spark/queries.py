@@ -435,6 +435,26 @@ def q_maint_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped changelog across the MERGE commit: the net diff of
+    ``maint_changes`` refined into update_before/update_after image pairs
+    (keys on both sides) vs pure inserts — the row-image protocol the
+    reference's CDC source emits (SyncDbFunction.java:137-164), produced
+    here on the consumer side from snapshots alone."""
+    from .operators.changes import snapshot_changelog
+
+    p = prepared_warehouse(spark, sf_dir)
+    return snapshot_changelog(
+        spark,
+        p["table"],
+        from_snapshot_id=p["post_maintenance_snapshot"],
+        to_snapshot_id=p["table"].current_snapshot().snapshot_id,
+    ).select(
+        "doc_id", "n_tok", "source",
+        F.expr(TOK_DIGEST_SPARK).alias("tok_digest"), "change_type",
+    )
+
+
 def q_maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename-under-live-data: files from before AND after a rename of a
     column answer one scan under the current schema (alias-aware coalesce,
@@ -669,6 +689,59 @@ def q_maint_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_updm"].scan(spark))
 
 
+def q_maint_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the bloom sidecar: after Z-order clustering the
+    doc_id hash is an interleave dimension, so every file's doc_id min/max
+    spans the domain and stats alone prune (almost) nothing — the bloom
+    bitmap is the only metadata that can skip files on this predicate.
+    Bloom pruning evidence is asserted (strictly fewer files than the
+    stats-only plan); the oracle certifies no row was lost to a false
+    negative — the failure mode a bloom filter must never have."""
+    from .operators.bloom_index import build_bloom_index
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_bloom" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_bloom", df.schema)
+        tbl.append(df, num_files=6)
+        m = build_bloom_index(spark, tbl, "doc_id")
+        assert m["files"] > 1, m
+        p["table_bloom"] = tbl
+    tbl = p["table_bloom"]
+    where = {"doc_id": "7"}
+    snap = tbl.current_snapshot().snapshot_id
+    keep = tbl._where_file_filter(where)
+    stats_only = [f for f in tbl.plan_data_files(where, snap)[0] if keep(f)]
+    chosen = tbl.select_data_files(where, snap)
+    assert len(chosen) < len(stats_only), (
+        f"bloom must out-prune stats: {len(chosen)} vs {len(stats_only)}"
+    )
+    return _seq_scan_cols(tbl.scan(spark, where=where))
+
+
+def q_maint_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg spec-evolution parity): half the
+    table written unpartitioned, then the spec set to identity(source) and
+    the other half written under it — one scan must answer files from both
+    layout eras (mixed partition tuples asserted), because hidden
+    partitioning may never change results, only layout."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_specevo" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_specevo", df.schema
+        )
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 2 == 0), num_files=2)
+        tbl.set_partition_spec([{"col": "source", "transform": "identity"}])
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 2 == 1))
+        tuples = {f.partition_json for f in tbl.data_files()}
+        assert "{}" in tuples and len(tuples) > 1, (
+            f"both layout eras must be live: {sorted(tuples)[:4]}"
+        )
+        p["table_specevo"] = tbl
+    return _seq_scan_cols(p["table_specevo"].scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -726,6 +799,20 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT *, 'delete' AS change_type
         FROM (SELECT * FROM initial EXCEPT ALL SELECT * FROM final)
     """,
+    "maint_changelog": f"""
+        WITH initial AS ({digest_scan_sql(TOKENS_ORACLE_SQL)}),
+             final AS ({digest_scan_sql(MERGE_FINAL_ORACLE_SQL)}),
+             ins AS (SELECT * FROM final EXCEPT ALL SELECT * FROM initial),
+             del AS (SELECT * FROM initial EXCEPT ALL SELECT * FROM final),
+             upd AS (SELECT doc_id FROM ins INTERSECT SELECT doc_id FROM del)
+        SELECT *, CASE WHEN doc_id IN (SELECT doc_id FROM upd)
+                       THEN 'update_after' ELSE 'insert' END AS change_type
+        FROM ins
+        UNION ALL
+        SELECT *, CASE WHEN doc_id IN (SELECT doc_id FROM upd)
+                       THEN 'update_before' ELSE 'delete' END AS change_type
+        FROM del
+    """,
     "maint_mv_incremental": f"""
         WITH final AS ({MERGE_FINAL_ORACLE_SQL})
         SELECT source AS group_key, count(*) AS n_rows,
@@ -778,6 +865,10 @@ MAINT_ORACLES: dict[str, str] = {
     """,
     "maint_pos_rewrite_scan": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
+    ),
+    "maint_spec_evolution": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_bloom_lookup": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE doc_id = '7'"
     ),
     "maint_update_mor": digest_scan_sql(
         f"""SELECT doc_id, tokens, n_tok,
@@ -860,6 +951,9 @@ _CERTIFICATION_PRIORITY = [
     "maint_metadata_files",
     "maint_pos_rewrite_scan",
     "maint_update_mor",
+    "maint_changelog",
+    "maint_bloom_lookup",
+    "maint_spec_evolution",
     # north-star maintenance core, re-certified every round
     "maint_scan",
     "maint_scan_pre_compaction",
@@ -897,6 +991,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_materialized": q_merge_mor_materialized,
         "merge_bucketed_result": q_merge_bucketed_result,
         "maint_changes": q_maint_changes,
+        "maint_changelog": q_maint_changelog,
         "maint_schema_evolution": q_maint_schema_evolution,
         "maint_mv_incremental": q_maint_mv_incremental,
         "maint_replica_sync": q_maint_replica_sync,
@@ -914,6 +1009,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_metadata_files": q_maint_metadata_files,
         "maint_pos_rewrite_scan": q_maint_pos_rewrite_scan,
         "maint_update_mor": q_maint_update_mor,
+        "maint_bloom_lookup": q_maint_bloom_lookup,
+        "maint_spec_evolution": q_maint_spec_evolution,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

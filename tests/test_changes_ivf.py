@@ -175,3 +175,62 @@ def test_kmeans_centroids_improve_quantization(spark):
     out = ivf_ann_topk(e, probes, k=3, centroid_mode="kmeans", kmeans_iters=2)
     per_probe = out.groupBy("query_id").count().collect()
     assert per_probe and all(r["count"] == 3 for r in per_probe)
+
+
+def test_changelog_pairs_update_images(spark, sequences_table):
+    """All four Debezium change types from one delta: an update (same key,
+    changed row), a pure insert, and a pure delete."""
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    tbl = sequences_table
+    base = tbl.current_snapshot().snapshot_id
+    df = tokens_df(spark, SF_SMOKE)
+
+    # update one key via MERGE-shaped COW, insert a new key, delete a key
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    upd = (
+        df.filter(F.col("doc_id") == "1")
+        .withColumn("source", F.lit("updated_src"))
+        .unionByName(
+            df.filter(F.col("doc_id") == "2").withColumn(
+                "doc_id", F.lit("brand-new")
+            )
+        )
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, tbl, upd)
+    delete_where(spark, tbl, {"doc_id": "3"})
+    head = tbl.current_snapshot().snapshot_id
+
+    log = snapshot_changelog(spark, tbl, base, head)
+    by_type = {
+        r["change_type"]: r["cnt"]
+        for r in log.groupBy("change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_type == {
+        "update_after": 1,
+        "update_before": 1,
+        "insert": 1,
+        "delete": 1,
+    }, by_type
+    images = {
+        r["change_type"]: r["source"]
+        for r in log.filter(F.col("doc_id") == "1").collect()
+    }
+    assert images["update_after"] == "updated_src"
+    assert images["update_before"] != "updated_src"
+    # compaction-only delta -> empty changelog
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+    compact(spark, tbl, target_file_size=4 << 20)
+    assert (
+        snapshot_changelog(
+            spark, tbl, head, tbl.current_snapshot().snapshot_id
+        ).count()
+        == 0
+    )
