@@ -17,6 +17,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    one all-or-nothing swap — Iceberg partial-progress)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     rewrite-manifests --warehouse W --table T
+    convert-eq-deletes  --warehouse W --table T  (eq-delete sidecars ->
+                   one sorted pos-delete sidecar, v3-style)
     rewrite-pos-deletes --warehouse W --table T   (merge small pos-delete
                    sidecars into one sorted file, dropping dangling
                    addresses — Iceberg's rewrite_position_delete_files)
@@ -214,6 +216,17 @@ def main(argv: list[str] | None = None) -> int:
 
         out.update(
             rewrite_position_deletes(
+                spark, cat.load_table(args.table), run_id=args.run_id
+            )
+        )
+
+    elif args.command == "convert-eq-deletes":
+        from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+            convert_eq_deletes_to_pos,
+        )
+
+        out.update(
+            convert_eq_deletes_to_pos(
                 spark, cat.load_table(args.table), run_id=args.run_id
             )
         )

@@ -107,3 +107,144 @@ def rewrite_position_deletes(
         "snapshot_id": snap.snapshot_id,
         "run_id": run_id,
     }
+
+
+def convert_eq_deletes_to_pos(
+    spark: SparkSession,
+    table: IceliteTable,
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Convert every live EQUALITY-delete file into one sorted POSITION-
+    delete sidecar (the delete-file evolution direction Iceberg v3 takes):
+    resolve exactly the rows each eq-delete suppresses at the current
+    snapshot — the v2 sequence rule, delete hits strictly-older files
+    only — and re-express them as (file_path, pos) addresses.
+
+    Why a maintenance action: streaming MERGE/DELETE accumulates one
+    eq-delete sidecar per micro-batch; every scan then pays a key anti-join
+    over every data file any delete's key range overlaps. Position form is
+    strictly cheaper to read (file-pruned by path bounds, no key join, no
+    per-sequence bookkeeping) and further merges via
+    ``rewrite_position_deletes``. Soundness: an eq-delete's effect on the
+    EXISTING files is frozen (future files always carry higher sequence
+    numbers, which eq-deletes never gate), so materializing the suppressed
+    set as exact addresses changes no scan, now or later.
+
+    Scale shape: only data files some delete can actually hit (older than
+    the newest delete AND key-range-overlapping) are read, key column +
+    row address only; the join is keys-vs-rows with the (typically small)
+    delete side broadcast-able. O(affected rows), never O(table)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ..icelite.mor import _ranges_overlap
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    eq_dels = table.delete_files()
+    if not eq_dels:
+        return {"eq_delete_files_in": 0, "pos_delete_files_out": 0}
+    key = table.recorded_merge_key() or "doc_id"
+    snap = table.current_snapshot()
+    data = table.data_files(snap.snapshot_id)
+    max_dseq = max(d.sequence_number for d in eq_dels)
+    affected = [
+        f
+        for f in data
+        if f.sequence_number < max_dseq
+        and any(
+            d.sequence_number > f.sequence_number and _ranges_overlap(f, d, key)
+            for d in eq_dels
+        )
+    ]
+
+    added: list[mf.DataFile] = []
+    n_pos = 0
+    if affected:
+        # delete keys with their sequence numbers (per-seq file groups)
+        dk_reader = table._read_delete_keys(spark, key)
+        by_dseq: dict[int, list[str]] = {}
+        for d in eq_dels:
+            by_dseq.setdefault(d.sequence_number, []).append(d.path)
+        keys = reduce(
+            DataFrame.unionByName,
+            [
+                dk_reader(paths).withColumn("_dseq", F.lit(seq).cast("long"))
+                for seq, paths in sorted(by_dseq.items())
+            ],
+        ).groupBy(key).agg(F.max("_dseq").alias("_dseq"))
+
+        # affected rows: key + address + file sequence (per-seq read groups)
+        by_fseq: dict[int, list[str]] = {}
+        for f in affected:
+            by_fseq.setdefault(f.sequence_number, []).append(f.path)
+        from ..icelite.table import POS_IDX_COL, POS_PATH_COL
+
+        rows = reduce(
+            DataFrame.unionByName,
+            [
+                table.read_files(spark, paths, with_positions=True)
+                .select(
+                    F.col(key),
+                    F.col(POS_PATH_COL).alias("file_path"),
+                    F.col(POS_IDX_COL).alias("pos"),
+                    F.lit(seq).cast("long").alias("_fseq"),
+                )
+                for seq, paths in sorted(by_fseq.items())
+            ],
+        )
+        suppressed = (
+            rows.join(keys, on=key, how="inner")
+            .filter(F.col("_dseq") > F.col("_fseq"))
+            .select("file_path", "pos")
+        )
+        out_dir = os.path.join(
+            table.location, "data", f"eq2pos-{run_id}-posdeletes"
+        )
+        suppressed.repartitionByRange(1, "file_path", "pos").sortWithinPartitions(
+            "file_path", "pos"
+        ).write.mode("overwrite").parquet(out_dir)
+        out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        added = [
+            a
+            for a in mf.harvest_stats(out_paths, stat_columns=["file_path", "pos"])
+            if a.record_count > 0
+        ]
+        seq = table.next_sequence_number()
+        for a in added:
+            a.content = mf.CONTENT_POS_DELETES
+            a.sequence_number = seq
+        n_pos = sum(a.record_count for a in added)
+
+    new_snap = table.replace_files(
+        {d.path for d in eq_dels},
+        added,
+        operation="replace",
+        summary={
+            "op": "convert-eq-deletes-to-pos",
+            "eq-files-in": str(len(eq_dels)),
+            "pos-files-out": str(len(added)),
+            "positions": str(n_pos),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+        validate_no_new_deletes_since=snap.snapshot_id,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="eq-to-pos", partition_id=0,
+            files_in=len(eq_dels), files_out=len(added), rows=n_pos,
+            bytes_in=sum(d.file_size_bytes for d in eq_dels),
+            bytes_out=sum(a.file_size_bytes for a in added),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=[a.path for a in added],
+        )
+    )
+    return {
+        "eq_delete_files_in": len(eq_dels),
+        "pos_delete_files_out": len(added),
+        "positions": n_pos,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }

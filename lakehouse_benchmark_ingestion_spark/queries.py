@@ -742,6 +742,31 @@ def q_maint_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_specevo"].scan(spark))
 
 
+def q_maint_eq_to_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eq-delete -> pos-delete conversion (the Iceberg-v3 delete-file
+    evolution direction): two MOR predicate deletes leave two eq-delete
+    sidecars; the maintenance action resolves exactly the rows they
+    suppress under the v2 sequence rule and re-expresses them as ONE
+    sorted (file_path, pos) sidecar (asserted). The scan must still drop
+    exactly the same rows — now via the cheaper file-pruned pos path."""
+    from .operators.pos_delete_rewrite import convert_eq_deletes_to_pos
+    from .operators.row_dml import delete_where
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_e2p" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_e2p", df.schema)
+        tbl.append(df, num_files=3)
+        delete_where(spark, tbl, {"n_tok": (100, None)}, strategy="mor")
+        delete_where(spark, tbl, {"n_tok": (0, 20)}, strategy="mor")
+        assert len(tbl.delete_files()) == 2
+        m = convert_eq_deletes_to_pos(spark, tbl)
+        assert m["eq_delete_files_in"] == 2 and m["pos_delete_files_out"] == 1, m
+        assert not tbl.delete_files() and tbl.pos_delete_files()
+        p["table_e2p"] = tbl
+    return _seq_scan_cols(p["table_e2p"].scan(spark))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -867,6 +892,9 @@ MAINT_ORACLES: dict[str, str] = {
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
     ),
     "maint_spec_evolution": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_eq_to_pos": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 20 AND n_tok < 100"
+    ),
     "maint_bloom_lookup": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE doc_id = '7'"
     ),
@@ -954,6 +982,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_changelog",
     "maint_bloom_lookup",
     "maint_spec_evolution",
+    "maint_eq_to_pos",
     # north-star maintenance core, re-certified every round
     "maint_scan",
     "maint_scan_pre_compaction",
@@ -1011,6 +1040,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_update_mor": q_maint_update_mor,
         "maint_bloom_lookup": q_maint_bloom_lookup,
         "maint_spec_evolution": q_maint_spec_evolution,
+        "maint_eq_to_pos": q_maint_eq_to_pos,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

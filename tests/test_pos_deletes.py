@@ -196,3 +196,75 @@ def test_rewrite_position_deletes_noop_below_min(spark, pos_table):
     res = rewrite_position_deletes(spark, tbl)  # min_delete_files=2
     assert res["delete_files_out"] == 0
     assert len(tbl.pos_delete_files()) == 1
+
+
+# --------------------------------------------------------------------------
+# eq-delete -> pos-delete conversion (Iceberg v3 delete-file evolution)
+# --------------------------------------------------------------------------
+
+def test_convert_eq_deletes_to_pos_preserves_scan(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        convert_eq_deletes_to_pos,
+        rewrite_position_deletes,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table("seq_e2p", df.schema)
+    tbl.append(df.repartitionByRange(3, "n_tok"))
+
+    # two eq-deletes at different sequence numbers
+    delete_where(spark, tbl, {"n_tok": (60, None)}, strategy="mor")
+    # a row whose key IS in the first delete's key set, appended AFTER it:
+    # the sequence rule protects it, and conversion must keep protecting it
+    deleted_key = df.filter(F.col("n_tok") >= 60).select("doc_id").first()[0]
+    revived = df.filter(F.col("doc_id") == deleted_key).withColumn(
+        "source", F.lit("revived")
+    )
+    tbl.append(revived)
+    delete_where(
+        spark, tbl, {"n_tok": (0, 20)}, strategy="mor", verify_key_safety=False
+    )
+    assert len(tbl.delete_files()) == 2
+
+    expected = tbl.scan(spark).orderBy("doc_id", "source").collect()
+    assert any(r["source"] == "revived" for r in expected)
+
+    m = convert_eq_deletes_to_pos(spark, tbl)
+    assert m["eq_delete_files_in"] == 2
+    assert m["pos_delete_files_out"] == 1
+    assert not tbl.delete_files(), "eq-deletes must be gone"
+    assert tbl.pos_delete_files(), "one pos sidecar must replace them"
+
+    got = tbl.scan(spark).orderBy("doc_id", "source").collect()
+    assert got == expected
+    # the revived (post-delete) row survived the conversion
+    assert any(r["source"] == "revived" for r in got)
+
+    # converted sidecar merges with any other pos-deletes
+    delete_where(spark, tbl, {"n_tok": (55, 59)}, strategy="mor-pos")
+    expected2 = tbl.scan(spark).count()
+    rewrite_position_deletes(spark, tbl, min_delete_files=2)
+    assert len(tbl.pos_delete_files()) == 1
+    assert tbl.scan(spark).count() == expected2
+
+
+def test_convert_eq_to_pos_noop_without_deletes(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        convert_eq_deletes_to_pos,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("seq_e2p_noop", df.schema)
+    tbl.append(df)
+    snaps_before = len(tbl.history())
+    m = convert_eq_deletes_to_pos(spark, tbl)
+    assert m == {"eq_delete_files_in": 0, "pos_delete_files_out": 0}
+    assert len(tbl.history()) == snaps_before
