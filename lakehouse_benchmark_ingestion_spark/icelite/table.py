@@ -1067,6 +1067,62 @@ class IceliteTable:
                     files = [f for f in files if bf(f)]
         return files
 
+    def count_rows(
+        self,
+        spark: SparkSession,
+        where: dict | None = None,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> dict:
+        """COUNT(*) with the aggregate pushed into table metadata (Iceberg's
+        count-pushdown analogue): files whose stats PROVE every row matches
+        the predicate (bounds inside the interval, zero nulls in predicate
+        columns) contribute their manifest ``record_count`` without being
+        read; provably-disjoint files are skipped by the shared pruning
+        stack (manifests → stats → partition transforms → bloom); only the
+        indeterminate remainder pays a scan — and that scan is count-only
+        (predicate columns, no token arrays).
+
+        Returns ``{"count", "mode", "files_metadata", "files_scanned"}``
+        where mode is ``metadata`` (zero rows read), ``metadata+scan``, or
+        ``scan`` (outstanding eq-/pos-deletes make record counts overstate;
+        the delete-applied scan is the only sound answer).
+
+        At 10^12 rows a partition- or range-aligned count is answered from
+        the manifest alone — no tasks launched."""
+        from ..operators.row_dml import _file_fully_matches, predicate_column
+
+        sid = self.resolve_snapshot(snapshot_id, ref, None)
+        if self.delete_files(sid) or self.pos_delete_files(sid):
+            n = self.scan(spark, snapshot_id=sid, where=where).count()
+            return {"count": n, "mode": "scan",
+                    "files_metadata": 0, "files_scanned": -1}
+        if not where:
+            files = self.data_files(sid)
+            return {
+                "count": sum(f.record_count for f in files),
+                "mode": "metadata",
+                "files_metadata": len(files), "files_scanned": 0,
+            }
+        candidates = self.select_data_files(where, sid)
+        full = [f for f in candidates if _file_fully_matches(f, where)]
+        full_paths = {f.path for f in full}
+        partial = [f for f in candidates if f.path not in full_paths]
+        n = sum(f.record_count for f in full)
+        if partial:
+            n += (
+                self.read_files(spark, [f.path for f in partial])
+                .filter(predicate_column(where))
+                .count()
+            )
+        return {
+            "count": n,
+            "mode": "metadata" if not partial
+            else ("metadata+scan" if full else "scan"),
+            "files_metadata": len(full),
+            "files_scanned": len(partial),
+        }
+
     def scan(
         self,
         spark: SparkSession,

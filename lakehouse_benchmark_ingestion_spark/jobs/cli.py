@@ -17,6 +17,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    one all-or-nothing swap — Iceberg partial-progress)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     rewrite-manifests --warehouse W --table T
+    count          --warehouse W --table T [--where JSON]  (COUNT pushed
+                   into manifest metadata; scans only indeterminate files)
     convert-eq-deletes  --warehouse W --table T  (eq-delete sidecars ->
                    one sorted pos-delete sidecar, v3-style)
     rewrite-pos-deletes --warehouse W --table T   (merge small pos-delete
@@ -219,6 +221,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark, cat.load_table(args.table), run_id=args.run_id
             )
         )
+
+    elif args.command == "count":
+        where = None
+        if args.where:
+            where = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(args.where).items()
+            }
+        out.update(cat.load_table(args.table).count_rows(spark, where=where))
 
     elif args.command == "convert-eq-deletes":
         from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (

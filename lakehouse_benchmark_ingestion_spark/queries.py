@@ -767,6 +767,18 @@ def q_maint_eq_to_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_e2p"].scan(spark))
 
 
+def q_maint_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT pushed into table metadata (Iceberg count-pushdown analogue):
+    a partition-aligned count on the hidden-partitioned table must be
+    answered ENTIRELY from manifest record counts — zero files read,
+    asserted — and still equal the declarative oracle count."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_part"]
+    r = tbl.count_rows(spark, where={"source": "src3"})
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0, r
+    return spark.createDataFrame([(r["count"],)], "cnt long")
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -892,6 +904,10 @@ MAINT_ORACLES: dict[str, str] = {
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
     ),
     "maint_spec_evolution": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_fast_count": f"""
+        SELECT CAST(count(*) AS BIGINT) AS cnt
+        FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
+    """,
     "maint_eq_to_pos": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 20 AND n_tok < 100"
     ),
@@ -983,6 +999,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_bloom_lookup",
     "maint_spec_evolution",
     "maint_eq_to_pos",
+    "maint_fast_count",
     # north-star maintenance core, re-certified every round
     "maint_scan",
     "maint_scan_pre_compaction",
@@ -1041,6 +1058,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_bloom_lookup": q_maint_bloom_lookup,
         "maint_spec_evolution": q_maint_spec_evolution,
         "maint_eq_to_pos": q_maint_eq_to_pos,
+        "maint_fast_count": q_maint_fast_count,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

@@ -112,3 +112,64 @@ def test_manifest_cache_returns_independent_objects(spark, warehouse):
     b = mf.read_manifest(tbl.location, snap.manifests[0])
     assert b[0].content == "data"
     assert b[0].lower_bounds["n_tok"] != -999
+
+
+# --------------------------------------------------------------------------
+# metadata-only COUNT pushdown
+# --------------------------------------------------------------------------
+
+def test_count_rows_metadata_only_no_predicate(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("cnt_plain", df.schema)
+    tbl.append(df, num_files=4)
+    r = tbl.count_rows(spark)
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0
+    assert r["count"] == df.count()
+
+
+def test_count_rows_partition_aligned_is_metadata_only(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("cnt_part", df.schema)
+    tbl.set_partition_spec([{"col": "source", "transform": "identity"}])
+    tbl.append(df)
+    src = df.select("source").first()[0]
+    r = tbl.count_rows(spark, where={"source": src})
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0, r
+    assert r["count"] == df.filter(F.col("source") == src).count()
+
+
+def test_count_rows_mixed_and_delete_fallback(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("cnt_mix", df.schema)
+    tbl.append(df.repartitionByRange(4, "n_tok"))  # disjoint n_tok ranges
+
+    # a range that fully covers some files and straddles others
+    bounds = sorted(f.upper_bounds["n_tok"] for f in tbl.data_files())
+    cut = bounds[1] + 1  # inside the layout, misaligned with file edges
+    r = tbl.count_rows(spark, where={"n_tok": (0, cut)})
+    expected = df.filter(F.col("n_tok") <= cut).count()
+    assert r["count"] == expected
+    assert r["mode"] == "metadata+scan" and r["files_metadata"] >= 1, r
+
+    # outstanding deletes force the sound full-scan path
+    delete_where(spark, tbl, {"n_tok": (0, 30)}, strategy="mor")
+    r2 = tbl.count_rows(spark, where={"n_tok": (0, cut)})
+    assert r2["mode"] == "scan"
+    assert r2["count"] == df.filter(
+        (F.col("n_tok") <= cut) & ~(F.col("n_tok") <= 30)
+    ).count()
