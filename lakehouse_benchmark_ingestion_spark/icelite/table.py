@@ -751,8 +751,14 @@ class IceliteTable:
         stat_columns: list[str] | None = None,
         timestamp_ms: int | None = None,
         branch: str | None = None,
+        set_properties: dict | None = None,
     ) -> md.Snapshot:
         """Write df and commit an append snapshot.
+
+        ``set_properties`` are applied atomically WITH the snapshot commit —
+        the transactional-sink primitive streaming ingest uses to make
+        micro-batch appends exactly-once under foreachBatch replay (the
+        batch watermark and the data land or neither does).
 
         ``branch="audit"`` stages the append on a named branch instead of
         the main head: readers of ``scan()`` do not see it until
@@ -807,7 +813,7 @@ class IceliteTable:
         manifest_name = mf.write_manifest(self.location, stats)
         return self._commit_snapshot(
             "append", add_manifests=[manifest_name], timestamp_ms=timestamp_ms,
-            branch=branch,
+            branch=branch, set_properties=set_properties,
         )
 
     def replace_files(
@@ -944,8 +950,15 @@ class IceliteTable:
         add_manifests: list[str],
         timestamp_ms: int | None = None,
         branch: str | None = None,
+        set_properties: dict | None = None,
     ) -> md.Snapshot:
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            if set_properties:
+                # atomic with the snapshot: the transactional-sink hook
+                # (streaming exactly-once batch watermarks ride here)
+                meta.properties.update(
+                    {k: str(v) for k, v in set_properties.items()}
+                )
             if branch is not None:
                 ref = meta.refs.get(branch)
                 if ref is None or ref["type"] != "branch":

@@ -75,13 +75,35 @@ def stream_ingest_files(
     stream = reader.parquet(source_dir)
 
     batches = {"n": 0}
+    # exactly-once under foreachBatch replay: the LAST committed batch id is
+    # recorded in table properties ATOMICALLY with each append commit (one
+    # watermark per stream = per checkpoint dir). A crash between the table
+    # commit and the streaming checkpoint redelivers the same batch id on
+    # restart; the guard below skips it instead of double-appending. The
+    # merge mode needs no watermark — replaying an identical upsert batch is
+    # state-idempotent (same keys, same _seq, LWW picks the same rows).
+    import hashlib
+
+    stream_prop = (
+        "stream."
+        + hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        + ".last-batch"
+    )
+
+    def _already_committed(batch_id: int) -> bool:
+        last = table.meta.properties.get(stream_prop)
+        return last is not None and batch_id <= int(last)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if mode == "append":
-            table.append(batch_df)
+            if _already_committed(batch_id):
+                return
+            table.append(batch_df, set_properties={stream_prop: str(batch_id)})
         elif mode == "append_dedup":
+            if _already_committed(batch_id):
+                return
             from pyspark.sql import Window
             from pyspark.sql import functions as F
 
@@ -131,7 +153,7 @@ def stream_ingest_files(
                 ).distinct()
                 fresh = fresh.join(existing, dedup_col, "left_anti")
             if not fresh.isEmpty():
-                table.append(fresh)
+                table.append(fresh, set_properties={stream_prop: str(batch_id)})
         else:
             merge_into(spark, table, batch_df, key=key, seq_col=seq_col)
         batches["n"] += 1

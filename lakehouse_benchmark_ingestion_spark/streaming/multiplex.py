@@ -80,6 +80,20 @@ def stream_ingest_multiplexed(
         .parquet(source_dir)
     )
     metrics = {"batches": 0, "routed": {name: 0 for name in tables}}
+    # exactly-once under foreachBatch replay, PER TABLE: the routing loop is
+    # not atomic across tables — a crash mid-loop leaves some tables
+    # committed; on redelivery each table's own batch watermark (recorded
+    # atomically with its append) skips the already-committed ones and
+    # completes the rest. Merge-mode tables are replay-idempotent by
+    # construction (same keys, same _seq).
+    import hashlib
+    import os as _os
+
+    stream_prop = (
+        "stream."
+        + hashlib.md5(_os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+        + ".last-batch"
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -115,8 +129,11 @@ def stream_ingest_multiplexed(
                     )
                     metrics["routed"][name] += res.get("updates", 0) or 0
                 else:
+                    last = tbl.meta.properties.get(stream_prop)
+                    if last is not None and batch_id <= int(last):
+                        continue
                     out = typed.drop("_seq")
-                    tbl.append(out)
+                    tbl.append(out, set_properties={stream_prop: str(batch_id)})
                     metrics["routed"][name] += out.count()
         finally:
             batch_df.unpersist()

@@ -136,3 +136,44 @@ def test_snapshot_cadence_per_table(spark, warehouse, tmp_path):
     assert 1 <= n_docs_snaps <= 4 and 1 <= n_evts_snaps <= 4
     assert tdocs.scan(spark).count() == 20
     assert tevts.scan(spark).count() == 30
+
+
+def test_multiplex_replay_exactly_once_per_table(spark, warehouse, tmp_path):
+    """Redelivered micro-batch (crash between table commits and streaming
+    checkpoint): each table's own batch watermark must skip its
+    already-committed slice — including the mid-loop case where only SOME
+    tables committed before the crash (simulated by erasing one table's
+    watermark property)."""
+    from tests.test_streaming import _rollback_last_stream_commit
+
+    docs, evts = _feeds(spark)
+    cat = Catalog(warehouse)
+    tdocs = cat.create_table("docs", docs.schema)
+    tevts = cat.create_table("evts", evts.schema)
+    feed, ck = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    drop_envelope_batches(
+        [envelope(docs, "docs"), envelope(evts, "evts")], feed, n_batches=2
+    )
+    stream_ingest_multiplexed(
+        spark, {"docs": tdocs, "evts": tevts}, feed + "/drop-*", ck
+    )
+    n_docs, n_evts = tdocs.scan(spark).count(), tevts.scan(spark).count()
+    s_docs, s_evts = len(tdocs.history()), len(tevts.history())
+
+    _rollback_last_stream_commit(ck)
+    # mid-loop crash shape: evts never saw the final batch — wipe its
+    # watermark back to the previous batch so the replay MUST re-commit
+    # evts but skip docs
+    prop = next(k for k in tevts.meta.properties if k.startswith("stream."))
+    evts_files_before = {f.path for f in tevts.data_files()}
+    tevts.set_properties({prop: "0"})
+    # physically roll evts back too (as if its final append never happened)
+    tevts.rollback(tevts.history()[-2].snapshot_id)
+
+    stream_ingest_multiplexed(
+        spark, {"docs": tdocs, "evts": tevts}, feed + "/drop-*", ck
+    )
+    assert tdocs.scan(spark).count() == n_docs, "docs replay must be skipped"
+    assert len(tdocs.history()) == s_docs
+    assert tevts.scan(spark).count() == n_evts, "evts must catch up, once"
+    assert tevts.scan(spark).exceptAll(evts).count() == 0

@@ -143,3 +143,77 @@ def test_stream_append_dedup_uses_bloom_sidecar(spark, warehouse, tmp_path, monk
     assert engaged["n"] >= 1, "bloom probe must engage when a sidecar exists"
     got = sorted((r.doc_id, r.h) for r in tbl.scan(spark).collect())
     assert got == [(0, "content-0"), (1, "content-1"), (2, "content-2"), (3, "content-3")]
+
+
+def _rollback_last_stream_commit(ck: str) -> None:
+    """Delete the newest streaming-checkpoint commit marker (and its CRC
+    sidecar) so a restart redelivers the final micro-batch — the exact
+    window a crash between table commit and checkpoint commit leaves."""
+    import glob
+    import os
+
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ck, "commits", "*"))
+        if "." not in os.path.basename(p)
+    )
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_stream_append_exactly_once_under_replay(spark, warehouse, tmp_path):
+    """foreachBatch redelivers the last micro-batch if the process dies
+    between the table commit and the streaming checkpoint. Simulate exactly
+    that: run the stream, delete the checkpoint's newest commit marker (so
+    Spark believes the final batch never finished), re-run — the batch
+    watermark recorded atomically with each append must skip the replayed
+    batch instead of double-appending it."""
+    import glob
+    import os
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("sequences", df.schema)
+    drops, ck = str(tmp_path / "drops"), str(tmp_path / "ckpt")
+    drop_parquet_batches(df, drops, n_batches=3)
+    n = stream_ingest_files(spark, tbl, drops + "/drop-*", ck, mode="append")
+    assert n == 3
+    expected = tbl.scan(spark).count()
+    snaps = len(tbl.history())
+
+    # roll the streaming checkpoint back one batch: Spark will replay it
+    _rollback_last_stream_commit(ck)
+    stream_ingest_files(spark, tbl, drops + "/drop-*", ck, mode="append")
+
+    assert tbl.scan(spark).count() == expected, "replayed batch must not double-append"
+    assert len(tbl.history()) == snaps, "no new snapshot for a replayed batch"
+    assert tbl.scan(spark).exceptAll(df).count() == 0
+
+
+def test_stream_dedup_exactly_once_under_replay(spark, warehouse, tmp_path):
+    import glob
+    import os
+
+    rows = [(i, f"content-{i}", "s") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "h", "source"])
+    tbl = Catalog(warehouse).create_table("dedup_replay", df.schema)
+    drops, ck = str(tmp_path / "drops"), str(tmp_path / "ckpt")
+    for k in range(2):
+        df.filter(
+            (F.col("doc_id") >= k * 4) & (F.col("doc_id") < (k + 1) * 4)
+        ).coalesce(1).write.parquet(f"{drops}/drop-{k:04d}")
+    stream_ingest_files(
+        spark, tbl, drops + "/drop-*", ck,
+        mode="append_dedup", key="doc_id", dedup_col="h",
+    )
+    expected = tbl.scan(spark).count()
+    assert expected == 8  # all digests distinct -> everything ingested
+
+    _rollback_last_stream_commit(ck)
+    stream_ingest_files(
+        spark, tbl, drops + "/drop-*", ck,
+        mode="append_dedup", key="doc_id", dedup_col="h",
+    )
+    assert tbl.scan(spark).count() == expected
