@@ -384,13 +384,43 @@ class IceliteStreamReader(DataSourceStreamReader):
             # default 0 = bootstrap: the first batch carries the whole
             # current table (the reference's snapshot-then-tail contract)
             self._start = int(start) if start is not None else 0
+        # admission control (Iceberg's max-files-per-micro-batch analogue,
+        # self-implemented — the Python DataSource API has no ReadLimit):
+        # cap how many commits one micro-batch may swallow, so a consumer
+        # resuming far behind the head catches up in bounded batches
+        # instead of materializing 10^4 commits of files in one plan.
+        mx = options.get("max_snapshots_per_batch")
+        self._max_snaps = int(mx) if mx is not None else None
+        self._last_off: int | None = None
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"snapshot_id": self._start}
 
     def latestOffset(self) -> dict:  # noqa: N802
         tbl = _load_table(self.options)  # reload = see new commits
-        return {"snapshot_id": int(tbl.meta.current_snapshot_id or 0)}
+        head = int(tbl.meta.current_snapshot_id or 0)
+        if self._max_snaps is None:
+            return {"snapshot_id": head}
+        base = self._last_off if self._last_off is not None else self._start
+        if base >= head:
+            self._last_off = max(base, head)
+            return {"snapshot_id": head if base == 0 else base}
+        # oldest-first ids strictly above base on head's parent chain;
+        # admit at most max_snaps of them this trigger (snapshot ids are
+        # monotonic — new_snapshot_id = max+1)
+        snaps = {s.snapshot_id: s for s in tbl.history()}
+        chain: list[int] = []
+        cur = head
+        while cur != base and cur in snaps:
+            chain.append(cur)
+            parent = snaps[cur].parent_id
+            if parent is None:
+                break
+            cur = parent
+        chain.reverse()
+        cap = chain[min(self._max_snaps, len(chain)) - 1] if chain else head
+        self._last_off = max(cap, base)
+        return {"snapshot_id": self._last_off}
 
     def partitions(self, start: dict, end: dict):
         """Append-tail contract (Iceberg incremental-append-scan semantics):
@@ -402,6 +432,15 @@ class IceliteStreamReader(DataSourceStreamReader):
         also emit nothing here: their row-level diff is ``changes()``'s
         job, not an append tail's."""
         a, b = int(start["snapshot_id"]), int(end["snapshot_id"])
+        # restart safety for the rate-limited tail: fast-forward the
+        # admission tracker to the checkpointed start (the reader object is
+        # rebuilt on restart with no memory of prior triggers); a capped
+        # latestOffset that landed BEHIND the checkpointed start plans as
+        # an empty batch rather than a bogus backwards range
+        if self._max_snaps is not None:
+            self._last_off = max(self._last_off or a, a)
+        if b <= a:
+            return [IceliteFilePartition(path="")]
         if a == b:
             return [IceliteFilePartition(path="")]
         tbl = _load_table(self.options)

@@ -415,3 +415,91 @@ def test_writer_refuses_partitioned_tables(spark, warehouse):
             .mode("append")
             .save()
         )
+
+
+def test_stream_reader_rate_limited_tail(spark, warehouse):
+    """max_snapshots_per_batch bounds how many commits one micro-batch
+    admits: a consumer 4 appends behind catches up in ceil(4/2)=2 batches,
+    and the union of the batches equals the full tail (no file lost or
+    repeated at the admission boundary)."""
+    from lakehouse_benchmark_ingestion_spark.sources.icelite_source import (
+        IceliteStreamReader,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("rated", df.schema)
+    tbl.append(df.limit(10))  # snapshot 1 — the consumer's start point
+    start = tbl.current_snapshot().snapshot_id
+    for i in range(4):  # snapshots 2..5
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 4 == i).limit(5))
+
+    opts = {
+        "warehouse": warehouse,
+        "table": "rated",
+        "starting_snapshot_id": str(start),
+        "max_snapshots_per_batch": "2",
+    }
+    r = IceliteStreamReader(tbl.schema, opts)
+    offs = [r.initialOffset()]
+    batch_files: list[set[str]] = []
+    for _ in range(4):
+        end = r.latestOffset()
+        if end == offs[-1]:
+            break
+        parts = r.partitions(offs[-1], end)
+        batch_files.append({p.path for p in parts if p.path})
+        offs.append(end)
+    # 4 commits / cap 2 = exactly 2 non-empty admission rounds
+    assert len([b for b in batch_files if b]) == 2, offs
+    # union equals the uncapped tail, disjoint across batches
+    uncapped = IceliteStreamReader(
+        tbl.schema, {k: v for k, v in opts.items() if k != "max_snapshots_per_batch"}
+    )
+    full = {
+        p.path
+        for p in uncapped.partitions(
+            {"snapshot_id": start},
+            {"snapshot_id": tbl.current_snapshot().snapshot_id},
+        )
+        if p.path
+    }
+    got = set().union(*batch_files)
+    assert got == full
+    assert sum(len(b) for b in batch_files) == len(got), "no file repeated"
+
+
+def test_stream_reader_rate_limit_restart_safety(spark, warehouse):
+    """A restarted reader whose capped latestOffset lands behind the
+    checkpointed start must plan an empty batch and fast-forward, never a
+    backwards range."""
+    from lakehouse_benchmark_ingestion_spark.sources.icelite_source import (
+        IceliteStreamReader,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("rated_rs", df.schema)
+    for i in range(4):
+        tbl.append(df.filter(F.col("doc_id").cast("long") % 4 == i).limit(5))
+    head = tbl.current_snapshot().snapshot_id
+
+    # fresh reader (post-restart state), checkpoint already at head-1
+    r = IceliteStreamReader(
+        tbl.schema,
+        {
+            "warehouse": warehouse,
+            "table": "rated_rs",
+            "starting_snapshot_id": "1",
+            "max_snapshots_per_batch": "1",
+        },
+    )
+    end = r.latestOffset()  # capped near the start, behind the checkpoint
+    ck_start = {"snapshot_id": head - 1}
+    parts = r.partitions(ck_start, end)
+    assert [p.path for p in parts] == [""], "backwards range must be empty"
+    # next trigger resumes from the fast-forwarded tracker
+    end2 = r.latestOffset()
+    assert int(end2["snapshot_id"]) == head
+    parts2 = r.partitions(ck_start, end2)
+    assert {p.path for p in parts2 if p.path}, "catch-up batch plans the tail"
