@@ -133,8 +133,23 @@ def _metadata_path(location: str, version: int) -> str:
 
 
 def current_version(location: str) -> int:
+    """Latest committed version: the hint, bumped past it if newer
+    ``v*.metadata.json`` files already exist.
+
+    The hint file is exactly that — a hint (Iceberg's
+    HadoopTableOperations semantics): a winner creates
+    ``v{N+1}.metadata.json`` (the atomic commit point) and THEN updates
+    the hint, so a reader racing between those two steps sees a stale
+    hint. Trusting it blindly livelocks the optimistic commit loop: the
+    loser retries the same base version forever. Probing forward from
+    the hint is O(lag) not O(history), and lag is at most the number of
+    in-flight writers.
+    """
     with open(_hint_path(location)) as f:
-        return int(f.read().strip())
+        v = int(f.read().strip())
+    while os.path.exists(_metadata_path(location, v + 1)):
+        v += 1
+    return v
 
 
 def read_metadata(location: str, version: int | None = None) -> TableMetadata:
@@ -156,7 +171,7 @@ def write_initial_metadata(meta: TableMetadata) -> None:
 def commit(
     location: str,
     mutate: Callable[[TableMetadata], TableMetadata],
-    retries: int = 5,
+    retries: int = 20,
 ) -> TableMetadata:
     """Optimistic-concurrency commit.
 
@@ -166,17 +181,32 @@ def commit(
     Iceberg's optimistic snapshot commit loop.
     """
     last_err: Exception | None = None
-    for _ in range(retries):
+    for attempt in range(retries):
         base_version = current_version(location)
         meta = read_metadata(location, base_version)
         new_meta = mutate(meta)
         new_meta.last_updated_ms = new_meta.last_updated_ms or now_ms()
+        # claim v{N+1} by hard-linking a FULLY-WRITTEN temp file: the claim
+        # is atomic AND carries complete content, so a concurrent
+        # current_version() probe never reads a half-written JSON (a plain
+        # open("x") + dump would expose that window)
+        claim = _metadata_path(location, base_version + 1)
+        tmp_meta = claim + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp_meta, "w") as f:
+            json.dump(new_meta.to_dict(), f, indent=1)
         try:
-            with open(_metadata_path(location, base_version + 1), "x") as f:
-                json.dump(new_meta.to_dict(), f, indent=1)
+            os.link(tmp_meta, claim)
         except FileExistsError as e:  # lost the race
+            os.unlink(tmp_meta)
             last_err = e
+            # jittered backoff (hash-derived, no global RNG state): under
+            # heavy contention N writers otherwise re-read, re-mutate and
+            # re-collide in lockstep
+            time.sleep(
+                0.01 * attempt * (1 + (hash((location, attempt, id(mutate))) % 97) / 97)
+            )
             continue
+        os.unlink(tmp_meta)
         tmp = _hint_path(location) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(base_version + 1))

@@ -58,3 +58,34 @@ def test_concurrent_appends_all_land(spark, warehouse):
     got = tbl.scan(spark)
     assert got.count() == expected
     assert got.select("doc_id").distinct().count() == expected
+
+
+def test_current_version_probes_past_stale_hint(spark, warehouse):
+    """version-hint.text is a HINT (HadoopTableOperations semantics): the
+    atomic commit point is the v{N+1}.metadata.json create, and the hint
+    update can lag behind it. A reader trusting a stale hint livelocks the
+    optimistic retry loop (it re-claims the same version forever), so
+    current_version must probe forward past the hint."""
+    import json
+
+    from lakehouse_benchmark_ingestion_spark.icelite import metadata as md
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df as _t
+
+    df = _t(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("stale", df.schema)
+    tbl.append(df.limit(5), num_files=1)  # v2, hint=2
+    loc = tbl.location
+    v = md.current_version(loc)
+
+    # simulate a winner that created v{v+1} but crashed before the hint write
+    with open(md._metadata_path(loc, v), encoding="utf-8") as f:
+        doc = json.load(f)
+    with open(md._metadata_path(loc, v + 1), "x", encoding="utf-8") as f:
+        json.dump(doc, f)
+
+    assert md.current_version(loc) == v + 1  # probe sees past the stale hint
+
+    # and the next commit claims v+2, not a livelocked v+1
+    tbl2 = Catalog(warehouse).load_table("stale")
+    tbl2.append(df.limit(3), num_files=1)
+    assert md.current_version(loc) == v + 2
