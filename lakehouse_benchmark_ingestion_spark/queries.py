@@ -968,6 +968,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_windowed_rollup",
     "stream_sessions",
     "stream_multiplex_demux",
+    "stream_cdc_apply",
     # multimodal + grouped-map surface
     "pipe_multimodal_meta",
     "pipe_multimodal_features",

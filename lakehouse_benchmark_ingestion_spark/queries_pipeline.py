@@ -814,6 +814,39 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (the reference's full changelog semantics:
+    Debezium insert/update/DELETE row kinds, SyncDbFunction.java:88-97,
+    applied per checkpoint with write.upsert.enabled,
+    IcebergCatalogSync.java:113): base table appended in batch, then a
+    3-stage ordered I/U/D feed streamed through stream_cdc_apply — one MOR
+    commit (eq-delete + new images at one sequence number) per micro-batch.
+    Stage 2 deletes keys stage 1 updated; stage 3 re-inserts a subset of the
+    deleted keys — certifying cross-batch sequence ordering, not just
+    per-batch upsert."""
+    import shutil
+
+    from .icelite import Catalog
+    from .sources.tokens import TOK_DIGEST_SPARK, cdc_feed_stages, tokens_df
+    from .streaming.cdc import stream_cdc_apply
+
+    ck = ("cdc_apply", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_cdc")
+        shutil.rmtree(base, ignore_errors=True)
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(base).create_table("seq_cdc", df.schema)
+        tbl.append(df, num_files=4)
+        for i, st in enumerate(cdc_feed_stages(spark, sf_dir)):
+            st.coalesce(1).write.parquet(f"{base}/drops/drop-{i:04d}")
+        stream_cdc_apply(spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt")
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select(
+        "doc_id", "n_tok", "source", F.expr(TOK_DIGEST_SPARK).alias("tok_digest")
+    )
+
+
 def q_stream_multiplex_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table single-scan CDC multiplexing (streaming/multiplex.py):
     ONE envelope feed carries documents AND events rows interleaved across
@@ -1034,6 +1067,7 @@ QUERIES.update(
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "stream_multiplex_demux": q_stream_multiplex_demux,
+        "stream_cdc_apply": q_stream_cdc_apply,
     }
 )
 
@@ -1229,6 +1263,10 @@ ORACLES["stream_ingested_scan"] = _digest_scan_sql(_TOK)
 from .sources.tokens import MERGE_FINAL_ORACLE_SQL as _MERGE_FINAL  # noqa: E402
 
 ORACLES["stream_merge_upsert"] = _digest_scan_sql(_MERGE_FINAL)
+
+from .sources.tokens import CDC_FINAL_ORACLE_SQL as _CDC_FINAL  # noqa: E402
+
+ORACLES["stream_cdc_apply"] = _digest_scan_sql(_CDC_FINAL)
 
 ORACLES["stream_windowed_rollup"] = """
     SELECT date_trunc('hour', ts) AS window_start, event_type AS grp,

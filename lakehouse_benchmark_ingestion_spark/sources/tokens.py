@@ -222,3 +222,107 @@ FROM base b ANTI JOIN winners w ON b.doc_id = w.doc_id
 UNION ALL
 SELECT doc_id, tokens, n_tok, source FROM winners
 """
+
+
+# --------------------------------------------------------------------------
+# CDC changelog feed: a deterministic 3-stage Debezium-style op stream for
+# the streaming CDC-apply path (streaming/cdc.py). Stage k is one micro-batch
+# (the reference's checkpoint==commit cadence); ordering across stages is
+# load-bearing — stage 2 deletes keys stage 1 updated, stage 3 re-inserts a
+# subset of the deleted keys.
+#   stage 1 (_seq 1): op U for doc_id%3==0 (new stream, source||'_c')
+#                     op I for new keys doc_id+2000000 where doc_id%7==0
+#   stage 2 (_seq 2): op D for doc_id%5==0
+#   stage 3 (_seq 3): op I for doc_id%10==0 (re-insert after delete)
+# --------------------------------------------------------------------------
+
+
+def cdc_feed_stages(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Three ordered changelog micro-batches with schema
+    (doc_id, tokens, n_tok, source, _op string, _seq long)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def img(flt, seed_expr, ntok_expr, source_expr, op, seq):
+        rows = docs.filter(flt).select(
+            seed_expr.alias("seed"),
+            F.col("doc_id").cast("string").alias("_base_id"),
+            ntok_expr.cast("int").alias("n_tok"),
+            source_expr.alias("source"),
+        )
+        return rows.select(
+            F.col("_base_id").alias("doc_id"),
+            F.expr(_token_expr("seed", "n_tok", UPD_A, UPD_B, UPD_C)).alias("tokens"),
+            "n_tok",
+            "source",
+            F.lit(op).alias("_op"),
+            F.lit(seq).cast("long").alias("_seq"),
+        )
+
+    upd = img(
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id"),
+        (F.col("n_chars") / 5).cast("int") + 2,
+        F.concat(F.col("source"), F.lit("_c")),
+        "U",
+        1,
+    )
+    new = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("seed"),
+        (F.col("doc_id") + 2000000).cast("string").alias("doc_id"),
+        ((F.col("n_chars") / 6).cast("int") + 3).alias("n_tok"),
+        F.lit("src_cdc").alias("source"),
+    )
+    new = new.select(
+        "doc_id",
+        F.expr(_token_expr("seed", "n_tok", UPD_A, UPD_B, UPD_C)).alias("tokens"),
+        "n_tok",
+        "source",
+        F.lit("I").alias("_op"),
+        F.lit(1).cast("long").alias("_seq"),
+    )
+    dele = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("array()").cast("array<int>").alias("tokens"),
+        F.lit(0).cast("int").alias("n_tok"),
+        F.lit("del").alias("source"),
+        F.lit("D").alias("_op"),
+        F.lit(2).cast("long").alias("_seq"),
+    )
+    reins = img(
+        F.col("doc_id") % 10 == 0,
+        F.col("doc_id") + 2,
+        (F.col("n_chars") / 6).cast("int") + 3,
+        F.lit("src_re"),
+        "I",
+        3,
+    )
+    return [upd.unionByName(new), dele, reins]
+
+
+# The post-CDC table, declaratively: untouched rows, surviving updates,
+# re-inserts, and brand-new inserts. %5 keys are deleted unless %10
+# re-inserted them; %3 updates survive only where not deleted.
+CDC_FINAL_ORACLE_SQL = f"""
+WITH base AS ({TOKENS_ORACLE_SQL})
+SELECT b.doc_id, b.tokens, b.n_tok, b.source
+FROM base b JOIN documents d ON b.doc_id = CAST(d.doc_id AS VARCHAR)
+WHERE d.doc_id % 5 <> 0 AND d.doc_id % 3 <> 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       {_upd_tokens_sql('doc_id', 'n_chars // 5 + 2')},
+       CAST(n_chars // 5 + 2 AS INT),
+       source || '_c'
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR),
+       {_upd_tokens_sql('doc_id + 2', 'n_chars // 6 + 3')},
+       CAST(n_chars // 6 + 3 AS INT),
+       'src_re'
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT CAST(doc_id + 2000000 AS VARCHAR),
+       {_upd_tokens_sql('doc_id + 2000000', 'n_chars // 6 + 3')},
+       CAST(n_chars // 6 + 3 AS INT),
+       'src_cdc'
+FROM documents WHERE doc_id % 7 = 0
+"""
