@@ -124,3 +124,109 @@ def _all_referenced(table: IceliteTable):
             seen.add(name)
             out.extend(mf.read_manifest(table.location, name))
     return out
+
+
+def remove_orphan_files_distributed(
+    spark,
+    table: IceliteTable,
+    older_than_ms: int = 3 * 24 * 3600 * 1000,
+    as_of_ms: int | None = None,
+    dry_run: bool = False,
+    run_id: str | None = None,
+) -> dict:
+    """Executor-side orphan sweep — the shape Iceberg's
+    ``remove_orphan_files`` Spark action uses at real scale.
+
+    The driver variant above materializes every referenced path in a Python
+    set and ``os.walk``s the data tree on one machine — O(#files) driver
+    memory and wall. Here both sides are DataFrames: the listing comes from
+    Spark's binaryFile source (path/length/mtime only — content column never
+    selected, so nothing is read), referenced paths come from reading ALL
+    live manifests as parquet (manifests are parquet; executors parse them,
+    the driver only knows their names), and orphans fall out of a
+    broadcast-or-shuffle left-anti join. Deletion runs foreachPartition on
+    executors — on an object store that is exactly where the DELETE calls
+    should originate.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    as_of = as_of_ms if as_of_ms is not None else md.now_ms()
+
+    names: set[str] = set()
+    for s in table.meta.snapshots:
+        names.update(s.manifests)
+    man_paths = [
+        os.path.join(md.metadata_dir(table.location), n) for n in sorted(names)
+    ]
+    if man_paths:
+        ref = spark.read.parquet(*man_paths).select(F.col("path").alias("p"))
+    else:
+        ref = spark.createDataFrame([], "p string")
+
+    data_root = os.path.join(table.location, "data")
+    if not os.path.isdir(data_root):
+        return {"scanned": 0, "orphans": 0, "deleted": 0, "bytes_freed": 0,
+                "dry_run": dry_run, "run_id": run_id}
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(data_root)
+        .select(
+            F.regexp_replace("path", "^file:(//)?", "").alias("p"),
+            F.col("length").alias("bytes"),
+            F.unix_millis("modificationTime").alias("mtime_ms"),
+        )
+    )
+    scanned = listing.count()
+    # AQE picks broadcast vs shuffle from the ref side's measured size
+    orphans = listing.join(ref, "p", "left_anti").filter(
+        F.lit(as_of) - F.col("mtime_ms") >= F.lit(older_than_ms)
+    )
+    stats = orphans.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("bytes"), F.lit(0)).alias("b")
+    ).collect()[0]
+    n_orphans, freed = int(stats["n"]), int(stats["b"])
+
+    deleted = 0
+    if not dry_run and n_orphans:
+
+        def _rm(rows):
+            import os as _os
+
+            for r in rows:
+                try:
+                    _os.remove(r.p)
+                except FileNotFoundError:
+                    pass
+
+        orphans.select("p").foreachPartition(_rm)
+        deleted = n_orphans
+
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id,
+            op="remove_orphans",
+            partition_id=0,
+            files_in=scanned,
+            files_out=deleted,
+            rows=0,
+            bytes_in=0,
+            bytes_out=freed,
+            snapshot_id=table.current_snapshot().snapshot_id
+            if table.current_snapshot()
+            else -1,
+            status="done",
+        )
+    )
+    return {
+        "scanned": scanned,
+        "orphans": n_orphans,
+        "deleted": deleted,
+        "bytes_freed": freed,
+        "dry_run": dry_run,
+        "run_id": run_id,
+    }

@@ -44,6 +44,40 @@ def test_remove_orphan_files(spark, sequences_table):
     assert tbl.scan(spark, snapshot_id=first).count() > 0
 
 
+def test_remove_orphan_files_distributed(spark, sequences_table):
+    """Executor-side sweep: identical decisions to the driver variant —
+    grace interval, dry run, deletion — with both the listing and the
+    referenced set living in DataFrames, not driver memory."""
+    from lakehouse_benchmark_ingestion_spark.operators.orphan_files import (
+        remove_orphan_files_distributed,
+    )
+
+    tbl = sequences_table
+    n_rows = tbl.scan(spark).count()
+
+    orphan_dir = os.path.join(tbl.location, "data", "aborted-commit-dist")
+    tbl.scan(spark).limit(50).write.parquet(orphan_dir)
+    orphan_files = [
+        os.path.join(orphan_dir, n)
+        for n in os.listdir(orphan_dir)
+        if n.endswith(".parquet")
+    ]
+    assert orphan_files
+
+    r = remove_orphan_files_distributed(spark, tbl, older_than_ms=3_600_000)
+    assert r["deleted"] == 0 and all(os.path.exists(p) for p in orphan_files)
+
+    r = remove_orphan_files_distributed(spark, tbl, older_than_ms=0, dry_run=True)
+    assert r["orphans"] == len(orphan_files) and r["deleted"] == 0
+
+    r = remove_orphan_files_distributed(spark, tbl, older_than_ms=0)
+    assert r["deleted"] == len(orphan_files)
+    assert not any(os.path.exists(p) for p in orphan_files)
+    assert tbl.scan(spark).count() == n_rows
+    first = tbl.history()[0].snapshot_id
+    assert tbl.scan(spark, snapshot_id=first).count() > 0
+
+
 def test_scan_where_prunes_and_filters(spark, warehouse):
     """Range-partitioned layout (repartitionByRange on n_tok → disjoint
     per-file min/max) + where= predicates: files skip via manifest stats,
