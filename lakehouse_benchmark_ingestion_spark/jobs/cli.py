@@ -136,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
     p.add_argument("--val-column")
+    p.add_argument("--source")  # cdc-apply / ingest-stream: drop-feed glob
+    p.add_argument("--checkpoint")  # streaming checkpoint dir
+    p.add_argument("--trust-inserts", action="store_true")
+    p.add_argument("--distributed", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -512,16 +516,53 @@ def main(argv: list[str] | None = None) -> int:
         out["deletes"] = counts.get("delete", 0)
 
     elif args.command == "remove-orphans":
-        from lakehouse_benchmark_ingestion_spark.operators.orphan_files import remove_orphan_files
-
-        out.update(
-            remove_orphan_files(
-                cat.load_table(args.table),
-                older_than_ms=args.older_than_ms if args.older_than_ms is not None else 3 * 24 * 3600 * 1000,
-                dry_run=args.dry_run,
-                run_id=args.run_id,
-            )
+        from lakehouse_benchmark_ingestion_spark.operators.orphan_files import (
+            remove_orphan_files,
+            remove_orphan_files_distributed,
         )
+
+        grace = (
+            args.older_than_ms
+            if args.older_than_ms is not None
+            else 3 * 24 * 3600 * 1000
+        )
+        if args.distributed:
+            out.update(
+                remove_orphan_files_distributed(
+                    spark,
+                    cat.load_table(args.table),
+                    older_than_ms=grace,
+                    dry_run=args.dry_run,
+                    run_id=args.run_id,
+                )
+            )
+        else:
+            out.update(
+                remove_orphan_files(
+                    cat.load_table(args.table),
+                    older_than_ms=grace,
+                    dry_run=args.dry_run,
+                    run_id=args.run_id,
+                )
+            )
+
+    elif args.command == "cdc-apply":
+        # tail a parquet changelog drop-feed (rows + _op I/U/D + _seq) into
+        # the table: one MOR commit per micro-batch, exactly-once on replay
+        from lakehouse_benchmark_ingestion_spark.streaming.cdc import stream_cdc_apply
+
+        if not args.source or not args.checkpoint:
+            p.error("cdc-apply requires --source and --checkpoint")
+        tbl = cat.load_table(args.table)
+        out["batches"] = stream_cdc_apply(
+            spark,
+            tbl,
+            args.source,
+            args.checkpoint,
+            key=args.key,
+            trust_inserts=args.trust_inserts,
+        )
+        out["snapshot_id"] = tbl.current_snapshot().snapshot_id
 
     elif args.command == "vacuum":
         # full storage-reclamation pass in one command: retire history

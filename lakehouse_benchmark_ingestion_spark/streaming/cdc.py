@@ -48,12 +48,23 @@ def cdc_apply_batch(
     target_file_size: int = 128 * 1024 * 1024,
     set_properties: dict | None = None,
     run_id: str = "cdc",
+    trust_inserts: bool = False,
 ) -> dict:
     """Apply one changelog micro-batch as a single merge-on-read commit.
 
     Intra-batch, the newest row per key wins (``seq_col`` desc, then op
     precedence ``U > I > D`` purely as a deterministic tiebreak — feeds
     should make ``seq_col`` unique per key). Returns commit stats.
+
+    ``trust_inserts``: with a Debezium-faithful producer an ``I`` (create)
+    event guarantees the key does not currently exist (the source DB
+    enforced its PK), so pure-insert winners need NO equality-delete entry —
+    skipping them keeps eq-delete files proportional to updates+deletes
+    instead of the whole batch, and every MOR read until the next compaction
+    pays its anti-join only against keys that can actually delete something.
+    Off by default: the safe mode tolerates producers that replay inserts
+    for existing keys (treating every ``I`` as an upsert, Iceberg's
+    ``write.upsert.enabled`` semantics).
     """
     cols = [f.name for f in table.schema.fields]
 
@@ -81,11 +92,18 @@ def cdc_apply_batch(
         out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
         added = mf.harvest_stats(out_paths)
 
-    # one eq-delete covering EVERY affected key (update old-images + deletes)
+    # one eq-delete covering every key whose prior image must die (update
+    # old-images + deletes; pure inserts too unless the producer's create
+    # events are trusted to be genuinely new keys)
+    del_keys = (
+        winners.filter(F.col(op_col) != OP_INSERT) if trust_inserts else winners
+    )
     del_dir = os.path.join(table.location, "data", f"cdc-{run_id}-deletes")
-    winners.select(key).write.mode("overwrite").parquet(del_dir)
-    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
-    dels = mf.harvest_stats(del_paths, stat_columns=[key])
+    dels: list[mf.DataFile] = []
+    if not del_keys.isEmpty():
+        del_keys.select(key).write.mode("overwrite").parquet(del_dir)
+        del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        dels = mf.harvest_stats(del_paths, stat_columns=[key])
 
     for s in added:
         s.sequence_number = seq
@@ -130,6 +148,7 @@ def stream_cdc_apply(
     op_col: str = "_op",
     seq_col: str = "_seq",
     max_files_per_trigger: int = 1,
+    trust_inserts: bool = False,
 ) -> int:
     """Tail parquet changelog drops from ``source_dir`` into the table.
 
@@ -177,6 +196,7 @@ def stream_cdc_apply(
             seq_col=seq_col,
             set_properties={stream_prop: str(batch_id)},
             run_id=f"b{batch_id}",
+            trust_inserts=trust_inserts,
         )
         batches["n"] += 1
 

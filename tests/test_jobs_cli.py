@@ -199,3 +199,38 @@ def test_cli_vacuum(spark, warehouse, capsys):
     # the table still answers after GC
     r = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")
     assert r["rows"] > 0
+
+
+def test_cli_cdc_apply_and_distributed_orphans(spark, warehouse, capsys, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import cdc_feed_stages
+
+    run(capsys, "create-table", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--appends", "1")
+
+    for i, st in enumerate(cdc_feed_stages(spark, SF_SMOKE)):
+        st.coalesce(1).write.parquet(str(tmp_path / "drops" / f"drop-{i:04d}"))
+    r = run(capsys, "cdc-apply", "--warehouse", warehouse,
+            "--source", str(tmp_path / "drops" / "drop-*"),
+            "--checkpoint", str(tmp_path / "ckpt"), "--trust-inserts")
+    assert r["batches"] == 3
+
+    tbl = Catalog(warehouse).load_table("sequences")
+    # stage-2 deletes landed: plain %5 keys (not re-inserted) are gone
+    from pyspark.sql import functions as F
+
+    gone = tbl.scan(spark).filter(
+        (F.col("doc_id").cast("long") % 5 == 0)
+        & (F.col("doc_id").cast("long") % 10 != 0)
+        & (F.col("doc_id").cast("long") < 2000000)
+    )
+    assert gone.count() == 0
+
+    # distributed orphan sweep through the CLI
+    orphan_dir = f"{tbl.location}/data/aborted"
+    tbl.scan(spark).limit(10).write.parquet(orphan_dir)
+    r = run(capsys, "remove-orphans", "--warehouse", warehouse,
+            "--older-than-ms", "0", "--distributed")
+    assert r["deleted"] >= 1

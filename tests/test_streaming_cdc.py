@@ -124,3 +124,33 @@ def test_cdc_then_compaction_materializes_deletes(spark, warehouse, tmp_path):
     got = tbl.scan(spark).select(*COLS)
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_cdc_trust_inserts_same_state_fewer_delete_keys(spark, warehouse, tmp_path):
+    """Debezium-faithful mode: create events carry no eq-delete entry, so
+    delete files hold only update+delete keys — same final state, smaller
+    MOR read debt."""
+    base = tokens_df(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tbl = Catalog(warehouse).create_table("cdc5", base.schema)
+    tbl.append(base)
+    _write_drops(cdc_feed_stages(spark, SF_SMOKE), str(tmp_path / "drops"))
+
+    stream_cdc_apply(
+        spark,
+        tbl,
+        str(tmp_path / "drops" / "drop-*"),
+        str(tmp_path / "ckpt"),
+        trust_inserts=True,
+    )
+    got = tbl.scan(spark).select(*COLS)
+    exp = _expected_final(spark)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+
+    # delete entries = stage-1 updates (%3) + stage-2 deletes (%5) ONLY;
+    # the %7 creates and %10 re-inserts contribute none
+    n3 = docs.filter(F.col("doc_id") % 3 == 0).count()
+    n5 = docs.filter(F.col("doc_id") % 5 == 0).count()
+    del_rows = sum(f.record_count for f in tbl.delete_files())
+    assert del_rows == n3 + n5
