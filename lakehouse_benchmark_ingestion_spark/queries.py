@@ -959,8 +959,8 @@ _CERTIFICATION_PRIORITY = [
     "pipe_ann_lsh",
     "pipe_simhash",
     "pipe_ngram_jaccard",
-    "pipe_embedding_neardup",
     "pipe_incremental_dedup",
+    "pipe_span_dedup",
     # streaming surface (S1), never driver-checked
     "stream_ingested_scan",
     "stream_merge_upsert",
@@ -972,7 +972,6 @@ _CERTIFICATION_PRIORITY = [
     # multimodal + grouped-map surface
     "pipe_multimodal_meta",
     "pipe_multimodal_features",
-    "pipe_frame_sample",
     "pipe_source_median_ntok",
     # training-data ops, never driver-checked
     "pipe_pack_sequences",
@@ -1007,6 +1006,12 @@ _CERTIFICATION_PRIORITY = [
     "maint_agg_by_source",
     "maint_token_checksum",
     "merge_result",
+    "zorder_key",
+    # r1-green queries whose SURVEY rows are co-covered by in-window
+    # certifiers (multimodal: pipe_multimodal_meta/features; near-dup:
+    # pipe_neardup_lsh is the certified path) — first past the cutoff
+    "pipe_frame_sample",
+    "pipe_embedding_neardup",
     "merge_mor_result",
     "merge_bucketed_result",
     "maint_partial_progress",
@@ -1015,7 +1020,6 @@ _CERTIFICATION_PRIORITY = [
     "maint_delete_where",
     "maint_wap_publish",
     "maint_changes",
-    "zorder_key",
     "pipe_ann_ivf",
 ]
 

@@ -346,6 +346,73 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 16  # window width (tokens)
+SPAN_STRIDE = 8  # window stride
+SPAN_CLONE_MOD = 11  # every 11th doc is cloned → guaranteed duplicated spans
+SPAN_CLONE_OFFSET = 300_000
+SPAN_TOPK = 100
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (token-span) duplication detector — the hash-windowed
+    distributed variant of the suffix-array exact-substring method
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every W=16-token window at stride 8 is content-hashed; a span
+    hash seen in >= 2 documents marks verbatim repeated text. Corpus =
+    sequences plus deterministic clones (every 11th doc re-appears under a
+    shifted id) so duplicated spans provably exist.
+
+    Scale shape: the explode fans out n_tok/stride rows per doc but each
+    carries ONLY (doc_id, 32-char hash) — the token array never enters the
+    shuffle; the groupBy gets map-side partial aggregation. A suffix array
+    (the paper's exact method) is a driver-sized structure; hash windows are
+    the shape that distributes."""
+    seqs = tokens_df(spark, sf_dir)
+    clones = seqs.filter(
+        F.col("doc_id").cast("long") % SPAN_CLONE_MOD == 0
+    ).withColumn(
+        "doc_id",
+        (F.col("doc_id").cast("long") + SPAN_CLONE_OFFSET).cast("string"),
+    )
+    corpus = seqs.unionByName(clones)
+    spans = (
+        corpus.filter(F.col("n_tok") >= SPAN_W)
+        .select(
+            "doc_id",
+            "tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_tok") - SPAN_W, F.lit(SPAN_STRIDE)
+                )
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        f"transform(slice(tokens, off + 1, {SPAN_W}),"
+                        " x -> cast(x as string))"
+                    ),
+                )
+            ).alias("span_hash"),
+        )
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("span_hash").asc()
+        )
+        .limit(SPAN_TOPK)
+    )
+
+
 def q_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data prep pipeline as ONE composed dataflow:
     quality filter (length >= 100) → exact dedup (keep min doc_id per md5)
@@ -491,6 +558,7 @@ QUERIES = {
     "pipe_shard_balance": q_shard_balance,
     "pipe_curriculum_batches": q_curriculum_batches,
     "pipe_bigram_topk": q_bigram_topk,
+    "pipe_span_dedup": q_span_dedup,
     "pipe_e2e_training_prep": q_e2e_training_prep,
     "pipe_length_quantiles": q_length_quantiles,
     "rel_asof_error_click": q_asof_error_click,
@@ -747,6 +815,35 @@ def _incremental_dedup_oracle() -> str:
 
 
 ORACLES["pipe_incremental_dedup"] = _incremental_dedup_oracle()
+
+ORACLES["pipe_span_dedup"] = f"""
+WITH seq AS ({TOKENS_ORACLE_SQL}),
+corpus AS (
+  SELECT doc_id, tokens, n_tok FROM seq
+  UNION ALL
+  SELECT CAST(CAST(doc_id AS BIGINT) + {SPAN_CLONE_OFFSET} AS VARCHAR),
+         tokens, n_tok
+  FROM seq WHERE CAST(doc_id AS BIGINT) % {SPAN_CLONE_MOD} = 0
+),
+offs AS (
+  SELECT doc_id,
+         unnest(range(0, n_tok - {SPAN_W} + 1, {SPAN_STRIDE})) AS off,
+         tokens
+  FROM corpus WHERE n_tok >= {SPAN_W}
+),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tokens, off + 1, off + {SPAN_W}), ',')) AS span_hash
+  FROM offs
+)
+SELECT span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occ
+FROM spans GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span_hash ASC LIMIT {SPAN_TOPK}
+"""
+
 
 
 def _dup_clusters_oracle() -> str:
