@@ -38,6 +38,15 @@ CONTENT_EQ_DELETES = "eq-deletes"  # Iceberg v2 equality-delete file analogue
 # that existed when the delete was written; paths are never reused).
 CONTENT_POS_DELETES = "pos-deletes"
 
+# Storage formats for CONTENT_POS_DELETES sidecars (DataFile.delete_format).
+# Iceberg v3 models deletion vectors the same way: DVs ARE position deletes,
+# same content id, different physical encoding — so every consumer that only
+# tests existence / paths / sequence numbers (maintenance policy, clustering
+# idempotence, changes guard, validate-no-new-deletes, fast-count fallback,
+# compaction sidecar GC) stays correct with no format awareness at all.
+DELETE_FORMAT_ROWS = "rows"  # parquet rows of (file_path, pos) — v2 shape
+DELETE_FORMAT_DV = "dv"  # one row per data file: (file_path, dv bitmap)
+
 
 @dataclass
 class DataFile:
@@ -71,6 +80,11 @@ class DataFile:
     # clustering rewrites stamp it; cluster() skips the whole rewrite when
     # every live data file already carries the requested order.
     sort_order: str = ""
+    # physical encoding of a CONTENT_POS_DELETES sidecar (Iceberg v3
+    # deletion-vector parity): "rows" = (file_path, pos) rows; "dv" = one
+    # row per addressed data file carrying a packed position bitmap.
+    # Meaningless (and left at default) for data / eq-delete files.
+    delete_format: str = DELETE_FORMAT_ROWS
 
     def to_row(self) -> dict:
         return {
@@ -85,6 +99,7 @@ class DataFile:
             "bucket": self.bucket,
             "partition_json": self.partition_json,
             "sort_order": self.sort_order,
+            "delete_format": self.delete_format,
         }
 
 
@@ -113,6 +128,7 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("bucket", pa.int64(), nullable=False),
         pa.field("partition_json", pa.string(), nullable=False),
         pa.field("sort_order", pa.string(), nullable=False),
+        pa.field("delete_format", pa.string(), nullable=False),
     ]
 )
 
@@ -389,6 +405,7 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
             bucket=f.bucket,
             partition_json=f.partition_json,
             sort_order=f.sort_order,
+            delete_format=f.delete_format,
         )
         for f in parsed
     ]
@@ -415,6 +432,8 @@ def _parse_manifest(path: str) -> list[DataFile]:
                 partition_json=row.get("partition_json") or "{}",
                 # manifests written before sort-order tracking lack this
                 sort_order=row.get("sort_order") or "",
+                # manifests written before deletion vectors lack this
+                delete_format=row.get("delete_format") or DELETE_FORMAT_ROWS,
             )
         )
     return out

@@ -573,16 +573,38 @@ class IceliteTable:
             if clean:
                 parts.append(self.read_files(spark, clean))
             if hit:
+                from . import dv as _dv
+
                 data = self.read_files(spark, hit, with_positions=True)
-                dels = (
-                    spark.read.schema("file_path string, pos long")
-                    .parquet(*[d.path for d in pos_dels])
-                    .distinct()
+                row_sidecars = [
+                    d for d in pos_dels
+                    if d.delete_format != mf.DELETE_FORMAT_DV
+                ]
+                dv_sidecars = [
+                    d for d in pos_dels
+                    if d.delete_format == mf.DELETE_FORMAT_DV
+                ]
+                del_parts = []
+                if row_sidecars:
+                    del_parts.append(
+                        spark.read.schema("file_path string, pos long")
+                        .parquet(*[d.path for d in row_sidecars])
+                    )
+                if dv_sidecars:
+                    del_parts.append(
+                        _dv.expand_addresses(
+                            spark, [d.path for d in dv_sidecars]
+                        )
+                    )
+                dels = reduce(_DF.unionByName, del_parts).distinct()
+                # DV record_count = positions, so expanded size is known
+                est_bytes = sum(
+                    d.file_size_bytes for d in row_sidecars
+                ) + sum(
+                    d.record_count * _dv.EXPANDED_BYTES_PER_POSITION
+                    for d in dv_sidecars
                 )
-                if (
-                    sum(d.file_size_bytes for d in pos_dels)
-                    <= POS_DELETE_BROADCAST_BYTES
-                ):
+                if est_bytes <= POS_DELETE_BROADCAST_BYTES:
                     dels = F.broadcast(dels)
                 survivors = data.join(
                     dels,

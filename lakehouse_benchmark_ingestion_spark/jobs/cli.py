@@ -21,6 +21,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    into manifest metadata; scans only indeterminate files)
     convert-eq-deletes  --warehouse W --table T  (eq-delete sidecars ->
                    one sorted pos-delete sidecar, v3-style)
+    convert-pos-to-dv   --warehouse W --table T  (pos-delete sidecars ->
+                                                  one v3 deletion-vector sidecar)
     rewrite-pos-deletes --warehouse W --table T   (merge small pos-delete
                    sidecars into one sorted file, dropping dangling
                    addresses — Iceberg's rewrite_position_delete_files)
@@ -40,7 +42,7 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    file/small-file/byte counts, snapshot history, trigger
                    decision — the engine's version of MainRunner's REST
                    monitor port, MainRunner.java:145-212)
-    delete-where   --warehouse W --table T --where JSON [--strategy cow|mor|mor-pos]
+    delete-where   --warehouse W --table T --where JSON [--strategy cow|mor|mor-pos|dv]
                    (stats-pruned predicate delete; fully-matching files drop
                    metadata-only; mor writes an eq-delete file instead)
     update-where   --warehouse W --table T --where JSON --set JSON [--strategy cow|mor]
@@ -110,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
     p.add_argument("--key", default="doc_id")
-    p.add_argument("--strategy", default="cow", choices=["cow", "mor", "mor-pos"])
+    p.add_argument("--strategy", default="cow", choices=["cow", "mor", "mor-pos", "dv"])
     p.add_argument("--snapshot-id", type=int)
     p.add_argument("--from-snapshot", type=int)
     p.add_argument("--to-snapshot", type=int)
@@ -234,6 +236,17 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in json.loads(args.where).items()
             }
         out.update(cat.load_table(args.table).count_rows(spark, where=where))
+
+    elif args.command == "convert-pos-to-dv":
+        from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+            convert_pos_deletes_to_dv,
+        )
+
+        out.update(
+            convert_pos_deletes_to_dv(
+                spark, cat.load_table(args.table), run_id=args.run_id
+            )
+        )
 
     elif args.command == "convert-eq-deletes":
         from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (

@@ -41,6 +41,31 @@ from ..icelite.table import IceliteTable
 from ..plans.lineage import LineageLog, LineageRow
 
 
+def _read_addresses(spark: SparkSession, pos_dels: list[mf.DataFile]):
+    """Union of every sidecar's (file_path, pos) relation, across BOTH
+    physical encodings: v2 row files read directly, v3 deletion vectors
+    expanded executor-side (icelite/dv.py). This is the one place rewrite
+    actions materialize addresses, so rows+dv inputs merge transparently."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from ..icelite import dv as _dv
+
+    row_files = [d for d in pos_dels if d.delete_format != mf.DELETE_FORMAT_DV]
+    dv_files = [d for d in pos_dels if d.delete_format == mf.DELETE_FORMAT_DV]
+    parts = []
+    if row_files:
+        parts.append(
+            spark.read.schema("file_path string, pos long").parquet(
+                *[d.path for d in row_files]
+            )
+        )
+    if dv_files:
+        parts.append(_dv.expand_addresses(spark, [d.path for d in dv_files]))
+    return reduce(_DF.unionByName, parts)
+
+
 def rewrite_position_deletes(
     spark: SparkSession,
     table: IceliteTable,
@@ -54,9 +79,7 @@ def rewrite_position_deletes(
         return {"delete_files_in": len(pos_dels), "delete_files_out": 0}
 
     live_paths = [f.path for f in table.data_files()]
-    addrs = spark.read.schema("file_path string, pos long").parquet(
-        *[d.path for d in pos_dels]
-    )
+    addrs = _read_addresses(spark, pos_dels)
     live = spark.createDataFrame([(p,) for p in live_paths], "file_path string")
     merged = (
         addrs.join(F.broadcast(live), "file_path", "left_semi")
@@ -246,5 +269,98 @@ def convert_eq_deletes_to_pos(
         "pos_delete_files_out": len(added),
         "positions": n_pos,
         "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def convert_pos_deletes_to_dv(
+    spark: SparkSession,
+    table: IceliteTable,
+    min_delete_files: int = 1,
+    run_id: str | None = None,
+    timestamp_ms: int | None = None,
+) -> dict:
+    """Rewrite every live position-delete sidecar — v2 row files and
+    existing deletion vectors alike — into ONE v3 deletion-vector sidecar:
+    one bitmap row per still-live addressed data file (Iceberg v3's
+    "position delete files must be rewritten as DVs" table-upgrade step).
+
+    Same swap semantics as rewrite_position_deletes (dangling addresses
+    dropped via a broadcast semi-join against live paths; merged sequence
+    number = max of inputs, sound because paths are never reused), but the
+    output is O(touched files) rows instead of O(deleted positions): the
+    steady-state read cost of a heavily-deleted table becomes one bitmap
+    fetch per scanned file. The pack runs executor-side (grouped-map
+    pandas UDF); the driver never sees a position."""
+    from ..icelite import dv as _dv
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pos_dels = table.pos_delete_files()
+    already_one_dv = (
+        len(pos_dels) == 1
+        and pos_dels[0].delete_format == mf.DELETE_FORMAT_DV
+    )
+    if len(pos_dels) < min_delete_files or already_one_dv:
+        return {"delete_files_in": len(pos_dels), "delete_files_out": 0}
+
+    live = spark.createDataFrame(
+        [(f.path,) for f in table.data_files()], "file_path string"
+    )
+    merged = _read_addresses(spark, pos_dels).join(
+        F.broadcast(live), "file_path", "left_semi"
+    )
+    out_dir = os.path.join(table.location, "data", f"dvrw-{run_id}-posdeletes")
+    (
+        _dv.pack_addresses(merged)
+        .repartitionByRange(1, "file_path")
+        .sortWithinPartitions("file_path")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    added = mf.harvest_stats(out_paths, stat_columns=["file_path"])
+    added = [a for a in added if a.record_count > 0]
+    seq = max(d.sequence_number for d in pos_dels)
+    n_out_rows = 0
+    for a in added:
+        import pyarrow.parquet as _pq
+
+        card = _pq.read_table(a.path, columns=["cardinality"])
+        a.record_count = int(sum(card.column("cardinality").to_pylist()))
+        n_out_rows += a.record_count
+        a.content = mf.CONTENT_POS_DELETES
+        a.delete_format = mf.DELETE_FORMAT_DV
+        a.sequence_number = seq
+
+    n_in_rows = sum(d.record_count for d in pos_dels)
+    snap = table.replace_files(
+        {d.path for d in pos_dels},
+        added,
+        operation="replace",
+        summary={
+            "op": "convert-pos-to-dv",
+            "delete-files-in": str(len(pos_dels)),
+            "delete-files-out": str(len(added)),
+            "dangling-dropped": str(max(0, n_in_rows - n_out_rows)),
+            "run-id": run_id,
+        },
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="convert-pos-to-dv", partition_id=0,
+            files_in=len(pos_dels), files_out=len(added), rows=n_out_rows,
+            bytes_in=sum(d.file_size_bytes for d in pos_dels),
+            bytes_out=sum(a.file_size_bytes for a in added),
+            snapshot_id=snap.snapshot_id, status="done",
+            output_paths=out_paths,
+        )
+    )
+    return {
+        "delete_files_in": len(pos_dels),
+        "delete_files_out": len(added),
+        "positions_in": n_in_rows,
+        "positions_out": n_out_rows,
+        "snapshot_id": snap.snapshot_id,
         "run_id": run_id,
     }

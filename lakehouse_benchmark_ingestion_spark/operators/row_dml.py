@@ -111,6 +111,10 @@ def delete_where(
         return _delete_where_pos(
             spark, table, where, candidates, run_id, timestamp_ms
         )
+    if strategy == "dv":
+        return _delete_where_dv(
+            spark, table, where, candidates, run_id, timestamp_ms
+        )
     if strategy != "cow":
         raise ValueError(f"unknown delete strategy {strategy!r}")
 
@@ -333,6 +337,92 @@ def _delete_where_pos(
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id, op="delete-pos", partition_id=0,
+            files_in=len(candidates), files_out=len(del_paths), rows=n_pos,
+            bytes_in=0, bytes_out=sum(f.file_size_bytes for f in dels),
+            snapshot_id=new_snap.snapshot_id, status="done",
+            output_paths=del_paths,
+        )
+    )
+    return {
+        "files_matched": len(candidates),
+        "delete_files_out": len(del_paths),
+        "deleted_positions": n_pos,
+        "snapshot_id": new_snap.snapshot_id,
+        "run_id": run_id,
+    }
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    table: IceliteTable,
+    where: dict,
+    candidates: list[mf.DataFile],
+    run_id: str,
+    timestamp_ms: int | None,
+) -> dict:
+    """Merge-on-read DELETE as a DELETION VECTOR (Iceberg v3 parity): the
+    matching row addresses are packed into ONE bitmap per addressed data
+    file (executor-side grouped-map pack, icelite/dv.py) and committed as a
+    single CONTENT_POS_DELETES sidecar with delete_format="dv". Semantics
+    are identical to strategy="mor-pos" — exact row surgery, no merge key,
+    no data file rewritten — but the sidecar is O(touched files) rows
+    instead of O(deleted positions): deleting 1% of a 10^12-row table is a
+    few KB of bitmap per touched file, not 10^10 shuffled address rows.
+    Readers expand bitmaps lazily (only for files a scan actually touches);
+    the next compaction materializes and GCs the sidecar like any
+    position delete."""
+    from ..icelite import dv as _dv
+    from ..icelite.table import POS_IDX_COL, POS_PATH_COL
+
+    if not candidates:
+        return {"files_matched": 0, "delete_files_out": 0, "deleted_positions": 0}
+    data = table.read_files(
+        spark, [f.path for f in candidates], with_positions=True
+    )
+    addrs = data.filter(predicate_column(where)).select(
+        F.col(POS_PATH_COL).alias("file_path"),
+        F.col(POS_IDX_COL).alias("pos"),
+    )
+    del_dir = os.path.join(table.location, "data", f"dv-{run_id}-posdeletes")
+    # one row per data file, file_path-sorted in a single sidecar so its
+    # file_path bounds drive read-side pruning exactly like v2 sidecars
+    (
+        _dv.pack_addresses(addrs)
+        .repartitionByRange(1, "file_path")
+        .sortWithinPartitions("file_path")
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+    del_paths = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+    dels = mf.harvest_stats(del_paths, stat_columns=["file_path"])
+    dels = [d for d in dels if d.record_count > 0]
+    if not dels:
+        return {"files_matched": len(candidates), "delete_files_out": 0,
+                "deleted_positions": 0}
+    seq = table.next_sequence_number()
+    n_pos = 0
+    for s in dels:
+        import pyarrow.parquet as _pq
+
+        # record_count of a delete file = number of DELETE RECORDS
+        # (positions), not sidecar rows — one tiny column read per commit
+        card = _pq.read_table(s.path, columns=["cardinality"])
+        s.record_count = int(
+            sum(card.column("cardinality").to_pylist())
+        )
+        n_pos += s.record_count
+        s.content = mf.CONTENT_POS_DELETES
+        s.delete_format = mf.DELETE_FORMAT_DV
+        s.sequence_number = seq
+    new_snap = table.replace_files(
+        set(), dels, operation="delete-pos",
+        summary={"op": "delete-where-dv", "positions": str(n_pos),
+                 "run-id": run_id},
+        timestamp_ms=timestamp_ms,
+    )
+    LineageLog(table.location).write(
+        LineageRow(
+            run_id=run_id, op="delete-dv", partition_id=0,
             files_in=len(candidates), files_out=len(del_paths), rows=n_pos,
             bytes_in=0, bytes_out=sum(f.file_size_bytes for f in dels),
             snapshot_id=new_snap.snapshot_id, status="done",

@@ -118,8 +118,11 @@ class IceliteFilePartition(InputPartition):
     # eq-delete files applying to this file (dseq > fseq), each with the
     # physical name lineage of the merge key inside THAT delete file
     eq_deletes: list = field(default_factory=list)  # [(path, [key candidates])]
-    # pos-delete files whose (file_path) bounds may address this file
-    pos_deletes: list = field(default_factory=list)  # [path]
+    # pos-delete files whose (file_path) bounds may address this file:
+    # (path, delete_format) — "rows" = v2 (file_path, pos) rows, "dv" =
+    # v3 deletion-vector bitmap (one row per data file). Bare-string
+    # entries are accepted and treated as "rows".
+    pos_deletes: list = field(default_factory=list)  # [(path, format)]
     # plan-time column lineage [(logical name, [physical candidates])]:
     # partitions are rebuilt fresh each (micro)batch, so a rename committed
     # mid-stream updates the candidates here while the kernel (pickled once
@@ -157,13 +160,36 @@ class _ArrowFileReader:
             import numpy as np
             import pyarrow.dataset as ds
 
-            dels = ds.dataset(part.pos_deletes).to_table(
-                filter=ds.field("file_path") == part.path, columns=["pos"]
-            )
-            if dels.num_rows:
-                keep = np.ones(t.num_rows, dtype=bool)
-                pos = dels.column("pos").to_numpy()
-                keep[pos[(pos >= 0) & (pos < t.num_rows)]] = False
+            entries = [
+                e if isinstance(e, tuple) else (e, "rows")
+                for e in part.pos_deletes
+            ]
+            row_paths = [p for p, fmt in entries if fmt != "dv"]
+            dv_paths = [p for p, fmt in entries if fmt == "dv"]
+            keep = np.ones(t.num_rows, dtype=bool)
+            masked = False
+            if row_paths:
+                dels = ds.dataset(row_paths).to_table(
+                    filter=ds.field("file_path") == part.path,
+                    columns=["pos"],
+                )
+                if dels.num_rows:
+                    pos = dels.column("pos").to_numpy()
+                    keep[pos[(pos >= 0) & (pos < t.num_rows)]] = False
+                    masked = True
+            if dv_paths:
+                from ..icelite.dv import unpack_positions
+
+                dvs = ds.dataset(dv_paths).to_table(
+                    filter=ds.field("file_path") == part.path,
+                    columns=["dv"],
+                )
+                for dv in dvs.column("dv").to_pylist():
+                    pos = unpack_positions(bytes(dv) if dv else b"")
+                    if pos.size:
+                        keep[pos[(pos >= 0) & (pos < t.num_rows)]] = False
+                        masked = True
+            if masked:
                 t = t.filter(pa.array(keep))
 
         # 2. resolve physical columns to the logical schema (renames ->
@@ -255,7 +281,7 @@ def _plan_partitions(
             and _ranges_overlap(f, d, merge_key)
         ]
         pos = [
-            d.path
+            (d.path, d.delete_format)
             for d in pos_dels
             if pos_delete_addresses(d, f.path, f.sequence_number)
         ]
