@@ -234,3 +234,24 @@ def test_cli_cdc_apply_and_distributed_orphans(spark, warehouse, capsys, tmp_pat
     r = run(capsys, "remove-orphans", "--warehouse", warehouse,
             "--older-than-ms", "0", "--distributed")
     assert r["deleted"] >= 1
+
+
+def test_cli_dv_delete_and_convert(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    base = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+    r = run(
+        capsys, "delete-where", "--warehouse", warehouse,
+        "--where", '{"n_tok": [40, 60]}', "--strategy", "dv",
+    )
+    assert r["delete_files_out"] == 1 and r["deleted_positions"] > 0
+    r = run(
+        capsys, "delete-where", "--warehouse", warehouse,
+        "--where", '{"n_tok": [61, 80]}', "--strategy", "mor-pos",
+    )
+    assert r["delete_files_out"] == 1
+    r = run(capsys, "convert-pos-to-dv", "--warehouse", warehouse)
+    assert r["delete_files_in"] == 2 and r["delete_files_out"] == 1
+    assert r["positions_out"] == r["positions_in"]
+    after = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
+    assert after < base
