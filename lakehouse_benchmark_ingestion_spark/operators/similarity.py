@@ -314,6 +314,17 @@ def ivf_cells(
 
     ``out_col`` holds an ``array<bigint>`` of cell ids (length n_cells).
     """
+    ranked = _centroid_rank_array(vec_col, centroids)
+    cells = F.transform(
+        F.slice(ranked, 1, n_cells), lambda s: -s["nid"]
+    )
+    return df.withColumn(out_col, cells)
+
+
+def _centroid_rank_array(vec_col: str, centroids) -> Column:
+    """Centroid ranking expression shared by ``ivf_cells`` and ``semdedup``:
+    an array of (rounded cosine, -cid) structs sorted best-first, so
+    element 1 is the assigned cell and carries the centroid cosine."""
     entries = []
     for cid, w in centroids:
         wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
@@ -335,11 +346,100 @@ def ivf_cells(
         ww = sum(float(x) * float(x) for x in w)
         c = F.round(d / (F.sqrt(vv) * F.lit(ww) ** 0.5), 6)
         entries.append(F.struct(c.alias("c"), F.lit(-cid).cast("long").alias("nid")))
-    ranked = F.sort_array(F.array(*entries), asc=False)
-    cells = F.transform(
-        F.slice(ranked, 1, n_cells), lambda s: -s["nid"]
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_centroids: int = 8,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings into k-means cells and comparing
+    cosine similarity ONLY within a cell — the paper's trick that turns the
+    O(n²) all-pairs problem into K independent O((n/K)²) problems.
+
+    Keep policy (the paper's, made deterministic): within a cell, rows are
+    ranked by centroid cosine ASCENDING (far-from-centroid "edge" examples
+    rank first; id breaks ties) and a row is DROPPED when some
+    earlier-ranked cell-mate is ≥ ``tau`` cosine-similar to it — the
+    standard one-pass greedy (each above-threshold pair eliminates the
+    more-redundant, closer-to-centroid side). Equivalent formulation used
+    here: the loser of every above-threshold pair is dropped.
+
+    ``centroids=None`` uses the n_centroids lowest-id vectors (deterministic,
+    DuckDB-replayable — the oracle-certified path, same convention as
+    ``ivf_ann_topk``); production would pass ``kmeans_centroids`` output.
+
+    Scale shape: assignment is a map-only pass (centroid literals, JVM
+    folds); the pair stage is a self-equi-join keyed on the cell id — the
+    shuffle moves each row once and no CartesianProduct ever appears (K
+    grows ∝ corpus so cells stay bounded; at 10^12 rows the cell id is the
+    table's partition key and each cell dedups locally).
+
+    Returns (id_col, cell, c_cos, kept) — one row per input row, kept=1
+    for survivors.
+    """
+    if centroids is None:
+        centroids = [
+            (r[0], list(r[1]))
+            for r in df.select(id_col, vec_col)
+            .filter(F.col(id_col) < n_centroids)
+            .collect()
+        ]
+    assigned = (
+        _widen(df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")))
+        .withColumn("_r0", F.element_at(_centroid_rank_array("av", centroids), 1))
+        .select(
+            "a_id",
+            "av",
+            (-F.col("_r0.nid")).alias("cell"),
+            F.col("_r0.c").alias("c_cos"),
+        )
+        .withColumn("_an", norm(F.col("av")))
     )
-    return df.withColumn(out_col, cells)
+    other = assigned.select(
+        F.col("a_id").alias("b_id"),
+        F.col("av").alias("bv"),
+        "cell",
+        F.col("c_cos").alias("b_ccos"),
+        F.col("_an").alias("_bn"),
+    )
+    pairs = (
+        assigned.select(
+            "a_id", "av", "cell", F.col("c_cos").alias("a_ccos"), "_an"
+        )
+        .join(other, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                pair_cosine(F.col("av"), F.col("bv"), F.col("_an"), F.col("_bn")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+    )
+    # rank = (c_cos ASC, id ASC); the pair's loser is its later-ranked side
+    losers = pairs.select(
+        F.when(
+            (F.col("a_ccos") > F.col("b_ccos"))
+            | ((F.col("a_ccos") == F.col("b_ccos")) & (F.col("a_id") > F.col("b_id"))),
+            F.col("a_id"),
+        )
+        .otherwise(F.col("b_id"))
+        .alias("_loser")
+    ).distinct()
+    return assigned.join(
+        losers, assigned["a_id"] == losers["_loser"], "left"
+    ).select(
+        F.col("a_id").alias(id_col),
+        "cell",
+        "c_cos",
+        F.col("_loser").isNull().cast("int").alias("kept"),
+    )
 
 
 def ivf_ann_topk(

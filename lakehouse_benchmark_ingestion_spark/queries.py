@@ -957,7 +957,7 @@ _CERTIFICATION_PRIORITY = [
     "pipe_dedup_minhash_pairs",
     "pipe_dup_clusters",
     "pipe_ann_lsh",
-    "pipe_simhash",
+    "pipe_semdedup",
     "pipe_ngram_jaccard",
     "pipe_incremental_dedup",
     "pipe_span_dedup",
@@ -1010,6 +1010,7 @@ _CERTIFICATION_PRIORITY = [
     # r1-green queries whose SURVEY rows are co-covered by in-window
     # certifiers (multimodal: pipe_multimodal_meta/features; near-dup:
     # pipe_neardup_lsh is the certified path) — first past the cutoff
+    "pipe_simhash",
     "pipe_frame_sample",
     "pipe_embedding_neardup",
     "merge_mor_result",

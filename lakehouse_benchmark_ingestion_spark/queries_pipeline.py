@@ -309,6 +309,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means cells
+    — assignment is map-only against 8 deterministic centroid literals,
+    pairs come from a self-equi-join on the cell id (never a cartesian),
+    and each above-threshold pair drops its closer-to-centroid side. The
+    oracle replays cell assignment, pair scoring, AND the keep policy, so
+    a green row certifies the whole algorithm. One row per corpus vector:
+    (vec_id, cell, c_cos, kept)."""
+    from .operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, "vec_id", "embedding", n_centroids=8, tau=0.4)
+
+
 # ---- near-duplicate pairs by embedding cosine ---------------------------------
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +430,7 @@ QUERIES = {
     "pipe_fingerprint": q_fingerprint,
     "pipe_ann_topk": q_ann_topk,
     "pipe_ann_ivf": q_ann_ivf,
+    "pipe_semdedup": q_semdedup,
     "pipe_embedding_neardup": q_embedding_neardup,
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_multimodal_meta": q_multimodal_meta,
@@ -582,6 +597,42 @@ ORACLES["pipe_ann_ivf"] = f"""
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
       FROM rescored
     ) WHERE rk <= 3
+"""
+
+_SIM_EAEB = f"round({_dot_sql('ea.embedding', 'eb.embedding')} / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')}) * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)"
+
+ORACLES["pipe_semdedup"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         scored AS (
+           SELECT e.vec_id, c.cid,
+                  round({_dot_sql('e.v', 'c.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('c.cv', 'c.cv')})), 6) AS ccos
+           FROM e, c
+         ),
+         assign AS (
+           SELECT vec_id, cid AS cell, ccos FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+             FROM scored
+           ) WHERE rn = 1
+         ),
+         pairs AS (
+           SELECT a.vec_id AS a_id, a.ccos AS a_ccos,
+                  b.vec_id AS b_id, b.ccos AS b_ccos,
+                  {_SIM_EAEB} AS cosine
+           FROM assign a
+           JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+         ),
+         losers AS (
+           SELECT DISTINCT CASE
+             WHEN a_ccos > b_ccos OR (a_ccos = b_ccos AND a_id > b_id)
+             THEN a_id ELSE b_id END AS vec_id
+           FROM pairs WHERE cosine >= 0.4
+         )
+    SELECT s.vec_id, s.cell, s.ccos AS c_cos,
+           CAST(l.vec_id IS NULL AS INT) AS kept
+    FROM assign s LEFT JOIN losers l USING (vec_id)
 """
 
 _SIM_AB = f"round({_dot_sql('a.av', 'b.bv')} / (sqrt({_dot_sql('a.av', 'a.av')}) * sqrt({_dot_sql('b.bv', 'b.bv')})), 6)"

@@ -234,3 +234,39 @@ def test_changelog_pairs_update_images(spark, sequences_table):
         ).count()
         == 0
     )
+
+
+def test_semdedup_keep_policy(spark):
+    """Hand-computed SemDeDup case: two cells, every above-threshold pair
+    drops its closer-to-centroid side, so only the cell-edge examples
+    survive (the paper's keep-lowest-centroid-similarity policy)."""
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import semdedup
+
+    pad = [0.0] * 62  # engine vectors are 64-dim (flat codegen dot)
+    rows = [
+        (10, [1.0, 0.0] + pad),   # cell 0, ccos 1.0
+        (11, [0.9, 0.1] + pad),   # cell 0, ccos ~0.9939
+        (12, [0.0, 1.0] + pad),   # cell 1, ccos 1.0
+        (13, [0.6, 0.8] + pad),   # cell 1, ccos 0.8
+        (14, [1.0, 1.0] + pad),   # centroid-cos tie 0.7071 -> smaller cid -> cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0] + pad), (1, [0.0, 1.0] + pad)]
+    out = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semdedup(df, "vec_id", "embedding", centroids=cents, tau=0.4).collect()
+    }
+    assert {i: c for i, (c, _) in out.items()} == {10: 0, 11: 0, 12: 1, 13: 1, 14: 0}
+    # cell 0 all-pairs above tau -> only the farthest-from-centroid (14) kept;
+    # cell 1 pair (12,13) drops the centroid-closer 12
+    assert {i for i, (_, k) in out.items() if k == 1} == {13, 14}
+
+
+def test_semdedup_no_pairs_keeps_everything(spark):
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import semdedup
+
+    pad = [0.0] * 62
+    rows = [(0, [1.0, 0.0] + pad), (1, [0.0, 1.0] + pad)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, "vec_id", "embedding", n_centroids=2, tau=0.99).collect()
+    assert sorted((r.vec_id, r.kept) for r in out) == [(0, 1), (1, 1)]

@@ -89,3 +89,16 @@ def test_icelite_scan_pushes_where_filters(spark, sequences_table):
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(n_tok,100" in plan.replace(" ", "")
+
+
+def test_semdedup_plan_is_cell_equi_join(spark):
+    # SemDeDup's whole point: pairwise cosine only WITHIN a k-means cell —
+    # the pair stage must be an equi-join keyed on the cell id, never a
+    # cartesian/nested-loop all-pairs plan
+    from lakehouse_benchmark_ingestion_spark.queries_pipeline import q_semdedup
+
+    plan = _plan(q_semdedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert keys and any("cell" in k for k in keys), keys
