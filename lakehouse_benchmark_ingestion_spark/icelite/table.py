@@ -661,6 +661,26 @@ class IceliteTable:
 
         return read
 
+    def write_mode(self, op: str, default: str = "cow") -> str:
+        """Resolve the Iceberg write-mode table property for a row-level
+        operation (``write.delete.mode`` / ``write.update.mode`` /
+        ``write.merge.mode``): Iceberg names map to engine strategies —
+        ``copy-on-write`` → ``cow``; ``merge-on-read`` → position deletes
+        for DELETE (Iceberg-Spark's MOR delete shape) and ``mor`` for
+        UPDATE/MERGE. Engine-native strategy names (``cow``/``mor``/
+        ``mor-pos``/``dv``) pass through, so a table can pin e.g. deletion
+        vectors as its default. Callers that pass an explicit strategy
+        bypass this entirely."""
+        val = self.meta.properties.get(f"write.{op}.mode")
+        if val is None:
+            return default
+        v = str(val).strip().lower()
+        if v == "copy-on-write":
+            return "cow"
+        if v == "merge-on-read":
+            return "mor-pos" if op == "delete" else "mor"
+        return v
+
     def recorded_merge_key(self) -> str | None:
         """The equality-delete key persisted at merge-on-read commit time
         (property ``merge-key``). Scans MUST apply outstanding eq-deletes

@@ -112,7 +112,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
     p.add_argument("--key", default="doc_id")
-    p.add_argument("--strategy", default="cow", choices=["cow", "mor", "mor-pos", "dv"])
+    p.add_argument(
+        "--strategy", default=None,
+        choices=["cow", "mor", "mor-pos", "dv"],
+        help="row-DML write path; omitted -> the table's write.<op>.mode property, else cow",
+    )
     p.add_argument("--snapshot-id", type=int)
     p.add_argument("--from-snapshot", type=int)
     p.add_argument("--to-snapshot", type=int)

@@ -52,7 +52,7 @@ def merge_into(
     run_id: str | None = None,
     target_file_size: int = 128 * 1024 * 1024,
     timestamp_ms: int | None = None,
-    strategy: str = "cow",
+    strategy: str | None = None,
 ) -> dict:
     """``strategy="cow"``: stats-pruned copy-on-write rewrite (default).
     ``strategy="mor"``: merge-on-read — write the update batch as new data
@@ -62,7 +62,13 @@ def merge_into(
     ``format-version=2`` + ``write.upsert.enabled`` (IcebergCatalogSync.java:
     112-115): every upsert row becomes eq-delete + insert. COW pays at write
     (rewrite matched files), MOR pays at read (anti-join) until compaction
-    materializes the deletes."""
+    materializes the deletes.
+
+    ``strategy=None`` consults the Iceberg ``write.merge.mode`` table
+    property (copy-on-write → cow, merge-on-read → mor), defaulting to
+    cow."""
+    if strategy is None:
+        strategy = table.write_mode("merge")
     run_id = run_id or uuid.uuid4().hex[:12]
     snap = table.current_snapshot()
     files = table.data_files(snap.snapshot_id) if snap else []

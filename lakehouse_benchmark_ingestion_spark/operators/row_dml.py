@@ -88,14 +88,20 @@ def delete_where(
     spark: SparkSession,
     table: IceliteTable,
     where: dict,
-    strategy: str = "cow",
+    strategy: str | None = None,
     target_file_size: int = 128 * 1024 * 1024,
     key: str = "doc_id",
     run_id: str | None = None,
     timestamp_ms: int | None = None,
     verify_key_safety: bool = True,
 ) -> dict:
-    """DELETE FROM table WHERE <where>. Returns commit metrics."""
+    """DELETE FROM table WHERE <where>. Returns commit metrics.
+
+    ``strategy=None`` consults the Iceberg ``write.delete.mode`` table
+    property (copy-on-write → cow, merge-on-read → mor-pos; engine names
+    pass through), defaulting to cow."""
+    if strategy is None:
+        strategy = table.write_mode("delete")
     run_id = run_id or uuid.uuid4().hex[:12]
     snap = table.current_snapshot()
     files = table.data_files(snap.snapshot_id) if snap else []
@@ -445,7 +451,7 @@ def update_where(
     assignments: dict[str, str],
     target_file_size: int = 128 * 1024 * 1024,
     key: str = "doc_id",
-    strategy: str = "cow",
+    strategy: str | None = None,
     run_id: str | None = None,
     timestamp_ms: int | None = None,
 ) -> dict:
@@ -460,7 +466,13 @@ def update_where(
     merge key involved, exact row surgery) and the updated copies appended
     as new data files, all in ONE atomic commit; write cost is O(matching
     rows), no candidate file rewritten. Readers apply the pos-delete via
-    the pos-aware scan; the next compaction materializes it."""
+    the pos-aware scan; the next compaction materializes it.
+
+    ``strategy=None`` consults the Iceberg ``write.update.mode`` table
+    property (copy-on-write → cow, merge-on-read → mor), defaulting to
+    cow."""
+    if strategy is None:
+        strategy = table.write_mode("update")
     run_id = run_id or uuid.uuid4().hex[:12]
     schema = table.schema
     for c in assignments:

@@ -958,9 +958,9 @@ _CERTIFICATION_PRIORITY = [
     "pipe_dup_clusters",
     "pipe_ann_lsh",
     "pipe_semdedup",
-    "pipe_ngram_jaccard",
     "pipe_incremental_dedup",
     "pipe_span_dedup",
+    "pipe_chunk_windows",
     # streaming surface (S1), never driver-checked
     "stream_ingested_scan",
     "stream_merge_upsert",
@@ -1011,6 +1011,7 @@ _CERTIFICATION_PRIORITY = [
     # certifiers (multimodal: pipe_multimodal_meta/features; near-dup:
     # pipe_neardup_lsh is the certified path) — first past the cutoff
     "pipe_simhash",
+    "pipe_ngram_jaccard",
     "pipe_frame_sample",
     "pipe_embedding_neardup",
     "merge_mor_result",

@@ -413,6 +413,55 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W = 32  # context-window width (tokens)
+CHUNK_STRIDE = 24  # window stride (8-token overlap carries context across chunks)
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking — the standard pretraining transform
+    that turns variable-length documents into fixed-width training windows
+    (W=32 tokens at stride 24, so consecutive chunks share an 8-token
+    overlap and the partial tail chunk is KEPT — unlike span-dedup's
+    detector grid, a chunker must not drop trailing text).
+
+    Scale shape: one generator explode per row, zero shuffles, zero Python
+    — the start-offset grid is a `sequence()` literal and the chunk digest
+    a JVM md5 over the token slice. Emits (doc_id, chunk_off, n_chunk_tok,
+    chunk_md5): the digest stands in for shipping the slice itself, which
+    at 10^12 sequences keeps the result ~40 bytes/chunk."""
+    seqs = tokens_df(spark, sf_dir)
+    return (
+        seqs.filter(F.col("n_tok") >= 1)
+        .select(
+            "doc_id",
+            "tokens",
+            "n_tok",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            F.col("off").cast("long").alias("chunk_off"),
+            F.least(
+                F.lit(CHUNK_W).cast("long"),
+                (F.col("n_tok") - F.col("off")).cast("long"),
+            ).alias("n_chunk_tok"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        f"transform(slice(tokens, off + 1, {CHUNK_W}),"
+                        " x -> cast(x as string))"
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def q_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data prep pipeline as ONE composed dataflow:
     quality filter (length >= 100) → exact dedup (keep min doc_id per md5)
@@ -559,6 +608,7 @@ QUERIES = {
     "pipe_curriculum_batches": q_curriculum_batches,
     "pipe_bigram_topk": q_bigram_topk,
     "pipe_span_dedup": q_span_dedup,
+    "pipe_chunk_windows": q_chunk_windows,
     "pipe_e2e_training_prep": q_e2e_training_prep,
     "pipe_length_quantiles": q_length_quantiles,
     "rel_asof_error_click": q_asof_error_click,
@@ -813,6 +863,20 @@ def _incremental_dedup_oracle() -> str:
         FROM documents d WHERE d.doc_id % 10 = 7
     """
 
+
+ORACLES["pipe_chunk_windows"] = f"""
+WITH seq AS ({TOKENS_ORACLE_SQL}),
+offs AS (
+  SELECT doc_id, tokens, n_tok,
+         unnest(range(0, n_tok, {CHUNK_STRIDE})) AS off
+  FROM seq WHERE n_tok >= 1
+)
+SELECT doc_id,
+       off AS chunk_off,
+       least(CAST({CHUNK_W} AS BIGINT), CAST(n_tok - off AS BIGINT)) AS n_chunk_tok,
+       md5(array_to_string(list_slice(tokens, off + 1, off + {CHUNK_W}), ',')) AS chunk_md5
+FROM offs
+"""
 
 ORACLES["pipe_incremental_dedup"] = _incremental_dedup_oracle()
 

@@ -284,3 +284,51 @@ def test_update_where_mor_does_not_resurrect_deleted_rows(spark, ranged_table):
     # nothing >= 60 or in [50,54] resurrected
     assert out.filter(F.col("n_tok") >= 60).count() == 0
     assert out.filter((F.col("n_tok") >= 50) & (F.col("n_tok") <= 54)).count() == 0
+
+
+def test_write_mode_properties_steer_default_strategy(spark, warehouse):
+    """Iceberg write-mode table properties: with write.delete.mode /
+    write.update.mode = merge-on-read set on the table, strategy-less DML
+    takes the MOR path (no data file rewritten); an explicit strategy arg
+    still overrides; a property-less table defaults to copy-on-write."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+        delete_where,
+        update_where,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table("wmode", df.schema)
+    tbl.append(df.repartitionByRange(4, "n_tok"))
+    tbl.set_properties({
+        "write.delete.mode": "merge-on-read",
+        "write.update.mode": "merge-on-read",
+    })
+    assert tbl.write_mode("delete") == "mor-pos"
+    assert tbl.write_mode("update") == "mor"
+    assert tbl.write_mode("merge") == "cow"  # unset -> default
+
+    files_before = {f.path for f in tbl.data_files()}
+    delete_where(spark, tbl, {"n_tok": (100, None)})  # no strategy arg
+    assert {f.path for f in tbl.data_files()} == files_before
+    assert len(tbl.pos_delete_files()) == 1
+
+    update_where(spark, tbl, {"n_tok": (None, 20)}, {"source": "'patched'"})
+    assert files_before <= {f.path for f in tbl.data_files()}  # appends only
+    assert len(tbl.pos_delete_files()) == 2
+    assert tbl.scan(spark).filter(F.col("n_tok") >= 100).count() == 0
+
+    # explicit arg overrides the property: cow rewrites, sidecar count flat
+    delete_where(spark, tbl, {"n_tok": (90, 95)}, strategy="cow")
+    assert len(tbl.pos_delete_files()) == 2
+
+    # engine-native property value passes through (dv)
+    tbl2 = cat.create_table("wmode2", df.schema)
+    tbl2.append(df.limit(50))
+    tbl2.set_properties({"write.delete.mode": "dv"})
+    delete_where(spark, tbl2, {"n_tok": (40, None)})
+    dv = [f for f in tbl2.pos_delete_files() if f.delete_format == "dv"]
+    assert len(dv) == 1
