@@ -34,24 +34,34 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..icelite.table import IceliteTable
 from ..operators.merge_into import merge_into
+from .cdc import cdc_apply_batch
 
 ENVELOPE_SCHEMA = StructType(
     [
         StructField("_table", StringType(), False),
         StructField("_seq", LongType(), True),
+        StructField("_op", StringType(), True),
         StructField("_payload", StringType(), False),
     ]
 )
 
 
-def envelope(df: DataFrame, table_name: str, seq_col: str | None = None) -> DataFrame:
+def envelope(
+    df: DataFrame,
+    table_name: str,
+    seq_col: str | None = None,
+    op_col: str | None = None,
+) -> DataFrame:
     """Wrap a typed DataFrame as envelope rows for the multiplexed feed.
-    ``seq_col`` (for merge feeds) rides OUTSIDE the payload, like a binlog
-    position; payload columns are the table row exactly."""
-    payload_cols = [c for c in df.columns if c != seq_col]
+    ``seq_col`` (for merge/cdc feeds) and ``op_col`` (for cdc feeds: the
+    Debezium I/U/D row kind) ride OUTSIDE the payload, like a binlog
+    position and row-kind header; payload columns are the table row
+    exactly."""
+    payload_cols = [c for c in df.columns if c not in (seq_col, op_col)]
     return df.select(
         F.lit(table_name).alias("_table"),
         (F.col(seq_col) if seq_col else F.lit(0)).cast("long").alias("_seq"),
+        (F.col(op_col) if op_col else F.lit(None)).cast("string").alias("_op"),
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("_payload"),
     )
 
@@ -68,9 +78,12 @@ def stream_ingest_multiplexed(
 ) -> dict:
     """Drain an envelope feed into every registered table (availableNow).
 
-    ``modes``: per-table ``"append"`` (default) or ``"merge"`` (upsert on
-    ``keys[table]``, sequence = the envelope ``_seq``). Returns metrics:
-    batches committed and rows routed per table.
+    ``modes``: per-table ``"append"`` (default), ``"merge"`` (upsert on
+    ``keys[table]``, sequence = the envelope ``_seq``), or ``"cdc"``
+    (Debezium I/U/D row kinds in the envelope ``_op`` column, applied as
+    one merge-on-read commit per micro-batch — the reference's full
+    row-kind surface, SyncDbFunction.java:88-97, multiplexed). Returns
+    metrics: batches committed and rows routed per table.
     """
     modes = modes or {}
     keys = keys or {}
@@ -113,26 +126,49 @@ def stream_ingest_multiplexed(
                         "multiplexed feed carries rows for unregistered tables"
                     )
             for name, tbl in tables.items():
-                typed = (
+                routed = (
                     batch_df.filter(F.col("_table") == name)
                     .select(
-                        F.from_json("_payload", tbl.schema).alias("_r"), "_seq"
+                        F.from_json("_payload", tbl.schema).alias("_r"),
+                        "_seq",
+                        "_op",
                     )
-                    .select("_r.*", "_seq")
+                    .select("_r.*", "_seq", "_op")
                 )
-                if typed.isEmpty():
+                if routed.isEmpty():
                     continue
-                if modes.get(name, "append") == "merge":
+                mode = modes.get(name, "append")
+                if mode == "merge":
                     res = merge_into(
-                        spark, tbl, typed,
+                        spark, tbl, routed.drop("_op"),
                         key=keys.get(name, "doc_id"), seq_col="_seq",
                     )
                     metrics["routed"][name] += res.get("updates", 0) or 0
+                elif mode == "cdc":
+                    # not replay-idempotent snapshot-wise (each apply adds
+                    # an eq-delete + images commit) — guard per table like
+                    # append; a missing _op defaults to I (upsert-safe)
+                    last = tbl.meta.properties.get(stream_prop)
+                    if last is not None and batch_id <= int(last):
+                        continue
+                    typed = routed.withColumn(
+                        "_op", F.coalesce(F.col("_op"), F.lit("I"))
+                    )
+                    res = cdc_apply_batch(
+                        spark, tbl, typed,
+                        key=keys.get(name, "doc_id"),
+                        op_col="_op", seq_col="_seq",
+                        set_properties={stream_prop: str(batch_id)},
+                        run_id=f"b{batch_id}",
+                    )
+                    metrics["routed"][name] += (
+                        res["upserts"] + res["delete_keys"]
+                    )
                 else:
                     last = tbl.meta.properties.get(stream_prop)
                     if last is not None and batch_id <= int(last):
                         continue
-                    out = typed.drop("_seq")
+                    out = routed.drop("_seq", "_op")
                     tbl.append(out, set_properties={stream_prop: str(batch_id)})
                     metrics["routed"][name] += out.count()
         finally:

@@ -177,3 +177,84 @@ def test_multiplex_replay_exactly_once_per_table(spark, warehouse, tmp_path):
     assert len(tdocs.history()) == s_docs
     assert tevts.scan(spark).count() == n_evts, "evts must catch up, once"
     assert tevts.scan(spark).exceptAll(evts).count() == 0
+
+
+def test_cdc_mode_in_multiplexed_feed(spark, warehouse, tmp_path):
+    """One mixed drop carries Debezium I/U/D rows for a cdc-mode table AND
+    plain append rows for a second table — the reference's full row-kind
+    surface (SyncDbFunction.java:88-97) composed with its side-output
+    routing (SyncDbFunction.java:166-193) in a single feed."""
+    docs, evts = _feeds(spark)
+    cat = Catalog(warehouse)
+    tdocs = cat.create_table("docs", docs.schema)
+    tdocs.append(docs)
+    tevts = cat.create_table("evts", evts.schema)
+
+    changes = spark.createDataFrame(
+        [
+            (0, "text-0-v2", "en", "sX", 777, "U", 1),
+            (1, None, None, None, None, "D", 2),
+            (100, "text-100", "en", "sN", 5, "I", 3),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _op string, _seq long",
+    )
+    feed = str(tmp_path / "feed")
+    drop_envelope_batches(
+        [
+            envelope(changes, "docs", seq_col="_seq", op_col="_op"),
+            envelope(evts, "evts"),
+        ],
+        feed, n_batches=1,
+    )
+    m = stream_ingest_multiplexed(
+        spark, {"docs": tdocs, "evts": tevts}, feed + "/drop-*",
+        str(tmp_path / "ckpt"), modes={"docs": "cdc"}, keys={"docs": "doc_id"},
+    )
+    got = {r.doc_id: (r.n_chars, r.source) for r in tdocs.scan(spark).collect()}
+    assert len(got) == 20  # 20 base - 1 delete + 1 insert
+    assert 1 not in got, "D row must remove the base image"
+    assert got[0] == (777, "sX"), "U row must replace the base image"
+    assert got[100] == (5, "sN"), "I row must land"
+    assert got[10] == (20, "s1"), "untouched row intact"
+    assert tevts.scan(spark).count() == 30
+    assert m["routed"]["evts"] == 30
+
+
+def test_cdc_mode_replay_skipped(spark, warehouse, tmp_path):
+    """A redelivered micro-batch must not re-apply a cdc-mode table's
+    changes (each apply is a new eq-delete+images commit, so the batch
+    watermark — committed atomically with the snapshot — is the guard)."""
+    from tests.test_streaming import _rollback_last_stream_commit
+
+    docs, _ = _feeds(spark)
+    cat = Catalog(warehouse)
+    tdocs = cat.create_table("docs", docs.schema)
+    tdocs.append(docs)
+    changes = spark.createDataFrame(
+        [(0, "v2", "en", "sX", 777, "U", 1), (1, None, None, None, None, "D", 2)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _op string, _seq long",
+    )
+    feed, ck = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    drop_envelope_batches(
+        [envelope(changes, "docs", seq_col="_seq", op_col="_op")], feed, 1
+    )
+    stream_ingest_multiplexed(
+        spark, {"docs": tdocs}, feed + "/drop-*", ck,
+        modes={"docs": "cdc"}, keys={"docs": "doc_id"},
+    )
+    state = sorted(
+        (r.doc_id, r.n_chars) for r in tdocs.scan(spark).collect()
+    )
+    n_snaps = len(tdocs.history())
+
+    _rollback_last_stream_commit(ck)
+    stream_ingest_multiplexed(
+        spark, {"docs": tdocs}, feed + "/drop-*", ck,
+        modes={"docs": "cdc"}, keys={"docs": "doc_id"},
+    )
+    assert len(tdocs.history()) == n_snaps, "replayed batch must be a no-op"
+    assert state == sorted(
+        (r.doc_id, r.n_chars) for r in tdocs.scan(spark).collect()
+    )
