@@ -47,6 +47,11 @@ CONTENT_POS_DELETES = "pos-deletes"
 DELETE_FORMAT_ROWS = "rows"  # parquet rows of (file_path, pos) — v2 shape
 DELETE_FORMAT_DV = "dv"  # one row per data file: (file_path, dv bitmap)
 
+# DataFile.lineage value for rewrite outputs that physically carry the
+# _row_id / _last_updated_sequence_number columns (Iceberg v3 writer
+# contract: a copied row keeps its lineage, so rewrites materialize it)
+LINEAGE_MATERIALIZED = "materialized"
+
 
 @dataclass
 class DataFile:
@@ -85,6 +90,15 @@ class DataFile:
     # row per addressed data file carrying a packed position bitmap.
     # Meaningless (and left at default) for data / eq-delete files.
     delete_format: str = DELETE_FORMAT_ROWS
+    # Iceberg v3 row lineage: id of this file's first row; row i of the file
+    # has _row_id = first_row_id + i. Assigned INSIDE the optimistic commit
+    # (atomic against the table's next_row_id counter). None = unassigned
+    # (lineage off, pre-lineage file, or lineage == "materialized").
+    first_row_id: int | None = None
+    # "" = row ids derive from first_row_id + position; "materialized" = the
+    # file physically carries _row_id / _last_updated_sequence_number columns
+    # (written by rewrites, which must PRESERVE ids — v3 writer contract).
+    lineage: str = ""
 
     def to_row(self) -> dict:
         return {
@@ -100,6 +114,8 @@ class DataFile:
             "partition_json": self.partition_json,
             "sort_order": self.sort_order,
             "delete_format": self.delete_format,
+            "first_row_id": self.first_row_id,
+            "lineage": self.lineage,
         }
 
 
@@ -129,6 +145,8 @@ MANIFEST_SCHEMA = pa.schema(
         pa.field("partition_json", pa.string(), nullable=False),
         pa.field("sort_order", pa.string(), nullable=False),
         pa.field("delete_format", pa.string(), nullable=False),
+        pa.field("first_row_id", pa.int64(), nullable=True),
+        pa.field("lineage", pa.string(), nullable=True),
     ]
 )
 
@@ -406,6 +424,8 @@ def read_manifest(location: str, name: str) -> list[DataFile]:
             partition_json=f.partition_json,
             sort_order=f.sort_order,
             delete_format=f.delete_format,
+            first_row_id=f.first_row_id,
+            lineage=f.lineage,
         )
         for f in parsed
     ]
@@ -434,6 +454,9 @@ def _parse_manifest(path: str) -> list[DataFile]:
                 sort_order=row.get("sort_order") or "",
                 # manifests written before deletion vectors lack this
                 delete_format=row.get("delete_format") or DELETE_FORMAT_ROWS,
+                # manifests written before row lineage lack these
+                first_row_id=row.get("first_row_id"),
+                lineage=row.get("lineage") or "",
             )
         )
     return out

@@ -42,6 +42,11 @@ class Snapshot:
     operation: str  # append | replace | merge | expire | rewrite-manifests
     manifests: list[str]  # manifest file names relative to metadata/
     summary: dict = field(default_factory=dict)
+    # Iceberg v3 row lineage: the first row id this snapshot's freshly-added
+    # data rows were assigned from (None = lineage off, or no fresh rows).
+    # Recorded for audit; the authoritative per-file value lives in the
+    # manifest entry (DataFile.first_row_id), assigned inside the commit.
+    first_row_id: int | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -55,6 +60,7 @@ class Snapshot:
             operation=d["operation"],
             manifests=list(d["manifests"]),
             summary=dict(d.get("summary", {})),
+            first_row_id=d.get("first_row_id"),
         )
 
 
@@ -77,6 +83,9 @@ class TableMetadata:
     # "type": "tag" | "branch"}. Tags are immutable pins (time travel);
     # branches are movable heads that writes can target (write-audit-publish).
     refs: dict = field(default_factory=dict)
+    # Iceberg v3 row-lineage counter: the next unassigned row id. Monotone —
+    # rewrites/rollbacks never reclaim ids (paths and ids are never reused).
+    next_row_id: int = 0
 
     # ---- accessors -------------------------------------------------------
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
@@ -100,6 +109,7 @@ class TableMetadata:
             "last_updated_ms": self.last_updated_ms,
             "column_aliases": self.column_aliases,
             "refs": self.refs,
+            "next_row_id": self.next_row_id,
         }
 
     @staticmethod
@@ -115,6 +125,7 @@ class TableMetadata:
             format_version=d.get("format_version", FORMAT_VERSION),
             column_aliases=dict(d.get("column_aliases", {})),
             refs=dict(d.get("refs", {})),
+            next_row_id=d.get("next_row_id", 0),
         )
 
 

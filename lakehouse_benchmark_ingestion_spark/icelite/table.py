@@ -29,6 +29,13 @@ POS_IDX_COL = "__icelite_fpos"
 # pos-delete sides beneath this total size ride a broadcast anti-join
 POS_DELETE_BROADCAST_BYTES = 256 * 1024 * 1024
 
+# Iceberg v3 row lineage: table property gate + the two virtual columns a
+# lineage scan exposes (spec names). Enabled per table ("true"); every data
+# commit then assigns row ids inside the optimistic commit loop.
+ROW_LINEAGE_PROP = "row-lineage.enabled"
+LINEAGE_ROW_ID_COL = "_row_id"
+LINEAGE_SEQ_COL = "_last_updated_sequence_number"
+
 
 class IceliteTable:
     def __init__(self, location: str):
@@ -120,13 +127,16 @@ class IceliteTable:
                     "bucket": f.bucket,
                     "partition_json": f.partition_json,
                     "sort_order": f.sort_order,
+                    "first_row_id": f.first_row_id,
+                    "lineage": f.lineage,
                 }
                 for f in self.all_files()
             ]
             schema = (
                 "path string, content string, record_count long, "
                 "file_size_bytes long, sequence_number long, bucket long, "
-                "partition_json string, sort_order string"
+                "partition_json string, sort_order string, "
+                "first_row_id long, lineage string"
             )
         elif kind == "snapshots":
             rows = [
@@ -536,6 +546,44 @@ class IceliteTable:
             df = df.withColumn(n, F.coalesce(F.col(n), *[F.col(o) for o in olds]))
         return df.select(*cols)
 
+    def _pos_delete_addr_df(self, spark: SparkSession, pos_dels: list[mf.DataFile]):
+        """Expanded ``(file_path, pos)`` addresses of the given pos-delete
+        sidecars (v2 row files + v3 deletion vectors), broadcast when the
+        expanded size fits — the one address set both ``pos_reader`` and
+        lineage reads anti-join against."""
+        from functools import reduce
+
+        from pyspark.sql import DataFrame as _DF
+        from pyspark.sql import functions as F
+
+        from . import dv as _dv
+
+        row_sidecars = [
+            d for d in pos_dels if d.delete_format != mf.DELETE_FORMAT_DV
+        ]
+        dv_sidecars = [
+            d for d in pos_dels if d.delete_format == mf.DELETE_FORMAT_DV
+        ]
+        del_parts = []
+        if row_sidecars:
+            del_parts.append(
+                spark.read.schema("file_path string, pos long")
+                .parquet(*[d.path for d in row_sidecars])
+            )
+        if dv_sidecars:
+            del_parts.append(
+                _dv.expand_addresses(spark, [d.path for d in dv_sidecars])
+            )
+        dels = reduce(_DF.unionByName, del_parts).distinct()
+        # DV record_count = positions, so expanded size is known
+        est_bytes = sum(d.file_size_bytes for d in row_sidecars) + sum(
+            d.record_count * _dv.EXPANDED_BYTES_PER_POSITION
+            for d in dv_sidecars
+        )
+        if est_bytes <= POS_DELETE_BROADCAST_BYTES:
+            dels = F.broadcast(dels)
+        return dels
+
     def pos_reader(self, spark: SparkSession, snapshot_id: int | None = None):
         """Reader factory applying outstanding POSITION deletes (v2
         pos-delete files) for the given snapshot: ``reader(paths) ->
@@ -573,39 +621,8 @@ class IceliteTable:
             if clean:
                 parts.append(self.read_files(spark, clean))
             if hit:
-                from . import dv as _dv
-
                 data = self.read_files(spark, hit, with_positions=True)
-                row_sidecars = [
-                    d for d in pos_dels
-                    if d.delete_format != mf.DELETE_FORMAT_DV
-                ]
-                dv_sidecars = [
-                    d for d in pos_dels
-                    if d.delete_format == mf.DELETE_FORMAT_DV
-                ]
-                del_parts = []
-                if row_sidecars:
-                    del_parts.append(
-                        spark.read.schema("file_path string, pos long")
-                        .parquet(*[d.path for d in row_sidecars])
-                    )
-                if dv_sidecars:
-                    del_parts.append(
-                        _dv.expand_addresses(
-                            spark, [d.path for d in dv_sidecars]
-                        )
-                    )
-                dels = reduce(_DF.unionByName, del_parts).distinct()
-                # DV record_count = positions, so expanded size is known
-                est_bytes = sum(
-                    d.file_size_bytes for d in row_sidecars
-                ) + sum(
-                    d.record_count * _dv.EXPANDED_BYTES_PER_POSITION
-                    for d in dv_sidecars
-                )
-                if est_bytes <= POS_DELETE_BROADCAST_BYTES:
-                    dels = F.broadcast(dels)
+                dels = self._pos_delete_addr_df(spark, pos_dels)
                 survivors = data.join(
                     dels,
                     (F.col(POS_PATH_COL) == F.col("file_path"))
@@ -858,6 +875,53 @@ class IceliteTable:
             branch=branch, set_properties=set_properties,
         )
 
+    # ---- row lineage (Iceberg v3) ---------------------------------------
+    def row_lineage_enabled(self, meta: md.TableMetadata | None = None) -> bool:
+        props = (meta if meta is not None else self.meta).properties
+        return str(props.get(ROW_LINEAGE_PROP, "")).lower() == "true"
+
+    def _assign_row_ids(
+        self, meta: md.TableMetadata, manifest_names: list[str]
+    ) -> tuple[list[str], int | None]:
+        """Row-lineage assignment, run INSIDE a commit mutate: every fresh
+        data file in the given manifests gets ``first_row_id`` from the
+        table's ``next_row_id`` counter (row i of the file is row id
+        first_row_id + i — Iceberg v3 inheritance, flattened to the
+        manifest entry so readers never walk snapshot history). Cost is
+        O(added files) per commit: only manifests that needed assignment
+        are rewritten; a retried attempt re-assigns against the fresh
+        counter (the losing attempt's manifest becomes a dead metadata
+        file). Rewrite outputs marked ``lineage=materialized`` carry their
+        ids physically and consume nothing. Equality-delete files are
+        refused — an eq-delete cannot say WHICH row ids die, so lineage
+        tables must delete by position/DV (the v3 direction)."""
+        base = meta.next_row_id
+        out_names: list[str] = []
+        assigned_any = False
+        for name in manifest_names:
+            files = mf.read_manifest(self.location, name)
+            if any(f.content == mf.CONTENT_EQ_DELETES for f in files):
+                raise ValueError(
+                    "row-lineage table cannot commit equality-delete files; "
+                    "use position/dv delete strategies (write.delete.mode)"
+                )
+            need = [
+                f
+                for f in files
+                if f.content == mf.CONTENT_DATA
+                and f.lineage != mf.LINEAGE_MATERIALIZED
+                and f.first_row_id is None
+            ]
+            if not need:
+                out_names.append(name)
+                continue
+            for f in need:
+                f.first_row_id = meta.next_row_id
+                meta.next_row_id += f.record_count
+            out_names.append(mf.write_manifest(self.location, files))
+            assigned_any = True
+        return out_names, (base if assigned_any else None)
+
     def replace_files(
         self,
         removed_paths: set[str],
@@ -928,8 +992,15 @@ class IceliteTable:
                     f"replace_files: {len(removed_paths) - seen_removed} of "
                     f"{len(removed_paths)} files to remove are not in the current snapshot"
                 )
+            first_row_id = None
             if added_manifest:
-                new_manifests.append(added_manifest)
+                if self.row_lineage_enabled(meta):
+                    names, first_row_id = self._assign_row_ids(
+                        meta, [added_manifest]
+                    )
+                    new_manifests.extend(names)
+                else:
+                    new_manifests.append(added_manifest)
             sid = md.new_snapshot_id(meta)
             snap = md.Snapshot(
                 snapshot_id=sid,
@@ -942,6 +1013,7 @@ class IceliteTable:
                     "added-files": str(len(added)),
                     **(summary or {}),
                 },
+                first_row_id=first_row_id,
             )
             meta.snapshots.append(snap)
             meta.current_snapshot_id = sid
@@ -970,14 +1042,19 @@ class IceliteTable:
         added_manifest = mf.write_manifest(self.location, added) if added else None
 
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            names = [added_manifest] if added_manifest else []
+            first_row_id = None
+            if names and self.row_lineage_enabled(meta):
+                names, first_row_id = self._assign_row_ids(meta, names)
             sid = md.new_snapshot_id(meta)
             snap = md.Snapshot(
                 snapshot_id=sid,
                 parent_id=meta.current_snapshot_id,
                 timestamp_ms=timestamp_ms or md.now_ms(),
                 operation=operation,
-                manifests=[added_manifest] if added_manifest else [],
+                manifests=names,
                 summary={"added-files": str(len(added)), "truncate": "true"},
+                first_row_id=first_row_id,
             )
             meta.snapshots.append(snap)
             meta.current_snapshot_id = sid
@@ -1010,14 +1087,19 @@ class IceliteTable:
             else:
                 parent_sid = meta.current_snapshot_id
                 parent = meta.snapshot()
+            add_names = list(add_manifests)
+            first_row_id = None
+            if add_names and self.row_lineage_enabled(meta):
+                add_names, first_row_id = self._assign_row_ids(meta, add_names)
             sid = md.new_snapshot_id(meta)
             snap = md.Snapshot(
                 snapshot_id=sid,
                 parent_id=parent_sid,
                 timestamp_ms=timestamp_ms or md.now_ms(),
                 operation=operation,
-                manifests=(parent.manifests if parent else []) + add_manifests,
+                manifests=(parent.manifests if parent else []) + add_names,
                 summary={},
+                first_row_id=first_row_id,
             )
             meta.snapshots.append(snap)
             if branch is not None:
@@ -1244,4 +1326,138 @@ class IceliteTable:
                     df = df.filter(F.col(col) == cond)
         if columns:
             df = df.select(*columns)
+        return df
+
+    # ---- row-lineage read path (Iceberg v3) ------------------------------
+    def lineage_read(
+        self,
+        spark: SparkSession,
+        files: list[mf.DataFile],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read the given data files with the two v3 lineage columns:
+        ``_row_id`` (stable per-row identity) and
+        ``_last_updated_sequence_number``. Fresh files derive both from the
+        manifest entry (first_row_id + position, file sequence number — a
+        metadata-only broadcast map, no per-row state); rewrite outputs
+        marked ``lineage=materialized`` carry them physically and win via
+        coalesce. Pre-lineage files yield NULLs (the spec's "unassigned").
+        Position deletes / DVs are applied (address anti-join); outstanding
+        EQUALITY deletes are refused — lineage tables delete by position
+        (enforced at commit time by ``_assign_row_ids``), so live
+        eq-deletes only occur when lineage was enabled mid-life on a MOR
+        table: compact first."""
+        from pyspark.sql import functions as F
+
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.meta.current_snapshot_id
+        )
+        if self.delete_files(sid):
+            raise ValueError(
+                "row-lineage scan with outstanding equality deletes is not "
+                "supported (enable lineage on a compacted table): compact "
+                "first, then re-scan"
+            )
+        schema = self.schema
+        cols = [f.name for f in schema.fields]
+        lineage_fields = [
+            StructField(LINEAGE_ROW_ID_COL, LongType(), True),
+            StructField(LINEAGE_SEQ_COL, LongType(), True),
+        ]
+        if not files:
+            return spark.createDataFrame(
+                spark.sparkContext.emptyRDD(),
+                StructType(list(schema.fields) + lineage_fields),
+            )
+        # alias-aware wide read (same name-lineage coalesce as read_files)
+        # + the physical lineage columns materialized rewrites carry
+        aliases = self.meta.column_aliases
+        live = {n: o for n, o in aliases.items() if n in schema.fieldNames()}
+        by_name = {f.name: f for f in schema.fields}
+        extra = [
+            StructField(o, by_name[n].dataType, True)
+            for n, olds in live.items()
+            for o in olds
+        ]
+        wide = StructType(list(schema.fields) + extra + lineage_fields)
+        df = spark.read.schema(wide).parquet(*[f.path for f in files])
+        for n, olds in live.items():
+            df = df.withColumn(
+                n, F.coalesce(F.col(n), *[F.col(o) for o in olds])
+            )
+        df = df.select(
+            *cols,
+            LINEAGE_ROW_ID_COL,
+            LINEAGE_SEQ_COL,
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias(POS_PATH_COL),
+            F.col("_metadata.row_index").alias(POS_IDX_COL),
+        )
+        amap = spark.createDataFrame(
+            [(f.path, f.first_row_id, f.sequence_number) for f in files],
+            "_l_path string, _l_frid long, _l_fseq long",
+        )
+        df = (
+            df.join(
+                F.broadcast(amap),
+                F.col(POS_PATH_COL) == F.col("_l_path"),
+                "left",
+            )
+            .withColumn(
+                LINEAGE_ROW_ID_COL,
+                F.coalesce(
+                    F.col(LINEAGE_ROW_ID_COL),
+                    F.col("_l_frid") + F.col(POS_IDX_COL),
+                ),
+            )
+            .withColumn(
+                LINEAGE_SEQ_COL,
+                # unassigned rows (pre-lineage files) stay NULL on both
+                F.when(
+                    F.col(LINEAGE_ROW_ID_COL).isNotNull(),
+                    F.coalesce(F.col(LINEAGE_SEQ_COL), F.col("_l_fseq")),
+                ),
+            )
+        )
+        pos_dels = self.pos_delete_files(sid)
+        if pos_dels:
+            dels = self._pos_delete_addr_df(spark, pos_dels)
+            df = df.join(
+                dels,
+                (F.col(POS_PATH_COL) == F.col("file_path"))
+                & (F.col(POS_IDX_COL) == F.col("pos")),
+                "left_anti",
+            )
+        return df.select(*cols, LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL)
+
+    def scan_lineage(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: dict | None = None,
+        ref: str | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned scan exposing ``_row_id`` and
+        ``_last_updated_sequence_number`` next to the data columns — the
+        v3 lineage surface. File pruning is the shared stack
+        (``select_data_files``); row filters mirror ``scan(where=)``."""
+        from pyspark.sql import functions as F
+
+        sid = self.resolve_snapshot(snapshot_id, ref, as_of_timestamp_ms)
+        files = self.select_data_files(where=where, snapshot_id=sid)
+        df = self.lineage_read(spark, files, snapshot_id=sid)
+        if where:
+            for col, cond in where.items():
+                if isinstance(cond, tuple):
+                    plo, phi = cond
+                    if plo is not None:
+                        df = df.filter(F.col(col) >= plo)
+                    if phi is not None:
+                        df = df.filter(F.col(col) <= phi)
+                else:
+                    df = df.filter(F.col(col) == cond)
         return df

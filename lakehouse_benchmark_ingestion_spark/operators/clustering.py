@@ -125,9 +125,16 @@ def cluster(
     # materializes outstanding eq-deletes and masks pos-deletes, pinned to
     # this snapshot — a drifted private copy of that logic would silently
     # resurrect deleted rows in the clustered outputs
-    df = table.rewrite_reader(
-        spark, snapshot_id=snap.snapshot_id, delete_files=del_files
-    )(files)
+    lineage_on = table.row_lineage_enabled()
+    if lineage_on:
+        # v3 row-lineage tables: rewrites preserve _row_id /
+        # _last_updated_sequence_number by materializing them (same contract
+        # as compaction; lineage tables carry no eq-deletes by construction)
+        df = table.lineage_read(spark, files, snapshot_id=snap.snapshot_id)
+    else:
+        df = table.rewrite_reader(
+            spark, snapshot_id=snap.snapshot_id, delete_files=del_files
+        )(files)
     # zorder uses the Catalyst morton expression — the range sampler
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
@@ -148,6 +155,8 @@ def cluster(
     for s in added:
         s.sequence_number = new_seq
         s.sort_order = curve  # globally range-disjoint AND file-sorted
+        if lineage_on:
+            s.lineage = mf.LINEAGE_MATERIALIZED
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id,

@@ -329,6 +329,17 @@ def _compact_attempt(
         if plan.snapshot_id != -1
         else None
     )
+    # row-lineage tables (Iceberg v3): rewrites must PRESERVE each row's
+    # _row_id / _last_updated_sequence_number — read them (manifest-derived
+    # or already-materialized) and write them as physical columns; the
+    # outputs are stamped lineage=materialized so the commit assigns them
+    # no fresh ids. Lineage tables carry no eq-deletes (refused at commit),
+    # so the delete-applied read is the pos/DV anti-join lineage_read does.
+    lineage_on = table.row_lineage_enabled()
+    if lineage_on and plan.snapshot_id != -1:
+        reader = lambda files: table.lineage_read(  # noqa: E731
+            spark, files, snapshot_id=plan.snapshot_id
+        )
 
     removed: set[str] = set()
     added_paths: list[str] = []
@@ -391,6 +402,8 @@ def _compact_attempt(
                 s.partition_json = ps.partition_json_from_path(
                     s.path, pspec, table.schema
                 )
+            if lineage_on:
+                s.lineage = mf.LINEAGE_MATERIALIZED
         return stats
 
     def _absorb(group: CompactionGroup, out_paths: list[str]) -> None:

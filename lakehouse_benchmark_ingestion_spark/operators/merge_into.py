@@ -69,6 +69,15 @@ def merge_into(
     cow."""
     if strategy is None:
         strategy = table.write_mode("merge")
+    if table.row_lineage_enabled():
+        # v3 carry-over semantics (updated rows keep _row_id) are not
+        # implemented for MERGE: COW would silently reassign survivors'
+        # ids and MOR writes eq-deletes (refused at commit). Fail loudly.
+        raise ValueError(
+            "MERGE INTO is not supported on row-lineage tables (v1): "
+            "ingest with append + delete by position/DV, or disable "
+            f"{'row-lineage.enabled'!r}"
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
     snap = table.current_snapshot()
     files = table.data_files(snap.snapshot_id) if snap else []

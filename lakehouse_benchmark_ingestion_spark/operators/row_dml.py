@@ -132,16 +132,23 @@ def delete_where(
     added: list[mf.DataFile] = []
     out_paths: list[str] = []
     rows_out = 0
+    lineage_on = table.row_lineage_enabled()
     if partial:
-        # outstanding eq-deletes must not resurrect through the rewrite
-        from ..icelite.mor import mor_scan
+        if lineage_on:
+            # v3 row lineage: surviving rows keep their _row_id /
+            # _last_updated_sequence_number through the rewrite
+            # (materialized columns; lineage tables carry no eq-deletes)
+            data = table.lineage_read(spark, partial)
+        else:
+            # outstanding eq-deletes must not resurrect through the rewrite
+            from ..icelite.mor import mor_scan
 
-        mor_key = table.recorded_merge_key() or key
-        data = mor_scan(
-            spark, table.schema, partial, table.delete_files(), key=mor_key,
-            reader=table.pos_reader(spark),
-            delete_reader=table._read_delete_keys(spark, mor_key),
-        )
+            mor_key = table.recorded_merge_key() or key
+            data = mor_scan(
+                spark, table.schema, partial, table.delete_files(), key=mor_key,
+                reader=table.pos_reader(spark),
+                delete_reader=table._read_delete_keys(spark, mor_key),
+            )
         # SQL DELETE removes only rows where the predicate is TRUE; rows
         # where it evaluates to NULL (null in a predicate column) must be
         # KEPT. ~NULL is NULL, which filter() drops — coalesce to FALSE
@@ -159,6 +166,8 @@ def delete_where(
         seq = table.next_sequence_number()
         for s in added:
             s.sequence_number = seq
+            if lineage_on:
+                s.lineage = mf.LINEAGE_MATERIALIZED
         rows_out = sum(f.record_count for f in added)
 
     removed = full_paths | {f.path for f in partial}
@@ -218,6 +227,12 @@ def _delete_where_mor(
     steering the caller to ``strategy='mor-pos'`` (exact row surgery) or
     ``'cow'``. Disable only when the key is known unique (e.g. enforced by
     the ingest path), which skips the extra scan."""
+    if table.row_lineage_enabled():
+        raise ValueError(
+            "strategy='mor' (equality-delete) is unavailable on row-lineage "
+            "tables — an eq-delete cannot say which row ids die; use "
+            "'mor-pos', 'dv', or 'cow'"
+        )
     recorded = table.recorded_merge_key()
     if recorded is not None and recorded != key and table.delete_files():
         raise ValueError(
@@ -492,15 +507,32 @@ def update_where(
     if strategy != "cow":
         raise ValueError(f"unknown update strategy {strategy!r}")
 
-    from ..icelite.mor import mor_scan
-
-    mor_key = table.recorded_merge_key() or key
-    data = mor_scan(
-        spark, schema, candidates, table.delete_files(), key=mor_key,
-        reader=table.pos_reader(spark),
-        delete_reader=table._read_delete_keys(spark, mor_key),
-    )
+    lineage_on = table.row_lineage_enabled()
+    seq = table.next_sequence_number()
     pred = predicate_column(where)
+    if lineage_on:
+        from ..icelite.table import LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+
+        # v3 row lineage through UPDATE: every row keeps its _row_id; rows
+        # the predicate selects get _last_updated_sequence_number bumped to
+        # this commit's sequence, untouched rows keep theirs (materialized)
+        data = table.lineage_read(spark, candidates)
+        extra = [
+            F.col(LINEAGE_ROW_ID_COL),
+            F.when(F.coalesce(pred, F.lit(False)), F.lit(seq))
+            .otherwise(F.col(LINEAGE_SEQ_COL))
+            .alias(LINEAGE_SEQ_COL),
+        ]
+    else:
+        from ..icelite.mor import mor_scan
+
+        mor_key = table.recorded_merge_key() or key
+        data = mor_scan(
+            spark, schema, candidates, table.delete_files(), key=mor_key,
+            reader=table.pos_reader(spark),
+            delete_reader=table._read_delete_keys(spark, mor_key),
+        )
+        extra = []
     # all SET expressions evaluate against the OLD row: select, don't chain
     projected = data.select(
         *[
@@ -510,7 +542,8 @@ def update_where(
             if f.name in assignments
             else F.col(f.name)
             for f in schema.fields
-        ]
+        ],
+        *extra,
     )
     bytes_in = sum(f.file_size_bytes for f in candidates)
     n_out = max(1, -(-bytes_in // target_file_size))
@@ -518,9 +551,10 @@ def update_where(
     projected.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
     out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     added = mf.harvest_stats(out_paths)
-    seq = table.next_sequence_number()
     for s in added:
         s.sequence_number = seq
+        if lineage_on:
+            s.lineage = mf.LINEAGE_MATERIALIZED
     rows_out = sum(f.record_count for f in added)
     new_snap = table.replace_files(
         {f.path for f in candidates},
@@ -585,21 +619,37 @@ def _update_where_mor(
 
     schema = table.schema
     pred = predicate_column(where)
+    lineage_on = table.row_lineage_enabled()
+    new_seq = table.next_sequence_number()
 
     # pass 1: visible matching rows, SET applied against OLD values
-    mor_key = table.recorded_merge_key() or key
-    visible = mor_scan(
-        spark, schema, candidates, table.delete_files(), key=mor_key,
-        reader=table.pos_reader(spark),
-        delete_reader=table._read_delete_keys(spark, mor_key),
-    )
+    if lineage_on:
+        from ..icelite.table import LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+
+        # v3 row lineage: the updated copy KEEPS the old image's _row_id
+        # and records this commit's sequence as its last update
+        # (materialized — appended copies must not consume fresh ids)
+        visible = table.lineage_read(spark, candidates)
+        extra = [
+            F.col(LINEAGE_ROW_ID_COL),
+            F.lit(new_seq).cast("long").alias(LINEAGE_SEQ_COL),
+        ]
+    else:
+        mor_key = table.recorded_merge_key() or key
+        visible = mor_scan(
+            spark, schema, candidates, table.delete_files(), key=mor_key,
+            reader=table.pos_reader(spark),
+            delete_reader=table._read_delete_keys(spark, mor_key),
+        )
+        extra = []
     updated = visible.filter(pred).select(
         *[
             F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
             if f.name in assignments
             else F.col(f.name)
             for f in schema.fields
-        ]
+        ],
+        *extra,
     )
     out_dir = os.path.join(table.location, "data", f"updm-{run_id}")
     updated.repartitionByRange(1, key).write.mode("overwrite").parquet(out_dir)
@@ -629,9 +679,11 @@ def _update_where_mor(
     ]
     n_pos = sum(f.record_count for f in dels)
 
-    seq = table.next_sequence_number()
+    seq = new_seq
     for s in added:
         s.sequence_number = seq
+        if lineage_on:
+            s.lineage = mf.LINEAGE_MATERIALIZED
     for s in dels:
         s.content = mf.CONTENT_POS_DELETES
         s.sequence_number = seq

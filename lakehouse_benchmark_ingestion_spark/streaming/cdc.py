@@ -66,6 +66,12 @@ def cdc_apply_batch(
     for existing keys (treating every ``I`` as an upsert, Iceberg's
     ``write.upsert.enabled`` semantics).
     """
+    if table.row_lineage_enabled():
+        raise ValueError(
+            "cdc apply writes equality-delete files, which row-lineage "
+            "tables refuse; disable row-lineage.enabled or ingest "
+            "append-only"
+        )
     cols = [f.name for f in table.schema.fields]
 
     w = Window.partitionBy(key).orderBy(

@@ -1,0 +1,238 @@
+"""Row lineage (Iceberg v3 parity): every data row gets a stable ``_row_id``
+and a ``_last_updated_sequence_number``, assigned from the table's
+``next_row_id`` counter INSIDE the optimistic commit, derived at read time
+from the manifest entry (first_row_id + file position), and PRESERVED
+through rewrites (compaction / clustering / COW DML materialize the two
+columns physically).
+
+Reference motivation: the reference writes Iceberg format-version=2 tables
+(IcebergCatalogSync.java:112-116); row lineage is v3's incremental-consumer
+surface over the same snapshot model — it lets downstream CDC consumers
+track row-level changes without key columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.icelite.table import (
+    LINEAGE_ROW_ID_COL,
+    LINEAGE_SEQ_COL,
+    ROW_LINEAGE_PROP,
+)
+from lakehouse_benchmark_ingestion_spark.operators.clustering import cluster
+from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+    delete_where,
+    update_where,
+)
+from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def lin_table(spark, warehouse):
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table(
+        "lin", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+    tbl.append(df.repartitionByRange(4, "n_tok"))
+    return tbl
+
+
+def _lineage_map(spark, tbl):
+    return {
+        r["doc_id"]: (r[LINEAGE_ROW_ID_COL], r[LINEAGE_SEQ_COL])
+        for r in tbl.scan_lineage(spark).collect()
+    }
+
+
+def test_append_assigns_dense_unique_row_ids(spark, lin_table):
+    tbl = lin_table
+    n = tokens_df(spark, SF_SMOKE).count()
+    rows = tbl.scan_lineage(spark).collect()
+    ids = sorted(r[LINEAGE_ROW_ID_COL] for r in rows)
+    assert ids == list(range(n)), "first commit assigns ids 0..N-1 densely"
+    assert tbl.meta.next_row_id == n
+    snap = tbl.current_snapshot()
+    assert snap.first_row_id == 0
+    # every data file carries its first_row_id in the manifest entry
+    files = tbl.data_files()
+    assert all(f.first_row_id is not None for f in files)
+    starts = sorted(f.first_row_id for f in files)
+    assert starts[0] == 0
+
+
+def test_second_append_continues_counter(spark, lin_table):
+    tbl = lin_table
+    n = tbl.meta.next_row_id
+    extra = tokens_df(spark, SF_SMOKE).limit(10).withColumn(
+        "doc_id", F.concat(F.lit("x-"), F.col("doc_id"))
+    )
+    tbl.append(extra)
+    assert tbl.meta.next_row_id == n + 10
+    assert tbl.current_snapshot().first_row_id == n
+    rows = tbl.scan_lineage(spark).collect()
+    ids = sorted(r[LINEAGE_ROW_ID_COL] for r in rows)
+    assert ids == list(range(n + 10)), "no gaps, no collisions across commits"
+
+
+def test_compaction_preserves_row_ids(spark, lin_table):
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    counter = tbl.meta.next_row_id
+    res = compact(spark, tbl, target_file_size=1 << 30)
+    assert res.get("files_out", 0) >= 1
+    after = _lineage_map(spark, tbl)
+    assert after == before, "rewrite must preserve _row_id and seq exactly"
+    assert tbl.meta.next_row_id == counter, "rewrites consume no fresh ids"
+    # outputs are materialized: manifest says so, file carries the columns
+    files = tbl.data_files()
+    assert all(f.lineage == "materialized" for f in files)
+    import pyarrow.parquet as pq
+
+    cols = set(pq.read_schema(files[0].path).names)
+    assert {LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL} <= cols
+
+
+def test_cluster_then_append_then_compact_roundtrip(spark, lin_table):
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    cluster(spark, tbl, curve="zorder")
+    assert _lineage_map(spark, tbl) == before
+    n = tbl.meta.next_row_id
+    extra = tokens_df(spark, SF_SMOKE).limit(7).withColumn(
+        "doc_id", F.concat(F.lit("y-"), F.col("doc_id"))
+    )
+    tbl.append(extra)
+    # mixed state: materialized files + fresh manifest-derived files
+    mixed = _lineage_map(spark, tbl)
+    assert dict(list(before.items())) == {
+        k: v for k, v in mixed.items() if not k.startswith("y-")
+    }
+    fresh_ids = sorted(v[0] for k, v in mixed.items() if k.startswith("y-"))
+    assert fresh_ids == list(range(n, n + 7))
+    compact(spark, tbl, target_file_size=1 << 30)
+    assert _lineage_map(spark, tbl) == mixed
+
+
+def test_dv_delete_keeps_survivor_ids(spark, lin_table):
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    res = delete_where(spark, tbl, {"n_tok": (None, 30)}, strategy="dv")
+    assert res["deleted_positions"] > 0
+    after = _lineage_map(spark, tbl)
+    deleted = set(before) - set(after)
+    assert deleted, "some doc ids must be gone"
+    for k, v in after.items():
+        assert before[k] == v, "survivors keep their exact lineage"
+    # compaction materializes the DV without disturbing survivor ids
+    compact(spark, tbl, target_file_size=1 << 30)
+    assert _lineage_map(spark, tbl) == after
+
+
+def test_cow_delete_and_update_preserve_and_bump(spark, lin_table):
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    delete_where(spark, tbl, {"n_tok": (None, 25)}, strategy="cow")
+    after_del = _lineage_map(spark, tbl)
+    for k, v in after_del.items():
+        assert before[k] == v
+
+    seq_before = {k: v[1] for k, v in after_del.items()}
+    update_where(
+        spark, tbl, {"n_tok": (100, None)}, {"source": "'bumped'"},
+        strategy="cow",
+    )
+    after_upd = _lineage_map(spark, tbl)
+    assert set(after_upd) == set(after_del)
+    touched = {
+        r["doc_id"]
+        for r in tbl.scan(spark).filter(F.col("source") == "bumped").collect()
+    }
+    assert touched
+    for k, (rid, seq) in after_upd.items():
+        assert rid == after_del[k][0], "UPDATE keeps _row_id"
+        if k in touched:
+            assert seq > seq_before[k], "updated rows bump last-updated seq"
+        else:
+            assert seq == seq_before[k]
+
+
+def test_mor_update_keeps_row_id_bumps_seq(spark, lin_table):
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    res = update_where(
+        spark, tbl, {"n_tok": (110, None)}, {"source": "'morup'"},
+        strategy="mor",
+    )
+    assert res["rows_out"] > 0
+    after = _lineage_map(spark, tbl)
+    assert set(after) == set(before)
+    touched = {
+        r["doc_id"]
+        for r in tbl.scan(spark).filter(F.col("source") == "morup").collect()
+    }
+    for k, (rid, seq) in after.items():
+        assert rid == before[k][0]
+        if k in touched:
+            assert seq > before[k][1]
+        else:
+            assert seq == before[k][1]
+
+
+def test_eq_delete_ops_refused(spark, lin_table):
+    tbl = lin_table
+    with pytest.raises(ValueError, match="row-lineage"):
+        delete_where(spark, tbl, {"n_tok": (None, 30)}, strategy="mor")
+    upd = tokens_df(spark, SF_SMOKE).limit(3).withColumn(
+        "_seq", F.lit(1).cast("long")
+    )
+    with pytest.raises(ValueError, match="row-lineage"):
+        merge_into(spark, tbl, upd, key="doc_id", seq_col="_seq")
+
+
+def test_pre_lineage_files_read_null(spark, warehouse):
+    """Lineage enabled mid-life: old files yield NULL ids (the spec's
+    'unassigned'), new appends get assigned."""
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("late", df.schema)
+    tbl.append(df.limit(20))
+    tbl.set_properties({ROW_LINEAGE_PROP: "true"})
+    tbl.append(
+        df.limit(5).withColumn("doc_id", F.concat(F.lit("n-"), F.col("doc_id")))
+    )
+    rows = tbl.scan_lineage(spark).collect()
+    old = [r for r in rows if not r["doc_id"].startswith("n-")]
+    new = [r for r in rows if r["doc_id"].startswith("n-")]
+    assert all(r[LINEAGE_ROW_ID_COL] is None for r in old)
+    assert all(r[LINEAGE_SEQ_COL] is None for r in old)
+    assert sorted(r[LINEAGE_ROW_ID_COL] for r in new) == list(range(5))
+
+
+def test_concurrent_appends_get_disjoint_id_ranges(spark, warehouse):
+    """4 threads append through the optimistic commit loop — the counter
+    is bumped inside the mutate, so id ranges never overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = tokens_df(spark, SF_SMOKE).limit(40)
+    tbl = Catalog(warehouse).create_table(
+        "conc", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+
+    def one(i: int) -> None:
+        batch = df.limit(10).withColumn(
+            "doc_id", F.concat(F.lit(f"t{i}-"), F.col("doc_id"))
+        )
+        tbl.append(batch)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, range(4)))
+    rows = tbl.scan_lineage(spark).collect()
+    ids = sorted(r[LINEAGE_ROW_ID_COL] for r in rows)
+    assert ids == list(range(40))
+    assert tbl.meta.next_row_id == 40
