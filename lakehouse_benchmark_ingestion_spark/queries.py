@@ -779,6 +779,43 @@ def q_maint_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(r["count"],)], "cnt long")
 
 
+def q_maint_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (Iceberg v3) certified at the VALUE level: the table is
+    appended range-partitioned-and-sorted by doc_id, so the commit-time id
+    assignment (manifest order × file position) makes ``_row_id`` exactly
+    the doc_id rank — which a declarative oracle can recompute with
+    ROW_NUMBER(). A deletion-vector delete then removes the short-sequence
+    slice and compaction MATERIALIZES the survivors; their (_row_id,
+    _last_updated_sequence_number) must still equal the original rank and
+    the append sequence — any id reassignment in the rewrite, a DV row
+    resurrecting, or a counter drift mismatches."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_rl" not in p:
+        from .icelite.table import ROW_LINEAGE_PROP
+        from .operators.compaction import compact
+        from .operators.row_dml import delete_where
+
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_rl", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+        )
+        tbl.append(
+            df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+        )
+        assert all(f.sequence_number == 1 for f in tbl.data_files())
+        delete_where(spark, tbl, {"n_tok": (None, 30)}, strategy="dv")
+        compact(spark, tbl, target_file_size=1 << 30)
+        assert all(f.lineage == "materialized" for f in tbl.data_files())
+        p["table_rl"] = tbl
+    from .icelite.table import LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+
+    return p["table_rl"].scan_lineage(spark).select(
+        "doc_id",
+        F.col(LINEAGE_ROW_ID_COL).cast("long").alias("row_id"),
+        F.col(LINEAGE_SEQ_COL).cast("long").alias("last_seq"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton interleave correctness, oracle-checked: 3-bit dims derived
     from SQL-expressible columns; the pandas UDF must equal the SQL
@@ -907,6 +944,17 @@ MAINT_ORACLES: dict[str, str] = {
     "maint_fast_count": f"""
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
+    """,
+    "maint_row_lineage": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL}),
+        ranked AS (
+            SELECT doc_id, n_tok,
+                   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                       AS row_id
+            FROM seq
+        )
+        SELECT doc_id, row_id, CAST(1 AS BIGINT) AS last_seq
+        FROM ranked WHERE n_tok > 30
     """,
     "maint_eq_to_pos": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 20 AND n_tok < 100"
@@ -1066,6 +1114,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_spec_evolution": q_maint_spec_evolution,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
+        "maint_row_lineage": q_maint_row_lineage,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)
