@@ -236,3 +236,29 @@ def test_concurrent_appends_get_disjoint_id_ranges(spark, warehouse):
     ids = sorted(r[LINEAGE_ROW_ID_COL] for r in rows)
     assert ids == list(range(40))
     assert tbl.meta.next_row_id == 40
+
+
+def test_datasource_reads_materialized_lineage_table(spark, lin_table):
+    """The icelite Python DataSource projects the logical schema only, so
+    rewrite outputs carrying physical _row_id/_last_updated columns read
+    identically to the native scan."""
+    from lakehouse_benchmark_ingestion_spark.sources.icelite_source import (
+        IceliteDataSource,
+    )
+
+    tbl = lin_table
+    delete_where(spark, tbl, {"n_tok": (None, 30)}, strategy="dv")
+    compact(spark, tbl, target_file_size=1 << 30)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IceliteDataSource)
+    import os
+
+    via_ds = (
+        spark.read.format("icelite")
+        .option("warehouse", os.path.dirname(tbl.location))
+        .option("table", os.path.basename(tbl.location))
+        .load()
+    )
+    native = tbl.scan(spark)
+    assert via_ds.exceptAll(native).count() == 0
+    assert native.exceptAll(via_ds).count() == 0
