@@ -146,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint")  # streaming checkpoint dir
     p.add_argument("--trust-inserts", action="store_true")
     p.add_argument("--distributed", action="store_true")
+    # row lineage (Iceberg v3): create-table flag + lineage-scan command
+    p.add_argument("--row-lineage", action="store_true")
+    # changelog-tail: consumer offset dir + bounded catch-up + ack control
+    p.add_argument("--state-dir")
+    p.add_argument("--max-snapshots", type=int, default=None)
+    p.add_argument("--no-ack", action="store_true")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -164,7 +170,14 @@ def main(argv: list[str] | None = None) -> int:
         if not args.from_documents:
             p.error("create-table requires --from-documents")
         df = tokens_df(spark, args.from_documents, replicate=args.replicate)
-        tbl = cat.create_table(args.table, df.schema)
+        props = None
+        if args.row_lineage:
+            from lakehouse_benchmark_ingestion_spark.icelite.table import (
+                ROW_LINEAGE_PROP,
+            )
+
+            props = {ROW_LINEAGE_PROP: "true"}
+        tbl = cat.create_table(args.table, df.schema, properties=props)
         if args.spec:
             tbl.set_partition_spec(json.loads(args.spec))
         out["location"] = tbl.location
@@ -495,6 +508,51 @@ def main(argv: list[str] | None = None) -> int:
             {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
             for r in df.limit(args.limit).collect()
         ]
+
+    elif args.command == "lineage-scan":
+        # v3 row-lineage surface: data columns + _row_id /
+        # _last_updated_sequence_number
+        tbl = cat.load_table(args.table)
+        where = None
+        if args.where:
+            where = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(args.where).items()
+            }
+        df = tbl.scan_lineage(
+            spark, snapshot_id=args.snapshot_id, where=where, ref=args.ref,
+        )
+        out["rows"] = df.count()
+        out["sample"] = [
+            {k: (v if not isinstance(v, list) else v[:8]) for k, v in r.asDict().items()}
+            for r in df.limit(args.limit).collect()
+        ]
+
+    elif args.command == "changelog-tail":
+        # checkpointed incremental consumer: emits the changelog since the
+        # last acked offset and (unless --no-ack) advances it
+        from lakehouse_benchmark_ingestion_spark.operators.changes import (
+            changelog_tail,
+        )
+
+        if not args.state_dir:
+            p.error("changelog-tail requires --state-dir")
+        tbl = cat.load_table(args.table)
+        r = changelog_tail(
+            spark, tbl, args.state_dir, key=args.key,
+            max_snapshots=args.max_snapshots,
+        )
+        counts = {
+            row["change_type"]: row["n"]
+            for row in r["df"].groupBy("change_type")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        out["from_snapshot"] = r["from_snapshot_id"]
+        out["to_snapshot"] = r["to_snapshot_id"]
+        out["counts"] = counts
+        out["acked"] = not args.no_ack
+        if not args.no_ack:
+            r["ack"]()
 
     elif args.command == "sql":
         # ad-hoc Spark SQL over the whole warehouse: every catalog table is

@@ -255,3 +255,41 @@ def test_cli_dv_delete_and_convert(spark, warehouse, capsys):
     assert r["positions_out"] == r["positions_in"]
     after = run(capsys, "scan", "--warehouse", warehouse, "--limit", "1")["rows"]
     assert after < base
+
+
+def test_cli_row_lineage_and_changelog_tail(spark, warehouse, capsys, tmp_path):
+    r = run(
+        capsys, "create-table", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--row-lineage",
+    )
+    assert r["command"] == "create-table"
+    run(capsys, "ingest", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--appends", "2")
+
+    r = run(capsys, "lineage-scan", "--warehouse", warehouse, "--limit", "3")
+    assert r["rows"] == 500
+    assert all("_row_id" in s for s in r["sample"])
+    ids = {s["_row_id"] for s in r["sample"]}
+    assert len(ids) == 3 and all(i is not None for i in ids)
+
+    # changelog-tail: bootstrap → all inserts, acked; second call empty
+    state = str(tmp_path / "cl-state")
+    r = run(capsys, "changelog-tail", "--warehouse", warehouse,
+            "--state-dir", state)
+    assert r["counts"] == {"insert": 500} and r["acked"]
+    r = run(capsys, "changelog-tail", "--warehouse", warehouse,
+            "--state-dir", state)
+    assert r["counts"] == {}
+
+    # dv delete then compact: lineage survives the CLI maintenance path
+    r = run(capsys, "delete-where", "--warehouse", warehouse,
+            "--where", json.dumps({"n_tok": [None, 30]}),
+            "--strategy", "dv")
+    r = run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "64")
+    r = run(capsys, "lineage-scan", "--warehouse", warehouse, "--limit", "1")
+    assert r["rows"] < 500
+
+    # the delete shows up in the tail as deletes
+    r = run(capsys, "changelog-tail", "--warehouse", warehouse,
+            "--state-dir", state, "--no-ack")
+    assert r["counts"].get("delete", 0) > 0 and not r["acked"]
