@@ -509,6 +509,24 @@ def main(argv: list[str] | None = None) -> int:
             for r in df.limit(args.limit).collect()
         ]
 
+    elif args.command == "write-partition-stats":
+        from lakehouse_benchmark_ingestion_spark.operators.partition_stats import (
+            write_partition_stats,
+        )
+
+        tbl = cat.load_table(args.table)
+        out.update(write_partition_stats(spark, tbl, snapshot_id=args.snapshot_id))
+
+    elif args.command == "partition-stats":
+        from lakehouse_benchmark_ingestion_spark.operators.partition_stats import (
+            read_partition_stats,
+        )
+
+        tbl = cat.load_table(args.table)
+        df, source = read_partition_stats(spark, tbl, snapshot_id=args.snapshot_id)
+        out["source"] = source
+        out["partitions"] = [r.asDict() for r in df.limit(args.limit).collect()]
+
     elif args.command == "lineage-scan":
         # v3 row-lineage surface: data columns + _row_id /
         # _last_updated_sequence_number
