@@ -158,6 +158,77 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics): word count bounds, mean word length bounds, symbol-to-word
+    ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and
+    stop-word presence — the standard corpus-hygiene gate before LLM
+    training. Everything is INTEGER counts plus integer-arithmetic
+    comparisons (``10*n_bullet <= 9*n_lines`` instead of a float ratio), so
+    the DuckDB oracle matches bit-exactly. All JVM built-ins: one pass, no
+    shuffle, trivially map-parallel at 10^12 docs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words)
+    n_word_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = sum(
+        (F.instr(F.lower(F.col("text")), f" {s} ") > 0).cast("int")
+        for s in _GOPHER_STOPS
+    )
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(F.col("text"), r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    out = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_word_chars.cast("long").alias("n_word_chars"),
+        n_alpha_words.cast("long").alias("n_alpha_words"),
+        stop_hits.cast("long").alias("stop_hits"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.cast("long").alias("n_ellipsis"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ell_lines.cast("long").alias("n_ellipsis_end_lines"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (10 * (F.col("n_hash") + F.col("n_ellipsis")) <= F.col("n_words"))
+        & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_end_lines") <= 3 * F.col("n_lines"))
+        & (10 * F.col("n_alpha_words") >= 8 * F.col("n_words"))
+        # Gopher requires >=2 stop words of its 8; the synthetic corpus's
+        # marker density is lower, so the gate uses >=1 — same rule shape,
+        # corpus-appropriate threshold (the flag must DISCRIMINATE: with
+        # >=2 every fixture doc fails and the column certifies nothing)
+        & (F.col("stop_hits") >= 1)
+    )
+    return out.withColumn("passes_gopher", passes.cast("int"))
+
+
 # ---- language ID (stopword-hit heuristic) ------------------------------------
 
 _LANG_MARKERS = {
@@ -434,9 +505,63 @@ QUERIES = {
     "pipe_embedding_neardup": q_embedding_neardup,
     "pipe_ngram_jaccard": q_ngram_jaccard,
     "pipe_multimodal_meta": q_multimodal_meta,
+    "pipe_gopher_rules": q_gopher_rules,
 }
 
 ORACLES = {
+    "pipe_gopher_rules": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       w -> len(w) > 0
+                   ) AS words,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                    AS n_word_chars,
+                CAST(len(list_filter(
+                    words, w -> regexp_matches(w, '[A-Za-z]')
+                )) AS BIGINT) AS n_alpha_words,
+                CAST(
+                    (CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' be ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' to ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' of ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' and ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' that ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' have ') > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN strpos(lower(text), ' with ') > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                    AS n_hash,
+                CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS n_ellipsis,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(
+                    lines,
+                    l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'
+                )) AS BIGINT) AS n_bullet_lines,
+                CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+                    AS n_ellipsis_end_lines
+            FROM base
+        )
+        SELECT *,
+            CAST(
+                n_words >= 50 AND n_words <= 100000
+                AND n_word_chars >= 3 * n_words
+                AND n_word_chars <= 10 * n_words
+                AND 10 * (n_hash + n_ellipsis) <= n_words
+                AND 10 * n_bullet_lines <= 9 * n_lines
+                AND 10 * n_ellipsis_end_lines <= 3 * n_lines
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND stop_hits >= 1
+                AS INT) AS passes_gopher
+        FROM c
+    """,
     "pipe_tfidf_topk": r"""
         WITH w AS (
             SELECT source, unnest(string_split(text, ' ')) AS w FROM documents

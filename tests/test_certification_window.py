@@ -66,6 +66,7 @@ def test_every_query_has_an_oracle():
 # must rotate INTO the window when round 4 re-curates it.
 DEFERRED_TO_NEXT_WINDOW = {
     "maint_row_lineage",
+    "pipe_gopher_rules",
 }
 
 
