@@ -1090,6 +1090,106 @@ def q_stream_multiplex_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     return da.unionByName(ea)
 
 
+def q_stream_multiplex_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL end-to-end shape in one feed: multi-table
+    side-output routing (SyncDbFunction.java:166-193) × Debezium row kinds
+    (SyncDbFunction.java:88-97). One envelope feed carries I/U/D changes
+    for a cdc-mode documents table AND plain append rows for an events
+    table, interleaved across 2 mixed micro-batches; the sink routes per
+    table and applies the documents slice as one MOR commit per batch.
+    U/D/I key sets are disjoint, so the hash-split batch assignment cannot
+    reorder any key's history — the query certifies routing × row-kind
+    application, while strict cross-batch sequence ordering stays certified
+    by stream_cdc_apply. Final state via per-table count + arithmetic
+    digest (n_chars weighted, so a lost update, resurrected delete, or
+    dropped insert all mismatch)."""
+    import shutil
+
+    from .icelite import Catalog
+    from .streaming.multiplex import (
+        drop_envelope_batches,
+        envelope,
+        stream_ingest_multiplexed,
+    )
+
+    ck = ("multiplex_cdc", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_multiplex_cdc")
+        shutil.rmtree(base, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        evts = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        cat = Catalog(base)
+        tdocs = cat.create_table("mux2_documents", docs.schema)
+        tdocs.append(docs)
+        tevts = cat.create_table("mux2_events", evts.schema)
+        nchars_t = docs.schema["n_chars"].dataType
+        upd = (
+            docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3))
+            .withColumn("n_chars", (F.col("n_chars") + 1000).cast(nchars_t))
+            .withColumn("_op", F.lit("U"))
+            .withColumn("_seq", F.lit(1).cast("long"))
+        )
+        dele = (
+            docs.filter(F.col("doc_id") % 11 == 3)
+            .withColumn("_op", F.lit("D"))
+            .withColumn("_seq", F.lit(2).cast("long"))
+        )
+        ins = (
+            docs.filter(F.col("doc_id") % 13 == 1)
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit("inserted via multiplexed cdc").alias("text"),
+                F.lit("xx").alias("lang"),
+                F.lit("mux_ins").alias("source"),
+                F.lit(42).cast(nchars_t).alias("n_chars"),
+            )
+            .withColumn("_op", F.lit("I"))
+            .withColumn("_seq", F.lit(3).cast("long"))
+        )
+        changes = upd.unionByName(dele).unionByName(ins)
+        drop_envelope_batches(
+            [
+                envelope(changes, "mux2_documents", seq_col="_seq", op_col="_op"),
+                envelope(evts, "mux2_events"),
+            ],
+            f"{base}/drops",
+            n_batches=2,
+        )
+        stream_ingest_multiplexed(
+            spark,
+            {"mux2_documents": tdocs, "mux2_events": tevts},
+            f"{base}/drops/drop-*",
+            f"{base}/ckpt",
+            modes={"mux2_documents": "cdc"},
+            keys={"mux2_documents": "doc_id"},
+        )
+        _STREAM_CACHE[ck] = (tdocs, tevts)
+    tdocs, tevts = _STREAM_CACHE[ck]
+    da = (
+        tdocs.scan(spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("doc_id") * 31 + F.col("n_chars") * 7).alias("digest"),
+        )
+        .select(F.lit("documents").alias("tbl"), "n_rows", "digest")
+    )
+    ea = (
+        tevts.scan(spark)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("event_id") * 7
+                + F.col("user_id")
+                + F.unix_timestamp("ts")
+            ).alias("digest"),
+        )
+        .select(F.lit("events").alias("tbl"), "n_rows", "digest")
+    )
+    return da.unionByName(ea)
+
+
 def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time tumbling-window rollup over a streamed feed
     (streaming/windowed.py), upserted per micro-batch into an icelite table.
@@ -1243,6 +1343,7 @@ QUERIES.update(
         "stream_dedup_ingest": q_stream_dedup_ingest,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "stream_multiplex_demux": q_stream_multiplex_demux,
+        "stream_multiplex_cdc": q_stream_multiplex_cdc,
         "stream_cdc_apply": q_stream_cdc_apply,
     }
 )
@@ -1453,6 +1554,25 @@ ORACLES["stream_windowed_rollup"] = """
 # the demuxed tables must carry EXACTLY the source rows: per-table count +
 # arithmetic digest over the source parquet (events ts at floor-seconds —
 # the JSON envelope round-trips millisecond precision, seconds certify it)
+ORACLES["stream_multiplex_cdc"] = """
+    WITH changed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 11 <> 3
+        UNION ALL
+        SELECT doc_id + 100000, 42 FROM documents WHERE doc_id % 13 = 1
+    )
+    SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id * 31 + n_chars * 7) AS BIGINT) AS digest
+    FROM changed
+    UNION ALL
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(event_id * 7 + user_id + (epoch_us(ts) // 1000000))
+                AS BIGINT) AS digest
+    FROM events
+"""
+
 ORACLES["stream_multiplex_demux"] = """
     SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
            CAST(SUM(doc_id * 31 + n_chars) AS BIGINT) AS digest

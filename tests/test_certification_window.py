@@ -67,6 +67,7 @@ def test_every_query_has_an_oracle():
 DEFERRED_TO_NEXT_WINDOW = {
     "maint_row_lineage",
     "pipe_gopher_rules",
+    "stream_multiplex_cdc",
 }
 
 
