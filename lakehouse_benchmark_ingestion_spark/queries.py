@@ -779,6 +779,69 @@ def q_maint_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(r["count"],)], "cnt long")
 
 
+def q_maint_expire_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiration with ref-aware retention, certified end-to-end:
+    three appends; a tag pins snapshot 2; ``expire_snapshots(keep_last=1)``
+    must (asserted at build) drop snapshot 1 from history AND unlink its
+    unreferenced files, keep the tagged snapshot readable, and leave the
+    head intact. The certified answer is the TAG-pinned scan — exactly the
+    first two appends — which breaks if expiration GCs a file the tag still
+    references (the retention bug that strands streaming/travel readers)."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_exp" not in p:
+        from .operators.expire_snapshots import expire_snapshots
+
+        df = tokens_df(spark, sf_dir)
+        third = F.col("doc_id").cast("long") % 3
+        tbl = Catalog(p["warehouse"]).create_table("sequences_exp", df.schema)
+        tbl.append(df.filter(third == 0), num_files=2)
+        s1 = tbl.current_snapshot().snapshot_id
+        tbl.append(df.filter(third == 1), num_files=2)
+        tbl.create_tag("two-thirds")
+        tbl.append(df.filter(third == 2), num_files=2)
+        res = expire_snapshots(tbl, keep_last=1)
+        assert res["expired"] >= 1, res
+        live = {s.snapshot_id for s in tbl.history()}
+        assert s1 not in live, "snapshot 1 must be expired"
+        assert tbl.resolve_ref("two-thirds") in live, (
+            "ref-pinned snapshot must survive keep_last=1"
+        )
+        try:
+            tbl.scan(spark, snapshot_id=s1)
+            raise AssertionError("expired snapshot must be unreadable")
+        except KeyError:
+            pass
+        assert tbl.scan(spark).count() == df.count(), "head intact"
+        p["table_exp"] = tbl
+    return _seq_scan_cols(p["table_exp"].scan(spark, ref="two-thirds"))
+
+
+def q_maint_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest rewrite (Iceberg rewrite_manifests): 6 appends accrete 6
+    small manifests (the reference's one-manifest-per-checkpoint cadence,
+    MainRunner.java:86); the rewrite must collapse them into one with NO
+    data movement (asserted: same file paths before and after) and the
+    post-rewrite scan must still answer exactly the full table."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_mrw" not in p:
+        from .operators.manifest_rewrite import rewrite_manifests
+
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_mrw", df.schema)
+        sixth = F.col("doc_id").cast("long") % 6
+        for i in range(6):
+            tbl.append(df.filter(sixth == i), num_files=1)
+        files_before = {f.path for f in tbl.data_files()}
+        assert len(tbl.current_snapshot().manifests) == 6
+        res = rewrite_manifests(tbl)
+        assert res["manifests_out"] < 6, res
+        assert {f.path for f in tbl.data_files()} == files_before, (
+            "manifest rewrite must move no data"
+        )
+        p["table_mrw"] = tbl
+    return _seq_scan_cols(p["table_mrw"].scan(spark))
+
+
 def q_maint_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row lineage (Iceberg v3) certified at the VALUE level: the table is
     appended range-partitioned-and-sorted by doc_id, so the commit-time id
@@ -945,6 +1008,11 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
     """,
+    "maint_expire_travel": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) "
+        f"WHERE CAST(doc_id AS BIGINT) % 3 IN (0, 1)"
+    ),
+    "maint_manifest_rewrite": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_row_lineage": f"""
         WITH seq AS ({TOKENS_ORACLE_SQL}),
         ranked AS (
@@ -1115,6 +1183,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_row_lineage": q_maint_row_lineage,
+        "maint_expire_travel": q_maint_expire_travel,
+        "maint_manifest_rewrite": q_maint_manifest_rewrite,
         "zorder_key": q_zorder_key,
     }
     out.update(qr.QUERIES)

@@ -66,6 +66,8 @@ def test_every_query_has_an_oracle():
 # must rotate INTO the window when round 4 re-curates it.
 DEFERRED_TO_NEXT_WINDOW = {
     "maint_row_lineage",
+    "maint_expire_travel",
+    "maint_manifest_rewrite",
     "pipe_gopher_rules",
     "stream_multiplex_cdc",
 }
