@@ -1063,6 +1063,14 @@ MAINT_ORACLES: dict[str, str] = {
 # 16 north-star maintenance queries, so a 50-query round certifies the tail
 # while keeping the core suite under continuous check. Everything else
 # (r2-green relational/text queries) follows in stable order.
+# ROUND-4 ROTATION PLAN (read CORRECTNESS_r03.json first): the driver
+# certifies the FIRST 50 entries only. Next round, rebuild this list as
+#   1. any r3-window query that FAILED in CORRECTNESS_r03 (fix + re-certify);
+#   2. the deferred additions (tests/test_certification_window.py
+#      DEFERRED_TO_NEXT_WINDOW: maint_row_lineage, maint_expire_travel,
+#      maint_manifest_rewrite, pipe_gopher_rules, stream_multiplex_cdc);
+#   3. the six north-rule certifiers (always in-window);
+#   4. backfill with the longest-unverified green queries.
 _CERTIFICATION_PRIORITY = [
     # r1-fail fixes that MUST produce a green row this round
     "pipe_events_props_json",

@@ -102,3 +102,39 @@ def test_semdedup_plan_is_cell_equi_join(spark):
     assert "NestedLoopJoin" not in plan
     keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
     assert keys and any("cell" in k for k in keys), keys
+
+
+def test_gopher_rules_is_one_map_pass(spark):
+    """The Gopher quality gate is a pure per-row computation — its plan must
+    contain NO shuffle (Exchange) and no join: one scan, one projection,
+    whole-stage codegen end to end."""
+    from lakehouse_benchmark_ingestion_spark.queries_pipeline import (
+        q_gopher_rules,
+    )
+
+    plan = _plan(q_gopher_rules(spark, SF_SMOKE))
+    assert "Exchange" not in plan, "quality gate must not shuffle"
+    assert "Join" not in plan
+
+
+def test_lineage_scan_uses_broadcast_map(spark, tmp_path):
+    """scan_lineage derives ids from a per-file broadcast map — the plan
+    must broadcast (no shuffle-exchange of the data side for the tiny
+    metadata map) and contain no cartesian."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.icelite.table import (
+        ROW_LINEAGE_PROP,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE).limit(50)
+    tbl = Catalog(str(tmp_path / "wh")).create_table(
+        "lin", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+    tbl.append(df, num_files=2)
+    plan = _plan(tbl.scan_lineage(spark))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "the per-file id map must broadcast, never shuffle the data side"
+    )
