@@ -107,6 +107,130 @@ def snapshot_changelog(
     )
 
 
+def snapshot_changelog_lineage(
+    spark: SparkSession,
+    table: IceliteTable,
+    from_snapshot_id: int,
+    to_snapshot_id: int,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Row-lineage changelog (Iceberg v3 direction): the diff keyed on
+    ``_row_id`` instead of content or a merge key — KEY-FREE exact CDC.
+
+    Why it beats the content diff at scale: ``snapshot_changes`` cancels
+    rewritten-but-identical rows with ``exceptAll`` (a multiset compare
+    over EVERY column, token arrays included); here a row cancels when its
+    ``(_row_id, _last_updated_sequence_number)`` pair matches — an 16-byte
+    comparison the join does for free, possible because every rewrite
+    provably preserves both (tests/test_row_lineage.py). A compaction
+    between the snapshots therefore yields an EMPTY changelog without the
+    engine ever comparing row contents.
+
+    File-pruned like the content diff: only files added/removed between
+    the snapshots are read, PLUS files addressed by position-deletes/DVs
+    committed in the range (a DV changes rows without changing the file
+    set — invisible to a file-level diff, caught here). Emits
+    ``insert`` / ``delete`` / ``update_before`` / ``update_after`` (an
+    update = same ``_row_id`` on both sides with a newer sequence).
+
+    Requires every file in the diff to carry lineage (assigned
+    ``first_row_id`` or materialized columns) — raises otherwise, because
+    NULL-id rows cannot be paired."""
+    from functools import reduce
+
+    from ..icelite import manifest as mf
+
+    cols = [f.name for f in table.schema.fields]
+    RID = "_row_id"
+    SEQ = "_last_updated_sequence_number"
+
+    old_files = {f.path: f for f in table.data_files(from_snapshot_id)}
+    new_files = {f.path: f for f in table.data_files(to_snapshot_id)}
+    removed = [f for p, f in old_files.items() if p not in new_files]
+    added = [f for p, f in new_files.items() if p not in old_files]
+
+    # position deletes / DVs committed in the range change rows WITHOUT
+    # changing the data-file set: pull every file they can address into
+    # both sides (read under each snapshot's own delete set; unchanged
+    # rows cancel on (_row_id, seq))
+    old_pos = {d.path for d in table.pos_delete_files(from_snapshot_id)}
+    new_pos = [
+        d
+        for d in table.pos_delete_files(to_snapshot_id)
+        if d.path not in old_pos
+    ]
+    if new_pos:
+        from ..icelite.mor import pos_delete_addresses
+
+        both = [f for p, f in new_files.items() if p in old_files]
+        hit = [
+            f
+            for f in both
+            if any(
+                pos_delete_addresses(d, f.path, f.sequence_number)
+                for d in new_pos
+            )
+        ]
+        removed = removed + hit
+        added = added + hit
+
+    unassigned = [
+        f.path
+        for f in removed + added
+        if f.first_row_id is None and f.lineage != mf.LINEAGE_MATERIALIZED
+    ]
+    if unassigned:
+        raise ValueError(
+            f"{len(unassigned)} file(s) in the diff carry no row lineage "
+            "(written before row-lineage.enabled); use snapshot_changelog "
+            "(content diff) for this range"
+        )
+
+    before = table.lineage_read(spark, removed, snapshot_id=from_snapshot_id)
+    after = table.lineage_read(spark, added, snapshot_id=to_snapshot_id)
+    b = before.select(
+        F.col(RID).alias("_rid"),
+        F.col(SEQ).alias("_b_seq"),
+        F.struct(*cols).alias("_b"),
+    )
+    a = after.select(
+        F.col(RID).alias("_rid"),
+        F.col(SEQ).alias("_a_seq"),
+        F.struct(*cols).alias("_a"),
+    )
+    joined = b.join(a, "_rid", "full_outer")
+    # changed = joined minus (same row id, same last-updated sequence)
+    changed = joined.filter(
+        F.col("_b_seq").isNull()
+        | F.col("_a_seq").isNull()
+        | (F.col("_b_seq") != F.col("_a_seq"))
+    )
+    inserts = changed.filter(F.col("_b_seq").isNull()).select(
+        "_a.*",
+        F.col("_rid").alias(RID),
+        F.lit("insert").alias(change_col),
+    )
+    deletes = changed.filter(F.col("_a_seq").isNull()).select(
+        "_b.*",
+        F.col("_rid").alias(RID),
+        F.lit("delete").alias(change_col),
+    )
+    upd = changed.filter(
+        F.col("_b_seq").isNotNull() & F.col("_a_seq").isNotNull()
+    )
+    upd_before = upd.select(
+        "_b.*", F.col("_rid").alias(RID),
+        F.lit("update_before").alias(change_col),
+    )
+    upd_after = upd.select(
+        "_a.*", F.col("_rid").alias(RID),
+        F.lit("update_after").alias(change_col),
+    )
+    return reduce(
+        DataFrame.unionByName, [inserts, deletes, upd_before, upd_after]
+    )
+
+
 def changelog_tail(
     spark: SparkSession,
     table: IceliteTable,

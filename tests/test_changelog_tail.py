@@ -117,3 +117,115 @@ def test_expired_offset_raises(spark, tbl, tmp_path):
     expire_snapshots(tbl, keep_last=1)
     with pytest.raises(RuntimeError, match="retained ancestor"):
         changelog_tail(spark, tbl, state)
+
+
+# ---- lineage-based changelog (key-free CDC via _row_id) -------------------
+
+
+@pytest.fixture()
+def lin_tbl(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite.table import (
+        ROW_LINEAGE_PROP,
+    )
+
+    df = tokens_df(spark, SF_SMOKE).limit(60)
+    t = Catalog(warehouse).create_table(
+        "lcl", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+    t.append(df, num_files=2)
+    return t
+
+
+def test_lineage_changelog_iud(spark, lin_tbl):
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog_lineage,
+    )
+
+    t = lin_tbl
+    s0 = t.current_snapshot().snapshot_id
+    update_where(
+        spark, t, {"doc_id": "7"}, {"source": "'upd'"}, strategy="mor"
+    )
+    delete_where(spark, t, {"doc_id": "11"}, strategy="dv")
+    t.append(
+        tokens_df(spark, SF_SMOKE).limit(2).withColumn(
+            "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+        )
+    )
+    head = t.current_snapshot().snapshot_id
+    ch = snapshot_changelog_lineage(spark, t, s0, head)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["change_type"], set()).add(r["doc_id"])
+    assert by_type["update_before"] == {"7"}
+    assert by_type["update_after"] == {"7"}
+    assert by_type["delete"] == {"11"}
+    assert by_type["insert"] == {"new-0", "new-1"}
+    # the update pair shares ONE _row_id (key-free pairing)
+    rids = {
+        r["change_type"]: r["_row_id"]
+        for r in ch.filter(F.col("doc_id") == "7").collect()
+    }
+    assert rids["update_before"] == rids["update_after"]
+
+
+def test_compaction_is_changelog_invisible(spark, lin_tbl):
+    """A pure rewrite (compaction) between the snapshots must yield an
+    EMPTY lineage changelog — without the engine comparing row contents
+    (the content-diff path pays exceptAll over every column for this)."""
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        compact,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog_lineage,
+    )
+
+    t = lin_tbl
+    s0 = t.current_snapshot().snapshot_id
+    compact(spark, t, target_file_size=1 << 30)
+    head = t.current_snapshot().snapshot_id
+    assert head != s0
+    assert snapshot_changelog_lineage(spark, t, s0, head).count() == 0
+
+
+def test_dv_on_unchanged_file_is_caught(spark, lin_tbl):
+    """A DV delete changes rows without changing the data-file set — the
+    lineage diff must still emit those deletes (file-level diff alone
+    would miss them)."""
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog_lineage,
+    )
+
+    t = lin_tbl
+    s0 = t.current_snapshot().snapshot_id
+    res = delete_where(spark, t, {"n_tok": (None, 25)}, strategy="dv")
+    assert res["deleted_positions"] > 0
+    head = t.current_snapshot().snapshot_id
+    assert {f.path for f in t.data_files(head)} == {
+        f.path for f in t.data_files(s0)
+    }, "precondition: data-file set unchanged"
+    ch = snapshot_changelog_lineage(spark, t, s0, head)
+    rows = ch.collect()
+    assert rows and all(r["change_type"] == "delete" for r in rows)
+    assert len(rows) == res["deleted_positions"]
+
+
+def test_pre_lineage_files_refused(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.icelite.table import (
+        ROW_LINEAGE_PROP,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog_lineage,
+    )
+
+    df = tokens_df(spark, SF_SMOKE).limit(20)
+    t = Catalog(warehouse).create_table("plain", df.schema)
+    t.append(df)
+    s0 = t.current_snapshot().snapshot_id
+    t.set_properties({ROW_LINEAGE_PROP: "true"})
+    t.append(df.limit(3).withColumn("doc_id", F.concat(F.lit("n-"), F.col("doc_id"))))
+    delete_where(spark, t, {"doc_id": "1"}, strategy="dv")
+    with pytest.raises(ValueError, match="no row lineage"):
+        snapshot_changelog_lineage(
+            spark, t, s0, t.current_snapshot().snapshot_id
+        )
