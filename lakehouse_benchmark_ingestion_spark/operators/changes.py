@@ -238,6 +238,7 @@ def changelog_tail(
     key: str = "doc_id",
     max_snapshots: int | None = None,
     change_col: str = "change_type",
+    diff: str = "auto",
 ) -> dict:
     """Checkpointed incremental changelog consumer (the engine-side twin of
     Delta's Change Data Feed reader / Iceberg's incremental changelog scan,
@@ -264,11 +265,21 @@ def changelog_tail(
     Returns ``{"df", "from_snapshot_id", "to_snapshot_id", "ack"}``; ``df``
     is empty (same schema) when the consumer is already at the head. The
     changelog itself is the file-pruned ``snapshot_changelog`` — O(changed
-    files), never a full-table re-read."""
+    files), never a full-table re-read.
+
+    ``diff``: ``"content"`` = the key-paired content diff; ``"lineage"`` =
+    key-free ``snapshot_changelog_lineage`` (rows additionally carry
+    ``_row_id``; requires row lineage on the table); ``"auto"`` (default)
+    picks lineage iff the table has ``row-lineage.enabled`` — the cheap
+    diff whenever it is sound."""
     import json
     import os
     import uuid as _uuid
 
+    if diff not in ("auto", "content", "lineage"):
+        raise ValueError(f"unknown diff mode {diff!r}")
+    if diff == "auto":
+        diff = "lineage" if table.row_lineage_enabled() else "content"
     os.makedirs(state_dir, exist_ok=True)
     state_path = os.path.join(state_dir, "changelog-offset.json")
     last: int | None = None
@@ -279,10 +290,21 @@ def changelog_tail(
     schema_cols = [f.name for f in table.schema.fields]
 
     def _empty() -> DataFrame:
-        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
+        extra = (
+            [StructField("_row_id", LongType(), True)]
+            if diff == "lineage"
+            else []
+        )
         out = StructType(
             list(table.schema.fields)
+            + extra
             + [StructField(change_col, StringType(), False)]
         )
         return spark.createDataFrame(spark.sparkContext.emptyRDD(), out)
@@ -305,11 +327,18 @@ def changelog_tail(
             "ack": _ack_for(at) if head else (lambda: None),
         }
     if last is None:
-        df = (
-            table.scan(spark)
-            .select(*schema_cols)
-            .withColumn(change_col, F.lit("insert"))
-        )
+        if diff == "lineage":
+            df = (
+                table.scan_lineage(spark)
+                .select(*schema_cols, "_row_id")
+                .withColumn(change_col, F.lit("insert"))
+            )
+        else:
+            df = (
+                table.scan(spark)
+                .select(*schema_cols)
+                .withColumn(change_col, F.lit("insert"))
+            )
         return {
             "df": df,
             "from_snapshot_id": None,
@@ -338,9 +367,14 @@ def changelog_tail(
         if max_snapshots is not None
         else head
     )
-    df = snapshot_changelog(
-        spark, table, last, to_id, key=key, change_col=change_col
-    )
+    if diff == "lineage":
+        df = snapshot_changelog_lineage(
+            spark, table, last, to_id, change_col=change_col
+        )
+    else:
+        df = snapshot_changelog(
+            spark, table, last, to_id, key=key, change_col=change_col
+        )
     return {
         "df": df,
         "from_snapshot_id": last,

@@ -229,3 +229,33 @@ def test_pre_lineage_files_refused(spark, warehouse):
         snapshot_changelog_lineage(
             spark, t, s0, t.current_snapshot().snapshot_id
         )
+
+
+def test_tail_auto_uses_lineage_diff(spark, lin_tbl, tmp_path):
+    """On a row-lineage table, changelog_tail auto-selects the key-free
+    lineage diff: rows carry _row_id, and a compaction-only range drains
+    empty."""
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        compact,
+    )
+
+    t = lin_tbl
+    state = str(tmp_path / "state")
+    r = changelog_tail(spark, t, state)
+    assert "_row_id" in r["df"].columns
+    boot = r["df"].collect()
+    assert len(boot) == 60 and all(
+        x["_row_id"] is not None for x in boot
+    )
+    r["ack"]()
+
+    compact(spark, t, target_file_size=1 << 30)
+    r = changelog_tail(spark, t, state)
+    assert r["df"].count() == 0, "compaction-only range must drain empty"
+    r["ack"]()
+
+    delete_where(spark, t, {"doc_id": "5"}, strategy="dv")
+    r = changelog_tail(spark, t, state)
+    rows = r["df"].collect()
+    assert [x["change_type"] for x in rows] == ["delete"]
+    assert rows[0]["doc_id"] == "5" and rows[0]["_row_id"] is not None
