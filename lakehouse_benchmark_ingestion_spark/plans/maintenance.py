@@ -100,6 +100,22 @@ def run_full_maintenance(
         "expire_snapshots",
         lambda: expire_snapshots(table, keep_last=expire_keep_last),
     )
+    # refresh the partition statistics file at the post-maintenance head
+    # (Iceberg computes partition stats as part of maintenance for the same
+    # reason: the freshly-compacted layout is exactly when per-partition
+    # counts are worth caching). Opt-out via table property.
+    if (
+        table.meta.properties.get("partition-stats.auto", "true") == "true"
+        and table.meta.current_snapshot_id is not None
+    ):
+        from ..operators.partition_stats import write_partition_stats
+
+        def _pstats() -> dict:
+            r = write_partition_stats(spark, table)
+            return {"files_out": 1, "rows": r["n_partitions"],
+                    "snapshot_id": r["snapshot_id"]}
+
+        metrics["partition_stats"] = timed("partition_stats", _pstats)
     return metrics
 
 

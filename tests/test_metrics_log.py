@@ -17,7 +17,7 @@ def test_full_maintenance_persists_stage_metrics(spark, sequences_table):
     run_full_maintenance(spark, tbl, target_file_size=TARGET, run_id="mrun1")
     rows = MetricsLog(tbl.location).all_rows()
     ops = [r.op for r in rows]
-    assert ops == ["compact", "cluster", "rewrite_manifests", "expire_snapshots"]
+    assert ops == ["compact", "cluster", "rewrite_manifests", "expire_snapshots", "partition_stats"]
     assert all(r.run_id == "mrun1" for r in rows)
     assert all(r.wall_ms >= 0 and r.started_ms > 0 for r in rows)
     c = rows[0]
@@ -45,6 +45,7 @@ def test_status_cli_reports_last_maintenance(spark, sequences_table, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     lm = out["tables"]["sequences"]["last_maintenance"]
     assert [m["op"] for m in lm] == [
-        "compact", "cluster", "rewrite_manifests", "expire_snapshots"
+        "compact", "cluster", "rewrite_manifests", "expire_snapshots",
+        "partition_stats",
     ]
     assert all(m["run_id"] == "mrun3" for m in lm)

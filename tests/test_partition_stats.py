@@ -93,3 +93,19 @@ def test_cli_partition_stats(spark, part_table, capsys):
     r = run(capsys, "partition-stats", "--warehouse", wh, "--table", "pstats")
     assert r["source"] == "stats-file"
     assert len(r["partitions"]) == r.get("n_partitions", len(r["partitions"]))
+
+
+def test_full_maintenance_refreshes_stats(spark, part_table):
+    """run_full_maintenance ends by registering partition stats at the
+    post-maintenance head (opt-out via partition-stats.auto=false)."""
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        run_full_maintenance,
+    )
+
+    tbl = part_table
+    m = run_full_maintenance(spark, tbl, target_file_size=1 << 30)
+    assert "partition_stats" in m
+    df, source = read_partition_stats(spark, tbl)
+    assert source == "stats-file", "stats must cover the maintained head"
+    total = sum(r["record_count"] for r in df.collect())
+    assert total == tbl.scan(spark).count()
