@@ -75,6 +75,30 @@ def pack_addresses(addrs: DataFrame) -> DataFrame:
     return addrs.groupBy("file_path").applyInPandas(_pack, schema=DV_SCHEMA)
 
 
+def sidecar_addresses(spark: SparkSession, sidecars: list) -> DataFrame:
+    """Union of the given CONTENT_POS_DELETES sidecars' ``(file_path, pos)``
+    relations across BOTH physical encodings — v2 row files read directly,
+    DVs expanded lazily. The ONE implementation every consumer (scan-side
+    anti-joins, rewrite actions) goes through, so the encodings can never
+    diverge between read paths."""
+    from functools import reduce
+
+    from . import manifest as mf
+
+    row_files = [d for d in sidecars if d.delete_format != mf.DELETE_FORMAT_DV]
+    dv_files = [d for d in sidecars if d.delete_format == mf.DELETE_FORMAT_DV]
+    parts = []
+    if row_files:
+        parts.append(
+            spark.read.schema("file_path string, pos long").parquet(
+                *[d.path for d in row_files]
+            )
+        )
+    if dv_files:
+        parts.append(expand_addresses(spark, [d.path for d in dv_files]))
+    return reduce(DataFrame.unionByName, parts)
+
+
 def expand_addresses(spark: SparkSession, sidecar_paths: list[str]) -> DataFrame:
     """DV sidecar files -> (file_path, pos) rows, the v2 relation every
     existing pos-delete consumer speaks. Lazy: runs as mapInPandas on the

@@ -548,37 +548,24 @@ class IceliteTable:
 
     def _pos_delete_addr_df(self, spark: SparkSession, pos_dels: list[mf.DataFile]):
         """Expanded ``(file_path, pos)`` addresses of the given pos-delete
-        sidecars (v2 row files + v3 deletion vectors), broadcast when the
-        expanded size fits — the one address set both ``pos_reader`` and
-        lineage reads anti-join against."""
-        from functools import reduce
-
-        from pyspark.sql import DataFrame as _DF
+        sidecars (v2 row files + v3 deletion vectors; the ONE shared
+        expansion in icelite/dv.py), broadcast when the expanded size fits
+        — the address set both ``pos_reader`` and lineage reads anti-join
+        against."""
         from pyspark.sql import functions as F
 
         from . import dv as _dv
 
-        row_sidecars = [
-            d for d in pos_dels if d.delete_format != mf.DELETE_FORMAT_DV
-        ]
-        dv_sidecars = [
-            d for d in pos_dels if d.delete_format == mf.DELETE_FORMAT_DV
-        ]
-        del_parts = []
-        if row_sidecars:
-            del_parts.append(
-                spark.read.schema("file_path string, pos long")
-                .parquet(*[d.path for d in row_sidecars])
-            )
-        if dv_sidecars:
-            del_parts.append(
-                _dv.expand_addresses(spark, [d.path for d in dv_sidecars])
-            )
-        dels = reduce(_DF.unionByName, del_parts).distinct()
+        dels = _dv.sidecar_addresses(spark, pos_dels).distinct()
         # DV record_count = positions, so expanded size is known
-        est_bytes = sum(d.file_size_bytes for d in row_sidecars) + sum(
+        est_bytes = sum(
+            d.file_size_bytes
+            for d in pos_dels
+            if d.delete_format != mf.DELETE_FORMAT_DV
+        ) + sum(
             d.record_count * _dv.EXPANDED_BYTES_PER_POSITION
-            for d in dv_sidecars
+            for d in pos_dels
+            if d.delete_format == mf.DELETE_FORMAT_DV
         )
         if est_bytes <= POS_DELETE_BROADCAST_BYTES:
             dels = F.broadcast(dels)
@@ -1357,8 +1344,9 @@ class IceliteTable:
         if self.delete_files(sid):
             raise ValueError(
                 "row-lineage scan with outstanding equality deletes is not "
-                "supported (enable lineage on a compacted table): compact "
-                "first, then re-scan"
+                "supported (they predate row-lineage.enabled — lineage "
+                "tables refuse new ones): compact, or run "
+                "convert-eq-deletes to re-express them as position deletes"
             )
         schema = self.schema
         cols = [f.name for f in schema.fields]

@@ -287,6 +287,12 @@ def bloom_multi_probe_filter(
     micro-batch digest against the per-file bitmaps this way, scanning only
     the files that could collide instead of the whole table. Returns None
     when no index exists for the snapshot."""
+    values = list(values)
+    if not values:
+        # "nothing to probe" must mean NO filtering (keep all), not
+        # any([]) == False pruning every indexed file — that inversion
+        # would silently skip the existing-digest scan in append-dedup
+        return None
     idx = load_bloom_index(table, column, snapshot_id)
     if idx is None:
         return None

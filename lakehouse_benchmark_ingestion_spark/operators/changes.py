@@ -278,6 +278,10 @@ def changelog_tail(
 
     if diff not in ("auto", "content", "lineage"):
         raise ValueError(f"unknown diff mode {diff!r}")
+    if max_snapshots is not None and max_snapshots < 1:
+        # chain[min(0, n) - 1] would index -1 and admit the WHOLE tail —
+        # the exact inversion of what a zero budget means
+        raise ValueError("max_snapshots must be >= 1 (or None for unbounded)")
     if diff == "auto":
         diff = "lineage" if table.row_lineage_enabled() else "content"
     os.makedirs(state_dir, exist_ok=True)
@@ -327,15 +331,19 @@ def changelog_tail(
             "ack": _ack_for(at) if head else (lambda: None),
         }
     if last is None:
+        # pin the bootstrap scan to the SAME head the ack records — an
+        # unpinned scan re-reads metadata and a commit landing between the
+        # two reads would be emitted twice (once inside the bootstrap, once
+        # by the next tail)
         if diff == "lineage":
             df = (
-                table.scan_lineage(spark)
+                table.scan_lineage(spark, snapshot_id=head)
                 .select(*schema_cols, "_row_id")
                 .withColumn(change_col, F.lit("insert"))
             )
         else:
             df = (
-                table.scan(spark)
+                table.scan(spark, snapshot_id=head)
                 .select(*schema_cols)
                 .withColumn(change_col, F.lit("insert"))
             )

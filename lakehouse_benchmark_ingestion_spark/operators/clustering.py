@@ -126,6 +126,20 @@ def cluster(
     # this snapshot — a drifted private copy of that logic would silently
     # resurrect deleted rows in the clustered outputs
     lineage_on = table.row_lineage_enabled()
+    if lineage_on and del_files:
+        # mid-life enablement edge — same resolution as compaction: no ids
+        # yet → plain rewrite assigns the first ones; ids present → the
+        # eq-deletes must be converted before a preserving rewrite exists
+        if any(
+            f.first_row_id is not None or f.lineage == mf.LINEAGE_MATERIALIZED
+            for f in files
+        ):
+            raise ValueError(
+                "row-lineage table has outstanding equality deletes AND "
+                "id-carrying files; run convert-eq-deletes first, then "
+                "cluster"
+            )
+        lineage_on = False
     if lineage_on:
         # v3 row-lineage tables: rewrites preserve _row_id /
         # _last_updated_sequence_number by materializing them (same contract

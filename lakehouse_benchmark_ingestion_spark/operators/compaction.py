@@ -335,11 +335,29 @@ def _compact_attempt(
     # outputs are stamped lineage=materialized so the commit assigns them
     # no fresh ids. Lineage tables carry no eq-deletes (refused at commit),
     # so the delete-applied read is the pos/DV anti-join lineage_read does.
+    # Mid-life enablement edge (eq-deletes predate the property): if no
+    # file carries an id yet, fall back to the plain rewrite — the outputs
+    # get their FIRST ids at commit, which both materializes the deletes
+    # and un-bricks the table; if ids already exist, preserving them while
+    # applying eq-deletes is impossible — point at convert-eq-deletes.
     lineage_on = table.row_lineage_enabled()
     if lineage_on and plan.snapshot_id != -1:
-        reader = lambda files: table.lineage_read(  # noqa: E731
-            spark, files, snapshot_id=plan.snapshot_id
-        )
+        if del_files:
+            if any(
+                f.first_row_id is not None
+                or f.lineage == mf.LINEAGE_MATERIALIZED
+                for f in table.data_files(plan.snapshot_id)
+            ):
+                raise ValueError(
+                    "row-lineage table has outstanding equality deletes AND "
+                    "id-carrying files; run convert-eq-deletes to re-express "
+                    "them as position deletes, then compact"
+                )
+            lineage_on = False
+        else:
+            reader = lambda files: table.lineage_read(  # noqa: E731
+                spark, files, snapshot_id=plan.snapshot_id
+            )
 
     removed: set[str] = set()
     added_paths: list[str] = []

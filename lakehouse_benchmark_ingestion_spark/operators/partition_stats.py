@@ -93,7 +93,11 @@ def write_partition_stats(
     df = _stats_df(spark, table, sid)
     df.coalesce(1).write.mode("overwrite").parquet(out_dir)
     path = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))[0]
-    n = df.count()
+    # row count from the just-written footer — a second df.count() would
+    # re-run the whole manifest aggregation job
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(path).metadata.num_rows
     table.set_properties({PROP_SNAPSHOT: str(sid), PROP_PATH: path})
     return {"path": path, "snapshot_id": sid, "n_partitions": n}
 

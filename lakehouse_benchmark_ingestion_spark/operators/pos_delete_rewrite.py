@@ -43,27 +43,12 @@ from ..plans.lineage import LineageLog, LineageRow
 
 def _read_addresses(spark: SparkSession, pos_dels: list[mf.DataFile]):
     """Union of every sidecar's (file_path, pos) relation, across BOTH
-    physical encodings: v2 row files read directly, v3 deletion vectors
-    expanded executor-side (icelite/dv.py). This is the one place rewrite
-    actions materialize addresses, so rows+dv inputs merge transparently."""
-    from functools import reduce
-
-    from pyspark.sql import DataFrame as _DF
-
+    physical encodings — delegated to the ONE shared expansion
+    (icelite/dv.py ``sidecar_addresses``), so rewrite actions and scan-side
+    anti-joins can never diverge on which rows a sidecar deletes."""
     from ..icelite import dv as _dv
 
-    row_files = [d for d in pos_dels if d.delete_format != mf.DELETE_FORMAT_DV]
-    dv_files = [d for d in pos_dels if d.delete_format == mf.DELETE_FORMAT_DV]
-    parts = []
-    if row_files:
-        parts.append(
-            spark.read.schema("file_path string, pos long").parquet(
-                *[d.path for d in row_files]
-            )
-        )
-    if dv_files:
-        parts.append(_dv.expand_addresses(spark, [d.path for d in dv_files]))
-    return reduce(_DF.unionByName, parts)
+    return _dv.sidecar_addresses(spark, pos_dels)
 
 
 def rewrite_position_deletes(

@@ -94,6 +94,7 @@ def delete_where(
     run_id: str | None = None,
     timestamp_ms: int | None = None,
     verify_key_safety: bool = True,
+    _retry_on_delete_conflict: bool = True,
 ) -> dict:
     """DELETE FROM table WHERE <where>. Returns commit metrics.
 
@@ -173,17 +174,35 @@ def delete_where(
     removed = full_paths | {f.path for f in partial}
     if not removed:
         return {"files_matched": 0, "files_dropped_metadata_only": 0, "rows_out": 0}
-    new_snap = table.replace_files(
-        removed,
-        added,
-        operation="delete",
-        summary={
-            "op": "delete-where",
-            "metadata-only-drops": str(len(full)),
-            "run-id": run_id,
-        },
-        timestamp_ms=timestamp_ms,
-    )
+    # validate-no-new-deletes (same race class as compaction): a concurrent
+    # MOR delete committing mid-rewrite was not applied by the reads above
+    # and its sequence number would not gate the rewritten outputs (strict
+    # < rule) — swapping would resurrect its rows. Abort and replan once
+    # from the post-delete head.
+    from ..icelite import metadata as _md
+
+    try:
+        new_snap = table.replace_files(
+            removed,
+            added,
+            operation="delete",
+            summary={
+                "op": "delete-where",
+                "metadata-only-drops": str(len(full)),
+                "run-id": run_id,
+            },
+            timestamp_ms=timestamp_ms,
+            validate_no_new_deletes_since=snap.snapshot_id if snap else -1,
+        )
+    except _md.ValidationFailed:
+        if not _retry_on_delete_conflict:
+            raise
+        return delete_where(
+            spark, table, where, strategy="cow",
+            target_file_size=target_file_size, key=key,
+            timestamp_ms=timestamp_ms, verify_key_safety=verify_key_safety,
+            _retry_on_delete_conflict=False,
+        )
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id, op="delete", partition_id=0,
@@ -242,10 +261,15 @@ def _delete_where_mor(
     if not candidates:
         return {"files_matched": 0, "delete_files_out": 0, "deleted_keys": 0}
     cols = sorted({key, *where.keys()})
-    # pos-aware read: a position-deleted (invisible) row matching the
+    # delete-APPLIED read (eq + pos): an already-invisible row matching the
     # predicate must not contribute its key — an eq-delete on that key
-    # would take out live same-key rows the predicate never selected
-    data = table.pos_reader(spark)([f.path for f in candidates]).select(*cols)
+    # would take out live same-key rows the predicate never selected; and
+    # an already-eq-deleted row must not trip the collateral check below
+    # (it cannot be "collaterally deleted" — it is dead)
+    cand_paths = {f.path for f in candidates}
+    data = table.scan(
+        spark, file_filter=lambda f: f.path in cand_paths, columns=cols
+    )
     pred = predicate_column(where)
     keys = data.filter(pred).select(key)
     if verify_key_safety:
@@ -254,9 +278,7 @@ def _delete_where_mor(
         # predicate is false-or-null whose key is in the matched set would
         # be wrongly erased by the eq-delete. Key-column-pruned scan +
         # left-semi join — no data rewrite, one extra pass.
-        snap = table.current_snapshot()
-        all_files = table.data_files(snap.snapshot_id) if snap else []
-        live = table.pos_reader(spark)([f.path for f in all_files]).select(*cols)
+        live = table.scan(spark, columns=cols)
         collateral = (
             live.filter(~F.coalesce(pred, F.lit(False)))
             .join(keys, on=key, how="left_semi")
@@ -469,6 +491,7 @@ def update_where(
     strategy: str | None = None,
     run_id: str | None = None,
     timestamp_ms: int | None = None,
+    _retry_on_delete_conflict: bool = True,
 ) -> dict:
     """UPDATE table SET <assignments> WHERE <where>. ``assignments`` maps
     column name -> Spark SQL expression string (evaluated against the
@@ -556,13 +579,27 @@ def update_where(
         if lineage_on:
             s.lineage = mf.LINEAGE_MATERIALIZED
     rows_out = sum(f.record_count for f in added)
-    new_snap = table.replace_files(
-        {f.path for f in candidates},
-        added,
-        operation="update",
-        summary={"op": "update-where", "run-id": run_id},
-        timestamp_ms=timestamp_ms,
-    )
+    # validate-no-new-deletes: same concurrent-MOR-delete resurrect race
+    # as the COW delete path above
+    from ..icelite import metadata as _md
+
+    try:
+        new_snap = table.replace_files(
+            {f.path for f in candidates},
+            added,
+            operation="update",
+            summary={"op": "update-where", "run-id": run_id},
+            timestamp_ms=timestamp_ms,
+            validate_no_new_deletes_since=snap.snapshot_id if snap else -1,
+        )
+    except _md.ValidationFailed:
+        if not _retry_on_delete_conflict:
+            raise
+        return update_where(
+            spark, table, where, assignments,
+            target_file_size=target_file_size, key=key, strategy="cow",
+            timestamp_ms=timestamp_ms, _retry_on_delete_conflict=False,
+        )
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id, op="update", partition_id=0,

@@ -417,6 +417,12 @@ class IceliteStreamReader(DataSourceStreamReader):
         # instead of materializing 10^4 commits of files in one plan.
         mx = options.get("max_snapshots_per_batch")
         self._max_snaps = int(mx) if mx is not None else None
+        if self._max_snaps is not None and self._max_snaps < 1:
+            # chain[min(0, n) - 1] would index -1 and admit the whole
+            # backlog in one micro-batch — the inversion of a rate limit
+            raise ValueError(
+                "max_snapshots_per_batch must be >= 1 (omit for unbounded)"
+            )
         self._last_off: int | None = None
 
     def initialOffset(self) -> dict:  # noqa: N802
@@ -466,8 +472,6 @@ class IceliteStreamReader(DataSourceStreamReader):
         if self._max_snaps is not None:
             self._last_off = max(self._last_off or a, a)
         if b <= a:
-            return [IceliteFilePartition(path="")]
-        if a == b:
             return [IceliteFilePartition(path="")]
         tbl = _load_table(self.options)
         if a == 0:
