@@ -87,6 +87,44 @@ def remove_orphan_files(
                 os.remove(os.path.join(dirpath, n))
             os.rmdir(dirpath)
 
+    # metadata sweep: manifests written by LOSING commit attempts (optimistic
+    # retries rewrite the added manifest per attempt — row-id assignment,
+    # replace_files races) and superseded partition-stats registrations are
+    # referenced by no retained snapshot / property. Same age grace as data
+    # files; version JSONs and the hint are NEVER candidates (they are the
+    # commit history itself).
+    meta = table.meta
+    live_manifests = {n for s in meta.snapshots for n in s.manifests}
+    reg_stats = meta.properties.get("partition-stats.path")
+    reg_stats_dir = os.path.dirname(reg_stats) if reg_stats else None
+    mdir = md.metadata_dir(table.location)
+    meta_deleted = 0
+    meta_orphans = 0
+    for name in sorted(os.listdir(mdir)):
+        p = os.path.join(mdir, name)
+        if (
+            name.startswith("manifest-")
+            and name.endswith(".parquet")
+            and name not in live_manifests
+        ):
+            paths = [p]
+        elif (
+            name.startswith("partition-stats-")
+            and os.path.isdir(p)
+            and p != reg_stats_dir
+        ):
+            paths = [os.path.join(p, n) for n in os.listdir(p)] + [p]
+        else:
+            continue
+        newest = max(int(os.path.getmtime(x) * 1000) for x in paths)
+        if as_of - newest < older_than_ms:
+            continue
+        meta_orphans += 1
+        if not dry_run:
+            for x in paths:
+                (os.rmdir if os.path.isdir(x) else os.remove)(x)
+            meta_deleted += 1
+
     LineageLog(table.location).write(
         LineageRow(
             run_id=run_id,
@@ -106,6 +144,8 @@ def remove_orphan_files(
         "orphans": len(orphans),
         "deleted": deleted,
         "bytes_freed": freed,
+        "metadata_orphans": meta_orphans,
+        "metadata_deleted": meta_deleted,
         "dry_run": dry_run,
         "run_id": run_id,
     }

@@ -116,3 +116,57 @@ def test_scan_where_prunes_and_filters(spark, warehouse):
     # open-ended range
     lo = tbl.scan(spark, where={"n_tok": (200, None)})
     assert lo.filter(F.col("n_tok") < 200).count() == 0
+
+
+def test_orphan_sweep_reaps_dead_metadata(spark, warehouse):
+    """Losing commit attempts leave uuid-named manifests no snapshot
+    references, and partition-stats re-registrations supersede old stats
+    dirs — the sweep reaps both (age-graced), never touching live
+    manifests, version JSONs, or the registered stats file."""
+    import os
+
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.icelite import manifest as mf
+    from lakehouse_benchmark_ingestion_spark.icelite import metadata as md
+    from lakehouse_benchmark_ingestion_spark.operators.orphan_files import (
+        remove_orphan_files,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.partition_stats import (
+        read_partition_stats,
+        write_partition_stats,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE).limit(30)
+    tbl = Catalog(warehouse).create_table("morph", df.schema)
+    tbl.append(df, num_files=2)
+    # a dead manifest (losing-attempt shape: written, never referenced)
+    dead = mf.write_manifest(tbl.location, mf.harvest_stats(
+        [f.path for f in tbl.data_files()][:1]
+    ))
+    # superseded partition-stats: register twice
+    write_partition_stats(spark, tbl)
+    old_path = tbl.meta.properties["partition-stats.path"]
+    write_partition_stats(spark, tbl)
+    new_path = tbl.meta.properties["partition-stats.path"]
+    assert old_path != new_path
+    mdir = md.metadata_dir(tbl.location)
+    n_vjson = len([n for n in os.listdir(mdir) if n.endswith(".metadata.json")])
+
+    res = remove_orphan_files(tbl, older_than_ms=0)
+    assert res["metadata_deleted"] >= 2, res
+    assert not os.path.exists(os.path.join(mdir, dead))
+    assert not os.path.exists(old_path)
+    # live surfaces intact
+    assert os.path.exists(new_path)
+    assert tbl.scan(spark).count() == 30
+    df2, source = read_partition_stats(spark, tbl)
+    assert source == "stats-file"
+    assert len([
+        n for n in os.listdir(mdir) if n.endswith(".metadata.json")
+    ]) == n_vjson, "version JSONs are never sweep candidates"
+    # age grace: a FRESH dead manifest survives a graced sweep
+    mf.write_manifest(tbl.location, [])
+    res2 = remove_orphan_files(tbl, older_than_ms=10_000)
+    assert res2["metadata_deleted"] == 0
