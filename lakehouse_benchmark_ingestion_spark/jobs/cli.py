@@ -585,6 +585,20 @@ def main(argv: list[str] | None = None) -> int:
             t = cat.load_table(name)
             if t.current_snapshot() is not None:
                 t.scan(spark).createOrReplaceTempView(name)
+                # Iceberg-style metadata tables as views: SELECT * FROM
+                # t__files / t__snapshots / t__refs / t__partitions (the
+                # `t$files` idiom; Spark temp-view names reject `$`, so the
+                # engine spells it `__`); row-lineage tables additionally
+                # expose t__lineage (_row_id / _last_updated_sequence_number
+                # next to the data columns)
+                for kind in ("files", "snapshots", "refs", "partitions"):
+                    t.metadata_df(spark, kind).createOrReplaceTempView(
+                        f"{name}__{kind}"
+                    )
+                if t.row_lineage_enabled():
+                    t.scan_lineage(spark).createOrReplaceTempView(
+                        f"{name}__lineage"
+                    )
         df = spark.sql(args.query)
         out["rows"] = df.count()
         out["columns"] = df.columns

@@ -293,3 +293,27 @@ def test_cli_row_lineage_and_changelog_tail(spark, warehouse, capsys, tmp_path):
     r = run(capsys, "changelog-tail", "--warehouse", warehouse,
             "--state-dir", state, "--no-ack")
     assert r["counts"].get("delete", 0) > 0 and not r["acked"]
+
+
+def test_cli_sql_metadata_views(spark, warehouse, capsys):
+    """Iceberg-style metadata views in the SQL door (the `t$files` idiom,
+    spelled t__files — Spark temp-view names reject `$`)."""
+    run(capsys, "create-table", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--row-lineage")
+    run(capsys, "ingest", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--appends", "2")
+
+    r = run(capsys, "sql", "--warehouse", warehouse, "-e",
+            "SELECT count(*) AS n_files FROM sequences__files "
+            "WHERE content = 'data'")
+    assert r["sample"][0]["n_files"] >= 2
+
+    r = run(capsys, "sql", "--warehouse", warehouse, "-e",
+            "SELECT count(*) AS n FROM sequences__snapshots")
+    assert r["sample"][0]["n"] >= 2
+
+    r = run(capsys, "sql", "--warehouse", warehouse, "-e",
+            "SELECT max(_row_id) AS mx, count(*) AS n "
+            "FROM sequences__lineage")
+    row = r["sample"][0]
+    assert row["n"] == 500 and row["mx"] == 499
