@@ -262,3 +262,34 @@ def test_datasource_reads_materialized_lineage_table(spark, lin_table):
     native = tbl.scan(spark)
     assert via_ds.exceptAll(native).count() == 0
     assert native.exceptAll(via_ds).count() == 0
+
+
+def test_streaming_append_assigns_lineage(spark, warehouse, tmp_path):
+    """Streaming ingest composes with row lineage for free: every
+    micro-batch append runs through the same commit hook, so batches get
+    disjoint id ranges and the final table reads dense unique ids."""
+    from lakehouse_benchmark_ingestion_spark.streaming.incremental import (
+        drop_parquet_batches,
+        stream_ingest_files,
+    )
+
+    df = tokens_df(spark, SF_SMOKE).limit(40)
+    tbl = Catalog(warehouse).create_table(
+        "slin", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+    drop_parquet_batches(df, str(tmp_path / "drops"), n_batches=4)
+    n_batches = stream_ingest_files(
+        spark, tbl, str(tmp_path / "drops" / "drop-*"),
+        str(tmp_path / "ckpt"),
+    )
+    assert n_batches >= 1
+    rows = tbl.scan_lineage(spark).collect()
+    ids = sorted(r[LINEAGE_ROW_ID_COL] for r in rows)
+    assert ids == list(range(40)), "streaming appends assign dense ids"
+    assert tbl.meta.next_row_id == 40
+    # per-snapshot first_row_id recorded for every streamed commit
+    appends = [s for s in tbl.history() if s.operation == "append"]
+    firsts = sorted(
+        s.first_row_id for s in appends if s.first_row_id is not None
+    )
+    assert firsts[0] == 0 and len(firsts) == len(appends)
