@@ -1388,9 +1388,14 @@ class IceliteTable:
             [(f.path, f.first_row_id, f.sequence_number) for f in files],
             "_l_path string, _l_frid long, _l_fseq long",
         )
+        # one row per FILE: broadcast while that stays driver-friendly
+        # (~100 B/path × 200k ≈ 20 MB); above it let AQE pick the join —
+        # at 10^7-file scale a forced broadcast would ship a GB-class map
+        if len(files) <= 200_000:
+            amap = F.broadcast(amap)
         df = (
             df.join(
-                F.broadcast(amap),
+                amap,
                 F.col(POS_PATH_COL) == F.col("_l_path"),
                 "left",
             )
