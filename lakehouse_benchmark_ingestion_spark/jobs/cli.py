@@ -509,6 +509,18 @@ def main(argv: list[str] | None = None) -> int:
             for r in df.limit(args.limit).collect()
         ]
 
+    elif args.command == "analyze":
+        from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+            table_health,
+        )
+
+        if args.all_tables:
+            out["tables"] = {
+                n: table_health(cat.load_table(n)) for n in cat.list_tables()
+            }
+        else:
+            out.update(table_health(cat.load_table(args.table)))
+
     elif args.command == "write-partition-stats":
         from lakehouse_benchmark_ingestion_spark.operators.partition_stats import (
             write_partition_stats,

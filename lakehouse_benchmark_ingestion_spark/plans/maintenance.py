@@ -119,6 +119,71 @@ def run_full_maintenance(
     return metrics
 
 
+def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
+    """Operational health report, metadata-only (no Spark job): the
+    numbers an operator checks before deciding what maintenance to run —
+    small-file debt, delete debt (eq/pos/DV split), clustering staleness,
+    snapshot/manifest accretion, partition skew (from recorded tuples),
+    row-lineage coverage. The engine's `ANALYZE`/`DESCRIBE EXTENDED`
+    composite over the same manifests every planner reads."""
+    import json as _json
+
+    from ..icelite import manifest as mf
+
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"snapshots": 0, "files": 0}
+    data = table.data_files(snap.snapshot_id)
+    eq = table.delete_files(snap.snapshot_id)
+    pos = table.pos_delete_files(snap.snapshot_id)
+    dvs = [d for d in pos if d.delete_format == mf.DELETE_FORMAT_DV]
+    small = [f for f in data if f.file_size_bytes < small_file_bytes]
+    by_part: dict[str, int] = {}
+    for f in data:
+        by_part[f.partition_json] = by_part.get(f.partition_json, 0) + f.record_count
+    skew = (
+        round(max(by_part.values()) / (sum(by_part.values()) / len(by_part)), 2)
+        if by_part and sum(by_part.values())
+        else 0.0
+    )
+    curves = {f.sort_order or "none" for f in data}
+    unsorted = sum(1 for f in data if not f.sort_order)
+    lineage_files = sum(
+        1
+        for f in data
+        if f.first_row_id is not None or f.lineage == mf.LINEAGE_MATERIALIZED
+    )
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "snapshots": len(table.meta.snapshots),
+        "manifests": len(snap.manifests),
+        "files": len(data),
+        "rows": sum(f.record_count for f in data),
+        "bytes": sum(f.file_size_bytes for f in data),
+        "small_files": len(small),
+        "small_file_ratio": round(len(small) / len(data), 3) if data else 0.0,
+        "eq_delete_files": len(eq),
+        "eq_delete_keys": sum(f.record_count for f in eq),
+        "pos_delete_files": len(pos) - len(dvs),
+        "dv_sidecars": len(dvs),
+        "deleted_positions": sum(f.record_count for f in pos),
+        "sort_orders": sorted(curves),
+        "unsorted_files": unsorted,
+        "partitions": len(by_part),
+        "partition_row_skew": skew,
+        "lineage_files": lineage_files,
+        "lineage_coverage": round(lineage_files / len(data), 3) if data else 0.0,
+        "partition_spec": _json.loads(
+            table.meta.properties.get("partition-spec", "null")
+        ),
+        "properties": {
+            k: v
+            for k, v in table.meta.properties.items()
+            if k.startswith(("write.", "row-lineage", "maintenance."))
+        },
+    }
+
+
 @dataclass
 class CompactionPolicy:
     """``num_commits OR time`` trigger, mirroring the reference's online

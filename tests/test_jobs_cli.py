@@ -317,3 +317,25 @@ def test_cli_sql_metadata_views(spark, warehouse, capsys):
             "FROM sequences__lineage")
     row = r["sample"][0]
     assert row["n"] == 500 and row["mx"] == 499
+
+
+def test_cli_analyze_health_report(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--row-lineage")
+    run(capsys, "ingest", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--appends", "3")
+    run(capsys, "delete-where", "--warehouse", warehouse,
+        "--where", json.dumps({"n_tok": [None, 20]}), "--strategy", "dv")
+
+    r = run(capsys, "analyze", "--warehouse", warehouse)
+    assert r["files"] == 3 and r["snapshots"] >= 4
+    assert r["dv_sidecars"] == 1 and r["deleted_positions"] > 0
+    assert r["eq_delete_files"] == 0
+    assert r["lineage_coverage"] == 1.0
+    assert r["small_file_ratio"] == 1.0  # tiny fixture files
+    assert r["rows"] == 500
+
+    run(capsys, "compact", "--warehouse", warehouse, "--target-mb", "64")
+    r = run(capsys, "analyze", "--warehouse", warehouse)
+    assert r["deleted_positions"] == 0, "compaction materialized the DV"
+    assert r["unsorted_files"] == 0 and r["sort_orders"] == ["zorder"]
