@@ -293,3 +293,70 @@ def test_streaming_append_assigns_lineage(spark, warehouse, tmp_path):
         s.first_row_id for s in appends if s.first_row_id is not None
     )
     assert firsts[0] == 0 and len(firsts) == len(appends)
+
+
+# ---- property: random op sequences vs a Python lineage model --------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.sampled_from(["append", "dv_delete", "compact", "cluster", "update"]),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS, data=st.data())
+def test_lineage_model_under_random_op_sequences(spark, tmp_path_factory, ops, data):
+    """Model check: after ANY sequence of appends / DV deletes / rewrites /
+    MOR updates, scan_lineage must equal a driver-side Python model that
+    assigns ids append-order-densely, never reuses them, and bumps seq only
+    on update."""
+    wh = str(tmp_path_factory.mktemp("lin-prop"))
+    schema = "k long, v long"
+    tbl = Catalog(wh).create_table(
+        "m", spark.createDataFrame([], schema).schema,
+        properties={ROW_LINEAGE_PROP: "true"},
+    )
+    model: dict[int, tuple[int, int]] = {}  # k -> (row_id, last_seq)
+    next_id = 0
+    next_k = 0
+
+    for op in ops:
+        seq = tbl.next_sequence_number()
+        if op == "append" or not model:
+            n = data.draw(st.integers(min_value=1, max_value=5))
+            rows = [(next_k + i, next_k + i) for i in range(n)]
+            tbl.append(spark.createDataFrame(rows, schema))
+            for k, _ in rows:
+                model[k] = (next_id, seq)
+                next_id += 1
+            next_k += n
+        elif op == "dv_delete":
+            victim = data.draw(st.sampled_from(sorted(model)))
+            delete_where(spark, tbl, {"k": victim}, strategy="dv", key="k")
+            del model[victim]
+        elif op == "update":
+            victim = data.draw(st.sampled_from(sorted(model)))
+            update_where(
+                spark, tbl, {"k": victim}, {"v": "v + 1000"}, strategy="mor",
+                key="k",
+            )
+            model[victim] = (model[victim][0], seq)
+        elif op == "compact":
+            compact(spark, tbl, target_file_size=1 << 30)
+        elif op == "cluster":
+            cluster(spark, tbl, curve="zorder")
+
+    got = {
+        r["k"]: (r[LINEAGE_ROW_ID_COL], r[LINEAGE_SEQ_COL])
+        for r in tbl.scan_lineage(spark).collect()
+    }
+    assert got == model
+    assert tbl.meta.next_row_id == next_id
