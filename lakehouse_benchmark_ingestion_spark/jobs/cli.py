@@ -56,6 +56,12 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
     build-bloom    --warehouse W --table T --column C   (per-file bloom index;
                    scan --where equality predicates consult it automatically)
+    build-ndv      --warehouse W --table T --columns c1,c2  (per-file HLL
+                   sketches, Puffin-style NDV stats sidecar)
+    refresh-ndv    --warehouse W --table T   (incremental: scans only files
+                   added since the registered sidecar, unions sketches)
+    ndv            --warehouse W --table T [--dry-run]  (estimates from the
+                   registered sidecar; --dry-run recomputes when stale)
     create-replica --warehouse W --table T --name R [--key doc_id]
     sync-replica   --warehouse W --table T --name R   (ship the CDC delta
                    since the replica's watermark: eq-delete + append)
@@ -124,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-e", "--query", help="Spark SQL for the `sql` command")
     p.add_argument("--cpus", type=int)
     p.add_argument("--column")
+    p.add_argument("--columns")
     p.add_argument("--type", dest="col_type")
     p.add_argument("--to-name")
     p.add_argument("--dry-run", action="store_true")
@@ -441,6 +448,37 @@ def main(argv: list[str] | None = None) -> int:
         if not args.column:
             p.error("build-bloom requires --column")
         out.update(build_bloom_index(spark, cat.load_table(args.table), args.column))
+
+    elif args.command == "build-ndv":
+        from lakehouse_benchmark_ingestion_spark.operators.ndv_stats import (
+            build_ndv_stats,
+        )
+
+        if not args.columns:
+            p.error("build-ndv requires --columns c1,c2,...")
+        out.update(
+            build_ndv_stats(
+                spark, cat.load_table(args.table), args.columns.split(",")
+            )
+        )
+
+    elif args.command == "refresh-ndv":
+        from lakehouse_benchmark_ingestion_spark.operators.ndv_stats import (
+            refresh_ndv_stats,
+        )
+
+        out.update(refresh_ndv_stats(spark, cat.load_table(args.table)))
+
+    elif args.command == "ndv":
+        from lakehouse_benchmark_ingestion_spark.operators.ndv_stats import (
+            ndv_estimates,
+        )
+
+        df, source = ndv_estimates(
+            spark, cat.load_table(args.table), allow_recompute=args.dry_run
+        )
+        out["source"] = source
+        out["ndv"] = {r["column"]: r["ndv"] for r in df.collect()}
 
     elif args.command in ("create-replica", "sync-replica"):
         from lakehouse_benchmark_ingestion_spark.operators.replicate import (

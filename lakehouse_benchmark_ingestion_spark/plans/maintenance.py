@@ -119,6 +119,15 @@ def run_full_maintenance(
     return metrics
 
 
+def _stats_freshness(table: IceliteTable, head_sid: int, prop: str) -> str:
+    """'absent' | 'fresh' | 'stale' for a snapshot-pinned stats sidecar
+    registration (ndv-stats / partition-stats)."""
+    reg = table.meta.properties.get(prop)
+    if reg is None:
+        return "absent"
+    return "fresh" if reg == str(head_sid) else "stale"
+
+
 def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
     """Operational health report, metadata-only (no Spark job): the
     numbers an operator checks before deciding what maintenance to run —
@@ -175,6 +184,14 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
         "lineage_coverage": round(lineage_files / len(data), 3) if data else 0.0,
         "partition_spec": _json.loads(
             table.meta.properties.get("partition-spec", "null")
+        ),
+        # stats-sidecar freshness: stale registered stats are a maintenance
+        # signal (refresh-ndv / write-partition-stats), not an error
+        "ndv_stats": _stats_freshness(
+            table, snap.snapshot_id, "ndv-stats.snapshot-id"
+        ),
+        "partition_stats": _stats_freshness(
+            table, snap.snapshot_id, "partition-stats.snapshot-id"
         ),
         "properties": {
             k: v

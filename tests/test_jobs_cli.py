@@ -339,3 +339,24 @@ def test_cli_analyze_health_report(spark, warehouse, capsys):
     r = run(capsys, "analyze", "--warehouse", warehouse)
     assert r["deleted_positions"] == 0, "compaction materialized the DV"
     assert r["unsorted_files"] == 0 and r["sort_orders"] == ["zorder"]
+
+
+def test_cli_ndv_stats(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+
+    r = run(capsys, "build-ndv", "--warehouse", warehouse, "--columns", "doc_id,source")
+    assert r["files_scanned"] >= 2 and "doc_id" in r["estimates"]
+
+    # analyze reports the registration fresh, then stale after a new commit
+    r = run(capsys, "analyze", "--warehouse", warehouse)
+    assert r["ndv_stats"] == "fresh"
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "1")
+    r = run(capsys, "analyze", "--warehouse", warehouse)
+    assert r["ndv_stats"] == "stale"
+
+    r = run(capsys, "refresh-ndv", "--warehouse", warehouse)
+    assert r["files_scanned"] >= 1 and r["files_carried"] >= 2
+
+    r = run(capsys, "ndv", "--warehouse", warehouse)
+    assert r["source"] == "stats-file" and r["ndv"]["source"] >= 1
