@@ -402,6 +402,88 @@ class IceliteTable:
 
         md.commit(self.location, mutate)
 
+    def cherry_pick(self, snapshot_id: int) -> md.Snapshot:
+        """Publish one staged APPEND snapshot onto the CURRENT main head
+        even when main has advanced past the staging point — Iceberg's
+        ``cherrypick_snapshot`` (``fast_forward`` covers only the
+        main-unchanged case, and refuses otherwise).
+
+        Semantics (all inside the optimistic commit mutate, so a concurrent
+        main writer just triggers a clean retry against the new head):
+
+        - the source snapshot must be an ``append`` (its delta over its
+          parent is data manifests only — replace/merge deltas are not
+          order-independent and are refused, as in Iceberg);
+        - the added files get a FRESH data sequence number, max+1 over the
+          main head: deletes committed on main after staging must NOT
+          suppress the cherry-picked rows (v2 strict-< rule — at publish
+          time this is new data);
+        - idempotence is by file PATH: if any staged file is already live
+          on main (prior cherry-pick or fast-forward), refuse;
+        - row-lineage ids assigned at staging time are preserved (the
+          counter already advanced; ids are never reassigned)."""
+
+        def mutate(meta: md.TableMetadata) -> md.TableMetadata:
+            src = meta.snapshot(snapshot_id)  # KeyError if expired/unknown
+            if src.operation != "append":
+                raise ValueError(
+                    f"cherry-pick supports append snapshots only; "
+                    f"{snapshot_id} is {src.operation!r}"
+                )
+            parent_manifests: set[str] = set()
+            if src.parent_id is not None:
+                try:
+                    parent_manifests = set(meta.snapshot(src.parent_id).manifests)
+                except KeyError:
+                    pass  # parent expired: treat every manifest as added
+            added = [m for m in src.manifests if m not in parent_manifests]
+            if not added:
+                raise ValueError(f"snapshot {snapshot_id} added no manifests")
+            head = meta.snapshot()
+            head_manifests = list(head.manifests) if head else []
+            head_files = mf.read_manifests(self.location, head_manifests)
+            live_paths = {
+                f.path for f in head_files if f.content == mf.CONTENT_DATA
+            }
+            new_seq = 1 + max(
+                (f.sequence_number for f in head_files), default=0
+            )
+            new_names: list[str] = []
+            for name in added:
+                files = mf.read_manifest(self.location, name)
+                if any(f.content != mf.CONTENT_DATA for f in files):
+                    raise ValueError(
+                        "cherry-pick source carries delete files; only "
+                        "pure data appends are order-independent"
+                    )
+                dup = [f.path for f in files if f.path in live_paths]
+                if dup:
+                    raise ValueError(
+                        f"{len(dup)} staged file(s) already live on main "
+                        f"(already published?): {dup[:3]}"
+                    )
+                for f in files:
+                    f.sequence_number = new_seq
+                new_names.append(mf.write_manifest(self.location, files))
+            sid = md.new_snapshot_id(meta)
+            snap = md.Snapshot(
+                snapshot_id=sid,
+                parent_id=meta.current_snapshot_id,
+                timestamp_ms=md.now_ms(),
+                operation="append",
+                manifests=head_manifests + new_names,
+                summary={
+                    "cherry-picked-from": str(snapshot_id),
+                    "added-manifests": str(len(new_names)),
+                },
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            meta.last_updated_ms = snap.timestamp_ms
+            return meta
+
+        return md.commit(self.location, mutate).snapshot()
+
     def snapshot_as_of(self, timestamp_ms: int) -> md.Snapshot:
         """Time travel by wall clock: the latest main-lineage snapshot with
         timestamp_ms <= the requested time (Iceberg's as-of-timestamp)."""

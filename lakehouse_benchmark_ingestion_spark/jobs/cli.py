@@ -54,6 +54,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     drop-ref       --warehouse W --table T --name N
     refs           --warehouse W --table T
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
+    cherry-pick    --warehouse W --table T --snapshot-id S   (publish a staged
+                   append onto a moved main head; fresh sequence number)
     build-bloom    --warehouse W --table T --column C   (per-file bloom index;
                    scan --where equality predicates consult it automatically)
     build-ndv      --warehouse W --table T --columns c1,c2  (per-file HLL
@@ -522,6 +524,14 @@ def main(argv: list[str] | None = None) -> int:
         tbl = cat.load_table(args.table)
         tbl.rollback(args.snapshot_id)
         out["current_snapshot"] = tbl.current_snapshot().snapshot_id
+
+    elif args.command == "cherry-pick":
+        if args.snapshot_id is None:
+            p.error("cherry-pick requires --snapshot-id")
+        tbl = cat.load_table(args.table)
+        snap = tbl.cherry_pick(args.snapshot_id)
+        out["current_snapshot"] = snap.snapshot_id
+        out["summary"] = snap.summary
 
     elif args.command == "metadata":
         tbl = cat.load_table(args.table)

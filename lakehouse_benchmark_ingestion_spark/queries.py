@@ -879,6 +879,37 @@ def q_maint_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP completed with cherry-pick (Iceberg cherrypick_snapshot): main
+    holds third==0; third==1 is STAGED on an audit branch; main then
+    advances (third==2 append + a MOR eq-delete of n_tok<=50) so
+    fast-forward is impossible (asserted). cherry_pick publishes the
+    staged append onto the moved head with a FRESH sequence number —
+    the intervening delete must suppress main's low-n_tok rows but NOT
+    the staged ones (v2 strict-< rule at publish time)."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_cp" not in p:
+        from .operators.row_dml import delete_where
+
+        df = tokens_df(spark, sf_dir)
+        third = F.col("doc_id").cast("long") % 3
+        tbl = Catalog(p["warehouse"]).create_table("sequences_cp", df.schema)
+        tbl.append(df.filter(third == 0), num_files=2)
+        tbl.create_branch("audit")
+        staged = tbl.append(df.filter(third == 1), num_files=2, branch="audit")
+        tbl.append(df.filter(third == 2), num_files=2)
+        delete_where(spark, tbl, {"n_tok": (0, 50)}, strategy="mor")
+        try:
+            tbl.fast_forward("audit")
+            raise AssertionError("fast-forward must refuse a moved main")
+        except ValueError:
+            pass
+        snap = tbl.cherry_pick(staged.snapshot_id)
+        assert snap.summary["cherry-picked-from"] == str(staged.snapshot_id)
+        p["table_cp"] = tbl
+    return _seq_scan_cols(p["table_cp"].scan(spark))
+
+
 def q_maint_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDV statistics sidecar (Iceberg Puffin ANALYZE parity) certified
     end-to-end: build per-file DataSketches HLL sketches on a 3-file table,
@@ -1057,6 +1088,13 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
     """,
+    # cherry-picked rows (third==1) survive in full; main's rows lose the
+    # deleted n_tok range
+    "maint_cherry_pick": digest_scan_sql(
+        f"""SELECT * FROM ({TOKENS_ORACLE_SQL})
+            WHERE CAST(doc_id AS BIGINT) % 3 = 1
+               OR n_tok > 50"""
+    ),
     # the booleans are the engine's self-certification (sketch within 5% of
     # exact; incremental union ≡ full rebuild) — the oracle pins them TRUE
     # and independently recomputes the exact distinct counts
@@ -1264,6 +1302,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_ndv_sketch": q_maint_ndv_sketch,
+        "maint_cherry_pick": q_maint_cherry_pick,
         "maint_row_lineage": q_maint_row_lineage,
         "maint_expire_travel": q_maint_expire_travel,
         "maint_manifest_rewrite": q_maint_manifest_rewrite,

@@ -73,6 +73,7 @@ def test_every_query_has_an_oracle():
 # (tools/verify_queries.py); rotate INTO the window when round 4 re-curates.
 DEFERRED_TO_NEXT_WINDOW = {
     "maint_ndv_sketch",
+    "maint_cherry_pick",
 }
 
 
