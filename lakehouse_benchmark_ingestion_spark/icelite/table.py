@@ -12,6 +12,7 @@ ids resolve to the old file list, north_rule).
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 import uuid
@@ -178,6 +179,65 @@ class IceliteTable:
             schema = (
                 "partition_json string, n_files long, record_count long, "
                 "file_size_bytes long"
+            )
+        elif kind == "history":
+            # Iceberg's `history` table: every retained snapshot, flagged
+            # with whether it is an ancestor of the current head (rollbacks
+            # and abandoned branch heads show is_current_ancestor=false)
+            ancestors: set[int] = set()
+            cur = self.meta.snapshot()
+            while cur is not None:
+                ancestors.add(cur.snapshot_id)
+                if cur.parent_id is None:
+                    break
+                try:
+                    cur = self.meta.snapshot(cur.parent_id)
+                except KeyError:
+                    break  # parent expired — ancestry beyond it is gone
+            rows = [
+                {
+                    "made_current_at_ms": s.timestamp_ms,
+                    "snapshot_id": s.snapshot_id,
+                    "parent_id": s.parent_id,
+                    "operation": s.operation,
+                    "is_current_ancestor": s.snapshot_id in ancestors,
+                }
+                for s in self.history()
+            ]
+            schema = (
+                "made_current_at_ms long, snapshot_id long, parent_id long, "
+                "operation string, is_current_ancestor boolean"
+            )
+        elif kind == "manifests":
+            # per-manifest accretion view (Iceberg's `manifests` table):
+            # footer-only reads — entry counts and aggregate bounds come
+            # from the parquet footer summary, no body parse
+            snap = self.meta.snapshot()
+            rows = []
+            for name in (snap.manifests if snap else []):
+                summary = mf.read_manifest_summary(self.location, name) or {}
+                entries = mf.read_manifest(self.location, name)
+                rows.append(
+                    {
+                        "manifest": name,
+                        "n_entries": len(entries),
+                        "n_data_files": sum(
+                            1 for f in entries if f.content == mf.CONTENT_DATA
+                        ),
+                        "n_delete_files": sum(
+                            1 for f in entries if f.content != mf.CONTENT_DATA
+                        ),
+                        "record_count": sum(f.record_count for f in entries),
+                        "file_size_bytes": sum(
+                            f.file_size_bytes for f in entries
+                        ),
+                        "summary_json": json.dumps(summary, sort_keys=True),
+                    }
+                )
+            schema = (
+                "manifest string, n_entries long, n_data_files long, "
+                "n_delete_files long, record_count long, "
+                "file_size_bytes long, summary_json string"
             )
         else:
             raise ValueError(f"unknown metadata table {kind!r}")

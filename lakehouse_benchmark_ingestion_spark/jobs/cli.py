@@ -147,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--kind",
         default="files",
-        choices=["files", "snapshots", "refs", "partitions"],
+        choices=["files", "snapshots", "refs", "partitions", "history", "manifests"],
     )
     p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
     p.add_argument("--val-column")
@@ -646,12 +646,13 @@ def main(argv: list[str] | None = None) -> int:
             if t.current_snapshot() is not None:
                 t.scan(spark).createOrReplaceTempView(name)
                 # Iceberg-style metadata tables as views: SELECT * FROM
-                # t__files / t__snapshots / t__refs / t__partitions (the
+                # t__files / t__snapshots / t__refs / t__partitions /
+                # t__history / t__manifests (the
                 # `t$files` idiom; Spark temp-view names reject `$`, so the
                 # engine spells it `__`); row-lineage tables additionally
                 # expose t__lineage (_row_id / _last_updated_sequence_number
                 # next to the data columns)
-                for kind in ("files", "snapshots", "refs", "partitions"):
+                for kind in ("files", "snapshots", "refs", "partitions", "history", "manifests"):
                     t.metadata_df(spark, kind).createOrReplaceTempView(
                         f"{name}__{kind}"
                     )

@@ -154,3 +154,27 @@ def test_duplicate_clusters_law(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(ns) for ns in comps.values() for n in ns}
     assert got == want
+
+
+def test_metadata_history_and_manifests_tables(spark, warehouse):
+    """`history` flags rollback-orphaned snapshots non-ancestor; `manifests`
+    aggregates entry counts from footer summaries."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mdt", df.schema)
+    tbl.append(df, num_files=2)
+    s1 = tbl.current_snapshot().snapshot_id
+    tbl.append(df.limit(0), num_files=1)
+    tbl.rollback(s1)
+    hist = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in tbl.metadata_df(spark, "history").collect()
+    }
+    assert hist[s1] is True and False in hist.values()
+    man = tbl.metadata_df(spark, "manifests").collect()
+    assert sum(r["n_data_files"] for r in man) == len(tbl.data_files())
+    assert sum(r["record_count"] for r in man) == df.count()
+    assert all(r["summary_json"] for r in man)
