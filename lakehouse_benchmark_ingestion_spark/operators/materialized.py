@@ -18,9 +18,16 @@ atomic swaps for free); its metadata records the base snapshot it reflects
 re-running after a crash re-derives the same delta. Groups whose counts
 reach zero are dropped.
 
-Only ADDITIVE aggregates maintain incrementally (count/sum; avg = sum/count
-derived). MIN/MAX need a recompute-on-delete path — out of scope, as in
-most production incremental-MV engines.
+ADDITIVE aggregates (count/sum; avg = sum/count derived) maintain purely
+from the delta. MIN/MAX maintain incrementally on inserts (fold the
+inserted extremes in) but a delete can break them only when it GRAZES the
+stored extreme (a deleted value can never be below the group's min, so
+min survives unless deleted_min == stored min; symmetrically for max).
+Grazed groups get a RESCOPED recompute: one semi-joined scan of the base
+head restricted to exactly those group keys — O(rows of affected groups),
+never the table. Multiplicity makes the graze test conservative (deleting
+one of two min-valued rows leaves min intact but still triggers the
+recompute), which is correct and cheap: the trigger set is tiny.
 """
 
 from __future__ import annotations
@@ -34,13 +41,17 @@ from ..icelite.catalog import Catalog
 from ..icelite.table import IceliteTable
 from .changes import snapshot_changes
 
-MV_SCHEMA_DDL = "group_key string, n_rows long, sum_val long"
+MV_SCHEMA_DDL = (
+    "group_key string, n_rows long, sum_val long, min_val long, max_val long"
+)
 
 
 def _aggregate(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
     return df.groupBy(F.col(group_col).alias("group_key")).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col(val_col)).cast("long").alias("sum_val"),
+        F.min(F.col(val_col)).cast("long").alias("min_val"),
+        F.max(F.col(val_col)).cast("long").alias("max_val"),
     )
 
 
@@ -62,6 +73,8 @@ def create_agg_view(
             StructField("group_key", StringType(), False),
             StructField("n_rows", LongType(), False),
             StructField("sum_val", LongType(), False),
+            StructField("min_val", LongType(), True),
+            StructField("max_val", LongType(), True),
         ]
     )
     mv = catalog.create_table(name, schema)
@@ -70,7 +83,7 @@ def create_agg_view(
         base.scan(spark, snapshot_id=snapshot_id), group_col, val_col
     )
     mv.append(
-        full.select("group_key", "n_rows", "sum_val"),
+        full.select("group_key", "n_rows", "sum_val", "min_val", "max_val"),
         num_files=1,
     )
     mv.set_properties(
@@ -104,24 +117,63 @@ def refresh_agg_view(
 
     ch = snapshot_changes(spark, base, from_id, to_id)
     sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    is_ins = F.col("change_type") == "insert"
+    val = F.col(val_col).cast("long")
     delta = (
         ch.withColumn("_s", sign)
         .groupBy(F.col(group_col).alias("group_key"))
         .agg(
             F.sum("_s").cast("long").alias("d_rows"),
             F.sum(F.col("_s") * F.col(val_col)).cast("long").alias("d_val"),
+            F.min(F.when(is_ins, val)).alias("ins_min"),
+            F.max(F.when(is_ins, val)).alias("ins_max"),
+            F.min(F.when(~is_ins, val)).alias("del_min"),
+            F.max(F.when(~is_ins, val)).alias("del_max"),
         )
     )
     cur = mv.scan(spark)
-    merged = (
-        cur.join(delta, "group_key", "full_outer")
-        .select(
-            "group_key",
-            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias("n_rows"),
-            (F.coalesce("sum_val", F.lit(0)) + F.coalesce("d_val", F.lit(0))).alias("sum_val"),
+    joined = cur.join(delta, "group_key", "full_outer")
+    # a delete grazes an extreme only when it touches the stored value
+    # (deleted values are never outside [min, max] of their group)
+    grazed = (
+        F.col("del_min").isNotNull()
+        & F.col("min_val").isNotNull()
+        & (
+            (F.col("del_min") <= F.col("min_val"))
+            | (F.col("del_max") >= F.col("max_val"))
         )
+    )
+    folded = joined.select(
+        "group_key",
+        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias("n_rows"),
+        (F.coalesce("sum_val", F.lit(0)) + F.coalesce("d_val", F.lit(0))).alias("sum_val"),
+        F.least("min_val", "ins_min").alias("min_val"),
+        F.greatest("max_val", "ins_max").alias("max_val"),
+        F.coalesce(grazed, F.lit(False)).alias("_recompute"),
+    ).persist()
+    # O(grazed groups) — the recompute TRIGGER SET, never the data
+    recompute_keys = [
+        r["group_key"]
+        for r in folded.filter("_recompute").select("group_key").collect()
+    ]
+    merged = (
+        folded.filter(~F.col("_recompute"))
+        .drop("_recompute")
         .filter(F.col("n_rows") > 0)
     )
+    if recompute_keys:
+        # rescoped recompute: one base-head scan restricted to exactly the
+        # grazed groups (stats/partition pruning applies as usual); a group
+        # whose rows all died simply yields no row and drops out
+        rescoped = _aggregate(
+            base.scan(spark).filter(F.col(group_col).isin(recompute_keys)),
+            group_col,
+            val_col,
+        ).select("group_key", "n_rows", "sum_val", "min_val", "max_val")
+        merged = merged.unionByName(rescoped)
+    merged = merged.localCheckpoint()
+    folded.unpersist()
+
     # rewrite the (tiny) view in one replace-files commit that also moves
     # the recorded base snapshot — state and watermark are atomic together
     import glob
@@ -150,4 +202,5 @@ def refresh_agg_view(
         "to_snapshot": to_id,
         "mv_snapshot": snap.snapshot_id,
         "groups": merged.count(),
+        "recomputed_groups": len(recompute_keys),
     }

@@ -365,6 +365,30 @@ def q_maint_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p["mv"].scan(spark).select("group_key", "n_rows", "sum_val")
 
 
+def q_maint_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX incremental view maintenance certified end-to-end: the MV
+    (now carrying min_val/max_val) is pinned at the post-maintenance
+    snapshot and refreshed across the MERGE — whose updates DELETE old row
+    images, grazing group extremes and triggering the rescoped per-group
+    recompute path (operators/materialized.py). The oracle recomputes all
+    five aggregates declaratively from the merged final state."""
+    from .icelite import Catalog
+    from .operators.materialized import create_agg_view, refresh_agg_view
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "mv_mm" not in p:
+        mv = create_agg_view(
+            spark, Catalog(p["warehouse"]), p["table"], "mv_minmax",
+            "source", "n_tok",
+            snapshot_id=p["post_maintenance_snapshot"],
+        )
+        refresh_agg_view(spark, p["table"], mv)
+        p["mv_mm"] = mv
+    return p["mv_mm"].scan(spark).select(
+        "group_key", "n_rows", "sum_val", "min_val", "max_val"
+    )
+
+
 def q_maint_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental table replication (operators/replicate.py): the replica
     bootstraps PINNED at the post-maintenance snapshot, then one sync ships
@@ -1036,6 +1060,14 @@ MAINT_ORACLES: dict[str, str] = {
                CAST(sum(n_tok) AS BIGINT) AS sum_val
         FROM final GROUP BY source
     """,
+    "maint_mv_minmax": f"""
+        WITH final AS ({MERGE_FINAL_ORACLE_SQL})
+        SELECT source AS group_key, count(*) AS n_rows,
+               CAST(sum(n_tok) AS BIGINT) AS sum_val,
+               CAST(min(n_tok) AS BIGINT) AS min_val,
+               CAST(max(n_tok) AS BIGINT) AS max_val
+        FROM final GROUP BY source
+    """,
     "merge_agg": f"""
         WITH final AS ({MERGE_FINAL_ORACLE_SQL})
         SELECT source, count(*) AS n_docs,
@@ -1282,6 +1314,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_changelog": q_maint_changelog,
         "maint_schema_evolution": q_maint_schema_evolution,
         "maint_mv_incremental": q_maint_mv_incremental,
+        "maint_mv_minmax": q_maint_mv_minmax,
         "maint_replica_sync": q_maint_replica_sync,
         "maint_time_travel_tag": q_maint_time_travel_tag,
         "maint_delete_where": q_maint_delete_where,

@@ -16,19 +16,24 @@ from lakehouse_benchmark_ingestion_spark.operators.materialized import (
 
 def _direct(spark, tbl):
     return {
-        r.group_key: (r.n_rows, r.sum_val)
+        r.group_key: (r.n_rows, r.sum_val, r.min_val, r.max_val)
         for r in tbl.scan(spark)
         .groupBy(F.col("source").alias("group_key"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum("n_tok").cast("long").alias("sum_val"),
+            F.min("n_tok").cast("long").alias("min_val"),
+            F.max("n_tok").cast("long").alias("max_val"),
         )
         .collect()
     }
 
 
 def _mv_state(spark, mv):
-    return {r.group_key: (r.n_rows, r.sum_val) for r in mv.scan(spark).collect()}
+    return {
+        r.group_key: (r.n_rows, r.sum_val, r.min_val, r.max_val)
+        for r in mv.scan(spark).collect()
+    }
 
 
 def test_mv_tracks_base_through_append_merge_delete(spark, sequences_table, warehouse):
@@ -84,3 +89,53 @@ def test_mv_drops_emptied_groups(spark, sequences_table, warehouse):
     state = _mv_state(spark, mv)
     assert victim not in state
     assert state == _direct(spark, tbl)
+
+
+def test_mv_minmax_rescoped_recompute(spark, sequences_table, warehouse):
+    """Deleting a group's extreme triggers a per-group recompute (reported
+    in the metrics); inserts fold in without any recompute; untouched
+    groups never trigger one."""
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    tbl = sequences_table
+    mv = create_agg_view(spark, Catalog(warehouse), tbl, "mv_mm", "source", "n_tok")
+
+    # insert a new global max for one source: pure fold, no recompute
+    top = (
+        tbl.scan(spark)
+        .orderBy(F.col("n_tok").desc())
+        .limit(1)
+        .withColumn("doc_id", F.concat(F.lit("mm-"), F.col("doc_id")))
+        .withColumn("n_tok", (F.col("n_tok") + 1000).cast("int"))
+    )
+    tbl.append(top)
+    r = refresh_agg_view(spark, tbl, mv)
+    assert r["recomputed_groups"] == 0
+    assert _mv_state(spark, mv) == _direct(spark, tbl)
+
+    # now DELETE that max row: its group must be recomputed — and only it
+    delete_where(spark, tbl, {"n_tok": (1000, None)}, strategy="mor")
+    r = refresh_agg_view(spark, tbl, mv)
+    assert r["recomputed_groups"] == 1
+    assert _mv_state(spark, mv) == _direct(spark, tbl)
+
+    # delete strictly interior values (neither min nor max anywhere):
+    # no group may recompute, aggregates still track
+    lo = tbl.scan(spark).agg(F.min("n_tok")).collect()[0][0]
+    hi = tbl.scan(spark).agg(F.max("n_tok")).collect()[0][0]
+    per_group = {
+        r["group_key"]: (r["mn"], r["mx"])
+        for r in tbl.scan(spark)
+        .groupBy(F.col("source").alias("group_key"))
+        .agg(F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx"))
+        .collect()
+    }
+    interior_lo = max(mn for mn, _ in per_group.values()) + 1
+    interior_hi = min(mx for _, mx in per_group.values()) - 1
+    if interior_lo <= interior_hi:
+        delete_where(
+            spark, tbl, {"n_tok": (interior_lo, interior_hi)}, strategy="mor"
+        )
+        r = refresh_agg_view(spark, tbl, mv)
+        assert r["recomputed_groups"] == 0
+        assert _mv_state(spark, mv) == _direct(spark, tbl)
