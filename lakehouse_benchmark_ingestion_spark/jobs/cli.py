@@ -56,6 +56,10 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     rollback       --warehouse W --table T --snapshot-id S   (metadata-only)
     cherry-pick    --warehouse W --table T --snapshot-id S   (publish a staged
                    append onto a moved main head; fresh sequence number)
+    validate       --warehouse W --table T [--deep] [--snapshot-id S]
+                   (integrity fsck: manifests/refs/lineage metadata checks +
+                   executor-side file existence/size; --deep adds footer row
+                   counts and dangling-delete-address detection)
     build-bloom    --warehouse W --table T --column C   (per-file bloom index;
                    scan --where equality predicates consult it automatically)
     build-ndv      --warehouse W --table T --columns c1,c2  (per-file HLL
@@ -136,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type", dest="col_type")
     p.add_argument("--to-name")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--deep", action="store_true")  # validate: footer + delete-target checks
     p.add_argument("--where")
     p.add_argument("--all", action="store_true", dest="all_tables")
     p.add_argument("--if-needed", action="store_true")
@@ -524,6 +529,20 @@ def main(argv: list[str] | None = None) -> int:
         tbl = cat.load_table(args.table)
         tbl.rollback(args.snapshot_id)
         out["current_snapshot"] = tbl.current_snapshot().snapshot_id
+
+    elif args.command == "validate":
+        from lakehouse_benchmark_ingestion_spark.operators.validate import (
+            validate_table,
+        )
+
+        out.update(
+            validate_table(
+                spark,
+                cat.load_table(args.table),
+                deep=args.deep,
+                snapshot_id=args.snapshot_id,
+            )
+        )
 
     elif args.command == "cherry-pick":
         if args.snapshot_id is None:

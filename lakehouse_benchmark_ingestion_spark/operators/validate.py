@@ -1,0 +1,243 @@
+"""Table integrity validation — the engine's fsck.
+
+At 100 TB a table's failure modes are operational, not logical: a file
+GC'd by a buggy sweep while a manifest still references it, a truncated
+object after a partial upload, a ref pointing at an expired snapshot, a
+manifest listing the same file twice after a botched rewrite, row-lineage
+id ranges overlapping after a bad assignment. Maintenance must be able to
+PROVE table health before and after it runs; Iceberg ships the same idea
+as metadata verification in `expire_snapshots`/`rewrite` preconditions.
+
+Two tiers:
+
+- **metadata tier** (always on, driver-side, O(files) over the manifests
+  every planner already reads): manifests parse, no duplicate file paths
+  in a snapshot, refs resolve to retained snapshots, partition tuples
+  parse, row-lineage id ranges are disjoint and below the table counter,
+  delete files carry sane sequence numbers.
+- **file tier** (Spark job, one task batch per file shard): existence and
+  byte-size agreement executor-side; ``deep=True`` additionally opens
+  every parquet footer and checks its row count against the manifest's
+  ``record_count``, and reads pos-delete/DV sidecars to prove every
+  addressed path is still a live data file (no dangling delete).
+
+Returns ``{"ok", "files_checked", "issues": [{check, path, detail}]}`` —
+issues are data, not logs, so the CLI emits them machine-parseable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from ..icelite import manifest as mf
+from ..icelite import metadata as md
+
+MAX_ISSUES = 1000  # enough to act on; prevents a mass-corruption report OOM
+
+
+def _check_metadata(table, snap) -> tuple[list[dict], list[mf.DataFile]]:
+    issues: list[dict] = []
+    meta = table.meta
+    files: list[mf.DataFile] = []
+    for name in snap.manifests:
+        try:
+            files.extend(mf.read_manifest(table.location, name))
+        except Exception as e:  # missing/corrupt manifest
+            issues.append(
+                {"check": "manifest-parse", "path": name, "detail": str(e)}
+            )
+    seen: set[str] = set()
+    for f in files:
+        if f.path in seen:
+            issues.append(
+                {
+                    "check": "duplicate-entry",
+                    "path": f.path,
+                    "detail": "file listed more than once in one snapshot",
+                }
+            )
+        seen.add(f.path)
+        try:
+            json.loads(f.partition_json)
+        except Exception:
+            issues.append(
+                {
+                    "check": "partition-tuple",
+                    "path": f.path,
+                    "detail": f"unparseable partition_json {f.partition_json!r}",
+                }
+            )
+    retained = {s.snapshot_id for s in meta.snapshots}
+    for rname, ref in meta.refs.items():
+        if int(ref["snapshot_id"]) not in retained:
+            issues.append(
+                {
+                    "check": "ref-resolves",
+                    "path": rname,
+                    "detail": f"{ref['type']} points at expired snapshot "
+                    f"{ref['snapshot_id']}",
+                }
+            )
+    # row lineage: assigned id ranges disjoint and below the counter
+    ranged = sorted(
+        (
+            (f.first_row_id, f.first_row_id + f.record_count, f.path)
+            for f in files
+            if f.content == mf.CONTENT_DATA and f.first_row_id is not None
+        ),
+    )
+    prev_end, prev_path = -1, None
+    for lo, hi, path in ranged:
+        if lo < prev_end:
+            issues.append(
+                {
+                    "check": "lineage-overlap",
+                    "path": path,
+                    "detail": f"row-id range [{lo},{hi}) overlaps {prev_path}",
+                }
+            )
+        prev_end, prev_path = hi, path
+        if hi > meta.next_row_id:
+            issues.append(
+                {
+                    "check": "lineage-counter",
+                    "path": path,
+                    "detail": f"row-id range end {hi} exceeds table counter "
+                    f"{meta.next_row_id}",
+                }
+            )
+    return issues, files
+
+
+def _check_files_distributed(
+    spark: SparkSession, files: list[mf.DataFile], deep: bool
+) -> list[dict]:
+    """Executor-side existence / size / (deep) footer-row checks — one
+    Spark job over O(files) metadata rows, never the data."""
+    if not files:
+        return []
+    rows = [(f.path, f.file_size_bytes, f.record_count) for f in files]
+    df = spark.createDataFrame(
+        rows, "path string, expect_bytes long, expect_rows long"
+    )
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, eb, er in zip(
+                pdf["path"], pdf["expect_bytes"], pdf["expect_rows"]
+            ):
+                if not os.path.exists(path):
+                    out.append(("missing-file", path, "referenced by manifest"))
+                    continue
+                actual = os.path.getsize(path)
+                if actual != eb:
+                    out.append(
+                        (
+                            "size-mismatch",
+                            path,
+                            f"manifest says {eb} bytes, disk has {actual}",
+                        )
+                    )
+                    continue
+                if deep:
+                    try:
+                        import pyarrow.parquet as pq
+
+                        n = pq.ParquetFile(path).metadata.num_rows
+                    except Exception as e:
+                        out.append(("footer-parse", path, str(e)))
+                        continue
+                    if n != er:
+                        out.append(
+                            (
+                                "rowcount-mismatch",
+                                path,
+                                f"manifest says {er} rows, footer has {n}",
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["check", "path", "detail"]
+            ) if out else pd.DataFrame(
+                {"check": [], "path": [], "detail": []}
+            )
+
+    found = df.repartition(max(1, min(256, len(files) // 64 + 1))).mapInPandas(
+        _probe, "check string, path string, detail string"
+    )
+    return [r.asDict() for r in found.limit(MAX_ISSUES).collect()]
+
+
+def _check_delete_targets(
+    spark: SparkSession, table, files: list[mf.DataFile]
+) -> list[dict]:
+    """Deep: every path a pos-delete/DV sidecar addresses must be a live
+    data file (a dangling address means a rewrite GC'd a file without
+    rewriting its deletes — rows it suppressed may resurrect elsewhere)."""
+    pos = [f for f in files if f.content == mf.CONTENT_POS_DELETES]
+    if not pos:
+        return []
+    live = {
+        os.path.realpath(f.path)
+        for f in files
+        if f.content == mf.CONTENT_DATA
+    }
+    issues: list[dict] = []
+    for d in pos:
+        if not os.path.exists(d.path):
+            continue  # already reported by the file tier
+        try:
+            import pyarrow.parquet as pq
+
+            addressed = set(
+                pq.read_table(d.path, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            )
+        except Exception as e:
+            issues.append(
+                {"check": "delete-sidecar-parse", "path": d.path, "detail": str(e)}
+            )
+            continue
+        dangling = sorted(
+            p for p in addressed if os.path.realpath(p) not in live
+        )
+        if dangling:
+            issues.append(
+                {
+                    "check": "dangling-delete",
+                    "path": d.path,
+                    "detail": f"{len(dangling)} addressed path(s) not live, "
+                    f"e.g. {dangling[0]}",
+                }
+            )
+    return issues
+
+
+def validate_table(
+    spark: SparkSession,
+    table,
+    deep: bool = False,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Integrity report for a snapshot (default: head). Never mutates."""
+    snap = table.meta.snapshot(snapshot_id)
+    if snap is None:
+        return {"ok": True, "files_checked": 0, "issues": []}
+    issues, files = _check_metadata(table, snap)
+    issues += _check_files_distributed(spark, files, deep)
+    if deep:
+        issues += _check_delete_targets(spark, table, files)
+    issues = issues[:MAX_ISSUES]
+    return {
+        "ok": not issues,
+        "snapshot_id": snap.snapshot_id,
+        "files_checked": len(files),
+        "deep": deep,
+        "issues": issues,
+    }
