@@ -116,6 +116,24 @@ def run_full_maintenance(
                     "snapshot_id": r["snapshot_id"]}
 
         metrics["partition_stats"] = timed("partition_stats", _pstats)
+    # opt-in post-suite integrity proof (maintenance.validate=true): the
+    # metadata + file tiers of the fsck at the post-maintenance head, so a
+    # rewrite that corrupted the table is caught by the run that did it,
+    # not by the next reader. Recorded in the journal; a dirty report also
+    # raises — maintenance must not hand off a table it just broke.
+    if table.meta.properties.get("maintenance.validate", "") == "true":
+        from ..operators.validate import validate_table
+
+        def _validate() -> dict:
+            r = validate_table(spark, table)
+            if not r["ok"]:
+                raise RuntimeError(
+                    f"post-maintenance validation failed: {r['issues'][:5]}"
+                )
+            return {"files_out": r["files_checked"], "rows": 0,
+                    "snapshot_id": r["snapshot_id"]}
+
+        metrics["validate"] = timed("validate", _validate)
     return metrics
 
 

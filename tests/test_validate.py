@@ -119,3 +119,22 @@ def test_cli_validate(spark, sequences_table, capsys):
     wh = os.path.dirname(sequences_table.location)
     r = run(capsys, "validate", "--warehouse", wh, "--deep")
     assert r["ok"] is True and r["files_checked"] > 0
+
+
+def test_full_maintenance_validate_stage(spark, sequences_table):
+    """maintenance.validate=true appends a journaled validate stage that
+    passes on a healthy table and raises when the head is corrupt."""
+    import pytest as _pytest
+
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        run_full_maintenance,
+    )
+
+    tbl = sequences_table
+    tbl.set_properties({"maintenance.validate": "true"})
+    m = run_full_maintenance(spark, tbl, target_file_size=4 * 1024 * 1024)
+    assert "validate" in m and m["validate"]["files_out"] > 0
+
+    os.remove(tbl.data_files()[0].path)
+    with _pytest.raises(RuntimeError, match="post-maintenance validation"):
+        run_full_maintenance(spark, tbl, target_file_size=4 * 1024 * 1024)
