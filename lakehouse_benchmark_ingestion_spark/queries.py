@@ -961,25 +961,35 @@ def q_maint_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         full = build_ndv_stats(spark, tbl, ["doc_id", "source", "n_tok"])
         p["table_ndv"] = (tbl, incr["estimates"], full["estimates"])
     tbl, incr_est, full_est = p["table_ndv"]
-    exact = tbl.scan(spark).agg(
-        *[
-            F.countDistinct(c).cast("long").alias(c)
-            for c in ("doc_id", "source", "n_tok")
-        ]
-    ).collect()[0]
-    rows = [
-        (
-            c,
-            exact[c],
-            abs(incr_est[c] - exact[c]) <= max(2, 0.05 * exact[c]),
-            abs(incr_est[c] - full_est[c]) <= max(2, 0.02 * full_est[c]),
+    cols = ("doc_id", "source", "n_tok")
+    # estimates are driver-side METADATA (sidecar build metrics); the exact
+    # distinct counts stay in Spark and the comparison runs JVM-side
+    est = spark.createDataFrame(
+        [(c, incr_est[c], full_est[c]) for c in cols],
+        "col_name string, incr_est long, full_est long",
+    )
+    exact = (
+        tbl.scan(spark)
+        .agg(*[F.countDistinct(c).cast("long").alias(c) for c in cols])
+        .select(
+            F.expr(
+                "stack(3, {}) as (col_name, exact_ndv)".format(
+                    ", ".join(f"'{c}', {c}" for c in cols)
+                )
+            )
         )
-        for c in ("doc_id", "source", "n_tok")
-    ]
-    return spark.createDataFrame(
-        rows,
-        "col_name string, exact_ndv long, sketch_ok boolean, "
-        "incr_consistent boolean",
+    )
+    tol5 = F.greatest(F.lit(2.0), 0.05 * F.col("exact_ndv"))
+    tol2 = F.greatest(F.lit(2.0), 0.02 * F.col("full_est"))
+    return exact.join(est, "col_name").select(
+        "col_name",
+        "exact_ndv",
+        (F.abs(F.col("incr_est") - F.col("exact_ndv")) <= tol5).alias(
+            "sketch_ok"
+        ),
+        (F.abs(F.col("incr_est") - F.col("full_est")) <= tol2).alias(
+            "incr_consistent"
+        ),
     )
 
 
