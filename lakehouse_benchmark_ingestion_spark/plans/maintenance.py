@@ -116,6 +116,22 @@ def run_full_maintenance(
                     "snapshot_id": r["snapshot_id"]}
 
         metrics["partition_stats"] = timed("partition_stats", _pstats)
+    # NDV sidecar: refresh at the post-maintenance head when one is
+    # registered (incremental — scans only files the suite rewrote/added).
+    # Opt-out via ndv-stats.auto=false; no-op when never built.
+    if (
+        table.meta.properties.get("ndv-stats.auto", "true") == "true"
+        and table.meta.properties.get("ndv-stats.path")
+        and table.meta.current_snapshot_id is not None
+    ):
+        from ..operators.ndv_stats import refresh_ndv_stats
+
+        def _ndv() -> dict:
+            r = refresh_ndv_stats(spark, table)
+            return {"files_out": r["files_scanned"], "rows": 0,
+                    "snapshot_id": r["snapshot_id"]}
+
+        metrics["ndv_stats"] = timed("ndv_stats", _ndv)
     # opt-in post-suite integrity proof (maintenance.validate=true): the
     # metadata + file tiers of the fsck at the post-maintenance head, so a
     # rewrite that corrupted the table is caught by the run that did it,

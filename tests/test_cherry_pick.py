@@ -121,3 +121,39 @@ def test_row_lineage_ids_survive_cherry_pick(spark, warehouse):
     }
     assert got == {k: v for k, v in staged_ids.items() if k in got}
     assert len(got) == df.filter(half == 1).count()
+
+
+def test_cherry_pick_races_concurrent_append(spark, staged):
+    """cherry_pick retries inside the optimistic commit loop: racing an
+    append, both land, neither clobbers the other, and the published rows
+    get a sequence number above everything at THEIR commit time."""
+    import threading
+
+    tbl, df, staged_snap = staged
+    extra = df.limit(7).withColumn(
+        "doc_id", F.concat(F.lit("race-"), F.col("doc_id"))
+    )
+    errs = []
+
+    def do_append():
+        try:
+            tbl.append(extra, num_files=1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_pick():
+        try:
+            tbl.cherry_pick(staged_snap.snapshot_id)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_append), threading.Thread(target=do_pick)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = tbl.scan(spark)
+    assert got.count() == df.count() + 7
+    ops = [s.operation for s in tbl.history()]
+    assert ops.count("append") >= 4  # 3 fixture appends + race commits

@@ -136,3 +136,27 @@ def test_alias_aware_across_rename(spark, warehouse):
         F.countDistinct("tok_count").alias("x")
     ).collect()[0]["x"]
     assert abs(r["estimates"]["tok_count"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_full_maintenance_auto_refreshes_registered_ndv(spark, ndv_table):
+    """A registered NDV sidecar is refreshed to the post-maintenance head
+    as a journaled suite stage (opt-out ndv-stats.auto=false); tables that
+    never built one pay nothing."""
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        run_full_maintenance,
+    )
+
+    tbl, df = ndv_table
+    m = run_full_maintenance(spark, tbl, target_file_size=4 * 1024 * 1024)
+    assert "ndv_stats" not in m  # never built — no stage
+
+    build_ndv_stats(spark, tbl, COLS)
+    tbl.append(df.filter(F.col("doc_id").cast("long") % 2 == 1), num_files=2)
+    m = run_full_maintenance(spark, tbl, target_file_size=4 * 1024 * 1024)
+    assert "ndv_stats" in m
+    got, source = ndv_estimates(spark, tbl)
+    assert source == "stats-file"
+    exact = _exact(tbl.scan(spark))
+    for row in got.collect():
+        c = row["column"]
+        assert abs(row["ndv"] - exact[c]) <= max(2, 0.05 * exact[c])
