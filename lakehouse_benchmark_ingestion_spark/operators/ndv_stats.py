@@ -230,7 +230,12 @@ def refresh_ndv_stats(spark: SparkSession, table) -> dict:
         # outgrow the planner.
     }
     new_paths = [orig for norm, orig in live.items() if norm not in covered]
-    carried = old.filter(F.col("file_path").isin(list(live.keys())))
+    # semi-join, not isin(<N paths>): an isin literal list linearizes into
+    # the Catalyst plan and chokes analysis at 10^5+ files
+    live_df = spark.createDataFrame(
+        [(p,) for p in live.keys()], "file_path string"
+    )
+    carried = old.join(F.broadcast(live_df), "file_path", "left_semi")
     if new_paths:
         fresh = _sketch_rows(spark, table, new_paths, columns, lg_k)
         rows = carried.unionByName(fresh)
