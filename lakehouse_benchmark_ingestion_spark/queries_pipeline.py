@@ -956,6 +956,47 @@ def q_stream_ingested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_online_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest WITH inline online compaction — the reference's
+    Hudi 3-stage pipeline (stream write then Pipelines.compact in the same
+    job, HudiCatalogSync.java:114-118, num_or_time trigger 171-175). Four
+    micro-batch appends with a 2-commit trigger must interleave exactly two
+    clustered rewrites INTO the stream (asserted structurally here), and
+    the final scan must still equal the batch-synthesized table — the
+    rewrites are invisible to readers (token arrays certified through the
+    scalar digest)."""
+    import shutil
+
+    from .icelite import Catalog
+    from .plans.maintenance import CompactionPolicy
+    from .sources.tokens import TOK_DIGEST_SPARK, tokens_df
+    from .streaming.incremental import drop_parquet_batches, stream_ingest_files
+
+    ck = ("online_compact", os.path.abspath(sf_dir))
+    if ck not in _STREAM_CACHE:
+        base = _stream_workdir(sf_dir, "stream_online_compact")
+        shutil.rmtree(base, ignore_errors=True)
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(base).create_table("seq_online", df.schema)
+        drop_parquet_batches(df, f"{base}/drops", n_batches=4)
+        stream_ingest_files(
+            spark, tbl, f"{base}/drops/drop-*", f"{base}/ckpt", mode="append",
+            online_compaction=CompactionPolicy(
+                min_small_files=2, max_commits=2, max_seconds=10_000
+            ),
+        )
+        ops = [s.operation for s in tbl.history()]
+        if ops.count("replace") != 2 or ops[-1] != "replace":
+            raise AssertionError(f"online trigger mis-fired: {ops}")
+        if "append" not in ops[ops.index("replace") + 1 :]:
+            raise AssertionError(f"compaction did not interleave: {ops}")
+        _STREAM_CACHE[ck] = tbl
+    tbl = _STREAM_CACHE[ck]
+    return tbl.scan(spark).select(
+        "doc_id", "n_tok", "source", F.expr(TOK_DIGEST_SPARK).alias("tok_digest")
+    )
+
+
 def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE mode (the reference's upsert-feed tail: every
     micro-batch is an eq-delete+insert upsert keyed on the PK): base table
@@ -1345,6 +1386,7 @@ QUERIES.update(
         "stream_multiplex_demux": q_stream_multiplex_demux,
         "stream_multiplex_cdc": q_stream_multiplex_cdc,
         "stream_cdc_apply": q_stream_cdc_apply,
+        "stream_online_compact": q_stream_online_compact,
     }
 )
 
@@ -1536,6 +1578,7 @@ from .sources.tokens import TOKENS_ORACLE_SQL as _TOK  # noqa: E402
 from .sources.tokens import digest_scan_sql as _digest_scan_sql  # noqa: E402
 
 ORACLES["stream_ingested_scan"] = _digest_scan_sql(_TOK)
+ORACLES["stream_online_compact"] = _digest_scan_sql(_TOK)
 
 from .sources.tokens import MERGE_FINAL_ORACLE_SQL as _MERGE_FINAL  # noqa: E402
 

@@ -38,6 +38,8 @@ def stream_ingest_files(
     timeout_seconds: float = 120.0,
     trigger_interval: str = "500 milliseconds",
     bloom_probe_cap: int = 10_000,
+    online_compaction=None,
+    compact_kwargs: dict | None = None,
 ) -> int:
     """Stream parquet drops from ``source_dir`` into the table.
 
@@ -51,6 +53,22 @@ def stream_ingest_files(
     ``stop_after_batches`` non-empty batches committed (or
     ``timeout_seconds``), stopping the query — in production you simply
     never stop it.
+
+    ``online_compaction`` (a ``plans.maintenance.CompactionPolicy``) turns
+    the ingest into the reference's full Hudi 3-stage write pipeline —
+    stream write THEN inline compaction in the same job, triggered
+    ``num_or_time`` (HudiCatalogSync.java:114-118 wires
+    ``Pipelines.compact`` after ``hoodieStreamWrite``; 171-175 sets
+    trigger strategy num_or_time / delta_commits=1 / delta_seconds=120).
+    After each committed micro-batch the policy is evaluated against the
+    SNAPSHOT LOG (commits-since-last-replace + wall clock — resume-safe:
+    a restarted stream re-derives the trigger state from table metadata,
+    exactly like Hudi reading its timeline) and, when due, a bin-packing
+    clustered rewrite runs inline before the next batch. ``compact_kwargs``
+    pass through to ``operators.compaction.compact`` (curve, salts,
+    target size). foreachBatch is serial, so the compaction never races
+    its own stream's appends; concurrent OTHER writers are handled by
+    compact's validate-no-new-deletes + optimistic-retry protocol.
     """
     # ``mode="append_dedup"`` is the novelty-filtered
     # ingest a dedup pipeline runs at the CDC tail: each micro-batch drops
@@ -157,6 +175,17 @@ def stream_ingest_files(
         else:
             merge_into(spark, table, batch_df, key=key, seq_col=seq_col)
         batches["n"] += 1
+        if online_compaction is not None:
+            from ..operators.compaction import compact
+            from ..plans.maintenance import should_compact
+
+            if should_compact(table, online_compaction)["compact"]:
+                compact(
+                    spark,
+                    table,
+                    run_id=f"online-b{batch_id}",
+                    **(compact_kwargs or {}),
+                )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

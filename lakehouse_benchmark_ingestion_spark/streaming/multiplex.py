@@ -75,6 +75,8 @@ def stream_ingest_multiplexed(
     keys: dict[str, str] | None = None,
     max_files_per_trigger: int = 1,
     strict: bool = False,
+    policies: dict | None = None,
+    compact_kwargs: dict | None = None,
 ) -> dict:
     """Drain an envelope feed into every registered table (availableNow).
 
@@ -84,15 +86,31 @@ def stream_ingest_multiplexed(
     one merge-on-read commit per micro-batch — the reference's full
     row-kind surface, SyncDbFunction.java:88-97, multiplexed). Returns
     metrics: batches committed and rows routed per table.
+
+    ``policies``: per-table ``plans.maintenance.CompactionPolicy`` — the
+    reference's ONLINE compaction stage, multiplexed: Hudi runs
+    ``Pipelines.compact`` inline after the stream write per table
+    (HudiCatalogSync.java:114-118) with a num_or_time trigger (171-175),
+    and the per-table quota idea is Arctic's ``optimize.quota`` map
+    (ArcticCatalogSync.java:121-128 — each table gets its own maintenance
+    budget). After a table's micro-batch commit its policy is evaluated
+    from the snapshot log (resume-safe) and a clustered bin-packing
+    rewrite runs inline when due; tables without a policy never compact
+    here. Compactions are counted in ``metrics["compactions"]``.
     """
     modes = modes or {}
     keys = keys or {}
+    policies = policies or {}
     stream = (
         spark.readStream.schema(ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
-    metrics = {"batches": 0, "routed": {name: 0 for name in tables}}
+    metrics = {
+        "batches": 0,
+        "routed": {name: 0 for name in tables},
+        "compactions": {name: 0 for name in tables},
+    }
     # exactly-once under foreachBatch replay, PER TABLE: the routing loop is
     # not atomic across tables — a crash mid-loop leaves some tables
     # committed; on redelivery each table's own batch watermark (recorded
@@ -171,6 +189,20 @@ def stream_ingest_multiplexed(
                     out = routed.drop("_seq", "_op")
                     tbl.append(out, set_properties={stream_prop: str(batch_id)})
                     metrics["routed"][name] += out.count()
+                # online compaction, per table (reference stage 3): only
+                # tables that just committed re-evaluate their trigger
+                if name in policies:
+                    from ..operators.compaction import compact
+                    from ..plans.maintenance import should_compact
+
+                    if should_compact(tbl, policies[name])["compact"]:
+                        compact(
+                            spark,
+                            tbl,
+                            run_id=f"online-{name}-b{batch_id}",
+                            **(compact_kwargs or {}),
+                        )
+                        metrics["compactions"][name] += 1
         finally:
             batch_df.unpersist()
         metrics["batches"] += 1
