@@ -83,6 +83,15 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--where JSON]   (e.g. '{"n_tok": [100, 120], "source": "src1"}')
                    [--ref NAME | --as-of-ms MS]   (time travel)
     changes        --warehouse W --table T --from-snapshot A [--to-snapshot B]
+    ingest-stream  --warehouse W --table T --source GLOB --checkpoint DIR
+                   [--mode append|merge|append_dedup]
+                   [--online-compact-commits N [--online-compact-seconds S]
+                    --min-small-files M]   (one snapshot per micro-batch;
+                   with a trigger set, inline num_or_time online compaction —
+                   the reference's 3-stage write pipeline)
+    cdc-apply      --warehouse W --table T --source GLOB --checkpoint DIR
+                   [--key K] [--trust-inserts]   (I/U/D row-kind changelog,
+                   one MOR commit per micro-batch)
     remove-orphans --warehouse W --table T [--older-than-ms MS] [--dry-run]
     vacuum         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
                    [--dry-run]   (expire → rewrite-pos-deletes →
@@ -159,6 +168,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source")  # cdc-apply / ingest-stream: drop-feed glob
     p.add_argument("--checkpoint")  # streaming checkpoint dir
     p.add_argument("--trust-inserts", action="store_true")
+    # ingest-stream: append | merge | append_dedup + online-compaction trigger
+    p.add_argument("--mode", default="append",
+                   choices=["append", "merge", "append_dedup"])
+    p.add_argument("--online-compact-commits", type=int, default=None,
+                   help="inline compaction every N write commits (Hudi "
+                        "num_or_time delta_commits, HudiCatalogSync.java:172-175)")
+    p.add_argument("--online-compact-seconds", type=int, default=120)
+    p.add_argument("--min-small-files", type=int, default=8)
     p.add_argument("--distributed", action="store_true")
     # row lineage (Iceberg v3): create-table flag + lineage-scan command
     p.add_argument("--row-lineage", action="store_true")
@@ -750,6 +767,46 @@ def main(argv: list[str] | None = None) -> int:
             trust_inserts=args.trust_inserts,
         )
         out["snapshot_id"] = tbl.current_snapshot().snapshot_id
+
+    elif args.command == "ingest-stream":
+        # the reference's whole job in one command: tail a drop feed into
+        # the table, one snapshot per micro-batch, optional inline online
+        # compaction (the Hudi 3-stage pipeline, HudiCatalogSync.java:114-118)
+        from lakehouse_benchmark_ingestion_spark.streaming.incremental import (
+            stream_ingest_files,
+        )
+
+        if not args.source or not args.checkpoint:
+            p.error("ingest-stream requires --source and --checkpoint")
+        policy = None
+        if args.online_compact_commits is not None:
+            from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+                CompactionPolicy,
+            )
+
+            policy = CompactionPolicy(
+                min_small_files=args.min_small_files,
+                max_commits=args.online_compact_commits,
+                max_seconds=args.online_compact_seconds,
+            )
+        tbl = cat.load_table(args.table)
+        out["batches"] = stream_ingest_files(
+            spark,
+            tbl,
+            args.source,
+            args.checkpoint,
+            mode=args.mode,
+            key=args.key,
+            online_compaction=policy,
+            compact_kwargs={
+                "curve": args.curve,
+                "n_salts": args.salts,
+                "target_file_size": target,
+            },
+        )
+        snap = tbl.current_snapshot()
+        out["snapshot_id"] = snap.snapshot_id if snap else None
+        out["operations"] = [s.operation for s in tbl.history()][-10:]
 
     elif args.command == "vacuum":
         # full storage-reclamation pass in one command: retire history

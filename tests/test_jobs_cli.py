@@ -360,3 +360,27 @@ def test_cli_ndv_stats(spark, warehouse, capsys):
 
     r = run(capsys, "ndv", "--warehouse", warehouse)
     assert r["source"] == "stats-file" and r["ndv"]["source"] >= 1
+
+
+def test_cli_ingest_stream_online_compaction(spark, warehouse, capsys, tmp_path):
+    """ingest-stream drains a drop feed with the inline num_or_time
+    compaction trigger — the reference's whole job as one CLI command."""
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from lakehouse_benchmark_ingestion_spark.streaming.incremental import (
+        drop_parquet_batches,
+    )
+
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    df = tokens_df(spark, SF_SMOKE)
+    drop_parquet_batches(df, str(tmp_path / "drops"), n_batches=4)
+    r = run(
+        capsys, "ingest-stream", "--warehouse", warehouse,
+        "--source", str(tmp_path / "drops" / "drop-*"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--online-compact-commits", "2", "--min-small-files", "2",
+        "--online-compact-seconds", "10000",
+    )
+    assert r["batches"] == 4
+    assert r["operations"].count("replace") == 2
+    s = run(capsys, "scan", "--warehouse", warehouse)
+    assert s["rows"] == 500
