@@ -270,6 +270,27 @@ def should_compact(
     if last_maint_ms is None:
         last_maint_ms = history[0].timestamp_ms if history else as_of
 
+    seconds_since = max(0, (as_of - last_maint_ms) // 1000)
+    triggered = commits_since >= policy.max_commits or seconds_since >= policy.max_seconds
+    if not triggered:
+        # cheap short-circuit: the trigger reads ONLY the snapshot log; the
+        # work gate below lists every live file (a manifest scan — heavy at
+        # 10^7 files). Callers evaluating per micro-batch (streaming online
+        # compaction) pay the listing only on batches where the trigger is
+        # actually due.
+        return {
+            "compact": False,
+            "reason": (
+                f"not due: {commits_since} commits (< {policy.max_commits}), "
+                f"{seconds_since}s since maintenance (< {policy.max_seconds}s)"
+            ),
+            "n_small_files": None,
+            "n_files": None,
+            "has_deletes": None,
+            "commits_since_maintenance": commits_since,
+            "seconds_since_maintenance": seconds_since,
+        }
+
     files = table.data_files()
     n_small = sum(1 for f in files if f.file_size_bytes < policy.small_file_bytes)
     has_deletes = bool(table.delete_files()) or bool(table.pos_delete_files())
@@ -278,18 +299,11 @@ def should_compact(
     has_stragglers = table.partition_spec is not None and any(
         f.partition_json == "{}" for f in files
     )
-    seconds_since = max(0, (as_of - last_maint_ms) // 1000)
 
     work = n_small >= policy.min_small_files or has_deletes or has_stragglers
-    triggered = commits_since >= policy.max_commits or seconds_since >= policy.max_seconds
-    decision = bool(work and triggered)
+    decision = bool(work)
     if not work:
         reason = f"no work: {n_small} small files (< {policy.min_small_files}), no deletes"
-    elif not triggered:
-        reason = (
-            f"not due: {commits_since} commits (< {policy.max_commits}), "
-            f"{seconds_since}s since maintenance (< {policy.max_seconds}s)"
-        )
     else:
         reason = (
             f"due: {n_small} small files, deletes={has_deletes}, "

@@ -67,15 +67,25 @@ def test_policy_num_or_time_trigger(spark, warehouse):
     )
     now = 10_000_000
 
-    # 2 small-file appends: work gate not met (only 2 files) → no compact
+    # 2 small-file appends: commit trigger not met (2 < 3) → the cheap
+    # snapshot-log short-circuit answers WITHOUT listing files
     for i in range(2):
         tbl.append(df.filter(df.doc_id.cast("long") % 5 == i),
                    num_files=1, timestamp_ms=now)
     d = should_compact(tbl, policy, as_of_ms=now)
+    assert not d["compact"] and "not due" in d["reason"]
+    assert d["n_small_files"] is None  # manifest never listed
+
+    # trigger met (3 >= 3) but work gate not met (3 small files < 4):
+    # the file listing runs and blocks the compaction
+    tbl.append(df.filter(df.doc_id.cast("long") % 5 == 2),
+               num_files=1, timestamp_ms=now)
+    d = should_compact(tbl, policy, as_of_ms=now)
     assert not d["compact"] and "no work" in d["reason"]
+    assert d["n_small_files"] == 3
 
     # 5 appends total: work gate met, commit trigger met (5 >= 3)
-    for i in range(2, 5):
+    for i in range(3, 5):
         tbl.append(df.filter(df.doc_id.cast("long") % 5 == i),
                    num_files=1, timestamp_ms=now)
     d = should_compact(tbl, policy, as_of_ms=now)
