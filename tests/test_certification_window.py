@@ -75,6 +75,7 @@ DEFERRED_TO_NEXT_WINDOW = {
     "maint_ndv_sketch",
     "maint_cherry_pick",
     "maint_mv_minmax",
+    "stream_online_compact",
 }
 
 
