@@ -292,6 +292,10 @@ def run_scaling() -> None:
                 env["SPARK_GRAFT_MASTER"] = (
                     f"local-cluster[{n_exec},4,{exec_mem_mb}]"
                 )
+                # the worker budget above only CAPS executor requests; the
+                # executor JVM heap itself comes from spark.executor.memory
+                # (default 1g → OOM at bench scale, measured)
+                env["SPARK_GRAFT_EXECUTOR_MEM"] = f"{exec_mem_mb}m"
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

@@ -97,6 +97,11 @@ def remove_orphan_files(
     live_manifests = {n for s in meta.snapshots for n in s.manifests}
     reg_stats = meta.properties.get("partition-stats.path")
     reg_stats_dir = os.path.dirname(reg_stats) if reg_stats else None
+    # ndv-stats registers the sidecar DIRECTORY itself; every refresh
+    # writes a new dir and re-points the property, so superseded ones are
+    # orphans (same lifecycle as losing partition-stats registrations)
+    reg_ndv_dir = meta.properties.get("ndv-stats.path")
+    reg_ndv_dir = os.path.realpath(reg_ndv_dir) if reg_ndv_dir else None
     mdir = md.metadata_dir(table.location)
     meta_deleted = 0
     meta_orphans = 0
@@ -112,6 +117,12 @@ def remove_orphan_files(
             name.startswith("partition-stats-")
             and os.path.isdir(p)
             and p != reg_stats_dir
+        ):
+            paths = [os.path.join(p, n) for n in os.listdir(p)] + [p]
+        elif (
+            name.startswith("ndv-stats-")
+            and os.path.isdir(p)
+            and os.path.realpath(p) != reg_ndv_dir
         ):
             paths = [os.path.join(p, n) for n in os.listdir(p)] + [p]
         else:

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # real-executor masters (local-cluster / standalone) size executor JVMs
+    # from spark.executor.memory, NOT from the worker's memory budget — the
+    # 1g default OOMs on bench-scale shuffles (measured: local-cluster with
+    # a 16g worker still launched -Xmx1024M executors)
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

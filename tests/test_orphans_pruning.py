@@ -145,7 +145,22 @@ def test_orphan_sweep_reaps_dead_metadata(spark, warehouse):
     dead = mf.write_manifest(tbl.location, mf.harvest_stats(
         [f.path for f in tbl.data_files()][:1]
     ))
-    # superseded partition-stats: register twice
+    # superseded ndv-stats: build, advance the table, refresh (each
+    # registration writes a fresh sidecar dir and re-points the property)
+    from lakehouse_benchmark_ingestion_spark.operators.ndv_stats import (
+        build_ndv_stats,
+        ndv_estimates,
+        refresh_ndv_stats,
+    )
+
+    build_ndv_stats(spark, tbl, ["source"])
+    old_ndv = tbl.meta.properties["ndv-stats.path"]
+    tbl.append(df.limit(5), num_files=1)
+    refresh_ndv_stats(spark, tbl)
+    new_ndv = tbl.meta.properties["ndv-stats.path"]
+    assert old_ndv != new_ndv
+    # superseded partition-stats: register twice at the (final) head so the
+    # surviving registration stays snapshot-fresh for the read-back check
     write_partition_stats(spark, tbl)
     old_path = tbl.meta.properties["partition-stats.path"]
     write_partition_stats(spark, tbl)
@@ -155,14 +170,18 @@ def test_orphan_sweep_reaps_dead_metadata(spark, warehouse):
     n_vjson = len([n for n in os.listdir(mdir) if n.endswith(".metadata.json")])
 
     res = remove_orphan_files(tbl, older_than_ms=0)
-    assert res["metadata_deleted"] >= 2, res
+    assert res["metadata_deleted"] >= 3, res
     assert not os.path.exists(os.path.join(mdir, dead))
     assert not os.path.exists(old_path)
+    assert not os.path.exists(old_ndv)
     # live surfaces intact
     assert os.path.exists(new_path)
-    assert tbl.scan(spark).count() == 30
+    assert os.path.exists(new_ndv)
+    assert tbl.scan(spark).count() == 35
     df2, source = read_partition_stats(spark, tbl)
     assert source == "stats-file"
+    est, src = ndv_estimates(spark, tbl)
+    assert src == "stats-file" and est.count() == 1
     assert len([
         n for n in os.listdir(mdir) if n.endswith(".metadata.json")
     ]) == n_vjson, "version JSONs are never sweep candidates"
