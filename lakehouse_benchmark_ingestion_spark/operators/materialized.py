@@ -152,21 +152,27 @@ def refresh_agg_view(
         F.coalesce(grazed, F.lit(False)).alias("_recompute"),
     ).persist()
     # O(grazed groups) — the recompute TRIGGER SET, never the data
-    recompute_keys = [
-        r["group_key"]
-        for r in folded.filter("_recompute").select("group_key").collect()
-    ]
+    n_recompute = folded.filter("_recompute").count()
     merged = (
         folded.filter(~F.col("_recompute"))
         .drop("_recompute")
         .filter(F.col("n_rows") > 0)
     )
-    if recompute_keys:
-        # rescoped recompute: one base-head scan restricted to exactly the
-        # grazed groups (stats/partition pruning applies as usual); a group
-        # whose rows all died simply yields no row and drops out
+    if n_recompute:
+        # rescoped recompute: one scan PINNED to the refresh's to_id (a
+        # concurrent base commit mid-refresh must not leak newer rows into
+        # grazed groups — the next delta would re-apply them), restricted
+        # to exactly the grazed groups via a broadcast semi-join (the
+        # trigger set is delta-bounded — never an isin literal list or a
+        # driver collect); a group whose rows all died yields no row and
+        # drops out
+        keys_df = folded.filter("_recompute").select("group_key")
         rescoped = _aggregate(
-            base.scan(spark).filter(F.col(group_col).isin(recompute_keys)),
+            base.scan(spark, snapshot_id=to_id).join(
+                F.broadcast(keys_df),
+                F.col(group_col) == F.col("group_key"),
+                "left_semi",
+            ),
             group_col,
             val_col,
         ).select("group_key", "n_rows", "sum_val", "min_val", "max_val")
@@ -202,5 +208,5 @@ def refresh_agg_view(
         "to_snapshot": to_id,
         "mv_snapshot": snap.snapshot_id,
         "groups": merged.count(),
-        "recomputed_groups": len(recompute_keys),
+        "recomputed_groups": n_recompute,
     }

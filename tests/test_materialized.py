@@ -139,3 +139,59 @@ def test_mv_minmax_rescoped_recompute(spark, sequences_table, warehouse):
         r = refresh_agg_view(spark, tbl, mv)
         assert r["recomputed_groups"] == 0
         assert _mv_state(spark, mv) == _direct(spark, tbl)
+
+
+def test_mv_refresh_pins_rescope_to_delta_head(
+    spark, sequences_table, warehouse, monkeypatch
+):
+    """A base commit landing MID-refresh (between the delta's to_id capture
+    and the rescoped min/max recompute) must NOT leak into the refreshed
+    MV: the rescope scans the pinned to_id, so the concurrent rows arrive
+    exactly once — via the NEXT refresh's delta — never twice."""
+    from lakehouse_benchmark_ingestion_spark.icelite.table import IceliteTable
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    tbl = sequences_table
+    mv = create_agg_view(spark, Catalog(warehouse), tbl, "mv_race", "source", "n_tok")
+
+    # graze a group's max so the refresh must run a rescoped recompute
+    hi = tbl.scan(spark).agg(F.max("n_tok")).collect()[0][0]
+    delete_where(spark, tbl, {"n_tok": (hi, hi)}, strategy="mor")
+    state_at_delete = _direct(spark, tbl)
+
+    # a concurrent writer's batch, materialized up front so appending it
+    # inside the scan hook doesn't recurse into scan
+    concurrent = (
+        tbl.scan(spark)
+        .limit(1)
+        .withColumn("doc_id", F.lit("race-doc"))
+        .localCheckpoint()
+    )
+
+    orig_scan = IceliteTable.scan
+    fired = {"done": False}
+
+    def racing_scan(self, spark_, snapshot_id=None, **kw):
+        # first pinned base scan inside the refresh = the rescoped
+        # recompute; sneak a concurrent commit in just before it resolves
+        if (
+            not fired["done"]
+            and self.location == tbl.location
+            and snapshot_id is not None
+        ):
+            fired["done"] = True
+            monkeypatch.setattr(IceliteTable, "scan", orig_scan)
+            self.append(concurrent, num_files=1)
+        return orig_scan(self, spark_, snapshot_id=snapshot_id, **kw)
+
+    monkeypatch.setattr(IceliteTable, "scan", racing_scan)
+    r = refresh_agg_view(spark, tbl, mv)
+    monkeypatch.setattr(IceliteTable, "scan", orig_scan)
+    assert r["refreshed"] is True and r["recomputed_groups"] >= 1
+    assert fired["done"], "race hook never fired — rescope not exercised"
+    # refresh reflects exactly the pinned snapshot (pre-race state)
+    assert _mv_state(spark, mv) == state_at_delete
+    # the concurrent row arrives exactly once, via the next delta
+    r2 = refresh_agg_view(spark, tbl, mv)
+    assert r2["refreshed"] is True
+    assert _mv_state(spark, mv) == _direct(spark, tbl)
