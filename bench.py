@@ -273,9 +273,31 @@ def run_scaling() -> None:
     # core count. Anything much smaller and output width (not the engine)
     # caps the big leg — measured: replicate=256 gives only 12 write tasks.
     replicate = os.environ.get("SCALING_REPLICATE", "1024")
+
+    def _probe_quietness() -> float | None:
+        """Pre-leg host probe (tools/host_probe.py): launch-time gating
+        cannot see a co-tenant swing that starts seconds later (measured:
+        r3 batch d launched at 0.895/0.893 double-quiet and its first two
+        interleaved rounds still ran 2-3x slow), so every leg records the
+        probe reading taken immediately before it and the summary computes
+        a quiet-legs-only efficiency alongside the all-legs one."""
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "host_probe.py")
+        try:
+            p = subprocess.run(
+                [sys.executable, probe], capture_output=True, text=True,
+                timeout=120,
+            )
+            return float(json.loads(p.stdout.strip().splitlines()[-1])["quietness"])
+        except Exception:
+            return None  # probe failure must never kill the measurement
+
+    quiet_gate = float(os.environ.get("SCALING_QUIET_GATE", "0.85"))
     runs: dict[int, list[dict]] = {c: [] for c in levels}
+    probes: dict[int, list[float | None]] = {c: [] for c in levels}
     for r in range(repeats):
         for cpus in levels:
+            probes[cpus].append(_probe_quietness())
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -316,11 +338,29 @@ def run_scaling() -> None:
     best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
     out = {f"local{c}": best[c] for c in levels}
     out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}
+    out["leg_probes"] = {f"local{c}": probes[c] for c in levels}
     n, n4 = min(levels), max(levels)
     ratio = n4 / n
     sp = best[n]["value"] / best[n4]["value"]
     out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
     out[f"scaling_efficiency_{n}_{n4}"] = round(sp / ratio, 3)
+    # quiet-legs-only efficiency: min over legs whose PRE-LEG probe read
+    # >= gate; null when either level lacks a verifiably-quiet leg
+    quiet_walls = {
+        c: [
+            d["value"]
+            for d, q in zip(runs[c], probes[c])
+            if q is not None and q >= quiet_gate
+        ]
+        for c in levels
+    }
+    out["quiet_gate"] = quiet_gate
+    out["quiet_walls"] = {f"local{c}": quiet_walls[c] for c in levels}
+    if quiet_walls[n] and quiet_walls[n4]:
+        qsp = min(quiet_walls[n]) / min(quiet_walls[n4])
+        out["quiet_scaling_efficiency"] = round(qsp / ratio, 3)
+    else:
+        out["quiet_scaling_efficiency"] = None
     k_n = min(d["queries"]["kernel_cpu"] for d in runs[n])
     k_n4 = min(d["queries"]["kernel_cpu"] for d in runs[n4])
     out["kernel_cpu_sec"] = {f"local{n}": k_n, f"local{n4}": k_n4}
