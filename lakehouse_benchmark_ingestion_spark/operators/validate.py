@@ -99,7 +99,11 @@ def _check_metadata(table, snap) -> tuple[list[dict], list[mf.DataFile]]:
                     "detail": f"row-id range [{lo},{hi}) overlaps {prev_path}",
                 }
             )
-        prev_end, prev_path = hi, path
+        if hi > prev_end:
+            # running MAX end, not last end: a short range nested inside a
+            # long one must not reset the frontier (else a third range
+            # overlapping the long one but clearing the nested one slips by)
+            prev_end, prev_path = hi, path
         if hi > meta.next_row_id:
             issues.append(
                 {
@@ -178,44 +182,95 @@ def _check_delete_targets(
 ) -> list[dict]:
     """Deep: every path a pos-delete/DV sidecar addresses must be a live
     data file (a dangling address means a rewrite GC'd a file without
-    rewriting its deletes — rows it suppressed may resurrect elsewhere)."""
-    pos = [f for f in files if f.content == mf.CONTENT_POS_DELETES]
+    rewriting its deletes — rows it suppressed may resurrect elsewhere).
+
+    Distributed: one mapInPandas task batch opens the sidecars (per-file
+    parse errors become issue rows, never a job failure), the addressed
+    paths anti-join the live-file list executor-side, and only the
+    per-sidecar verdicts come back — the driver never loops over sidecars
+    (at 100 TB a MOR-heavy table can carry 10^4-10^5 of them)."""
+    from pyspark.sql import functions as F
+
+    pos = [
+        f
+        for f in files
+        if f.content == mf.CONTENT_POS_DELETES and os.path.exists(f.path)
+    ]  # missing sidecars are already reported by the file tier
     if not pos:
         return []
-    live = {
-        os.path.realpath(f.path)
+    live = [
+        (os.path.realpath(f.path),)
         for f in files
         if f.content == mf.CONTENT_DATA
-    }
-    issues: list[dict] = []
-    for d in pos:
-        if not os.path.exists(d.path):
-            continue  # already reported by the file tier
-        try:
-            import pyarrow.parquet as pq
+    ]
+    live_df = spark.createDataFrame(live, "norm string")
+    paths_df = spark.createDataFrame(
+        [(d.path,) for d in pos], "sidecar string"
+    ).repartition(max(1, min(256, len(pos) // 16 + 1)))
 
-            addressed = set(
-                pq.read_table(d.path, columns=["file_path"])
-                .column("file_path")
-                .to_pylist()
+    def _read(batches):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for s in pdf["sidecar"]:
+                try:
+                    addressed = set(
+                        pq.read_table(s, columns=["file_path"])
+                        .column("file_path")
+                        .to_pylist()
+                    )
+                except Exception as e:
+                    out.append((s, None, None, str(e)))
+                    continue
+                for p in addressed:
+                    out.append((s, p, _os.path.realpath(p), None))
+            yield pd.DataFrame(
+                out, columns=["sidecar", "addressed", "norm", "err"]
+            ) if out else pd.DataFrame(
+                {"sidecar": [], "addressed": [], "norm": [], "err": []}
             )
-        except Exception as e:
-            issues.append(
-                {"check": "delete-sidecar-parse", "path": d.path, "detail": str(e)}
+
+    rows = paths_df.mapInPandas(
+        _read, "sidecar string, addressed string, norm string, err string"
+    ).persist()
+    try:
+        issues = [
+            {
+                "check": "delete-sidecar-parse",
+                "path": r["sidecar"],
+                "detail": r["err"],
+            }
+            for r in rows.filter("err is not null")
+            .select("sidecar", "err")
+            .limit(MAX_ISSUES)
+            .collect()
+        ]
+        dangling = (
+            rows.filter("err is null")
+            .join(live_df, "norm", "left_anti")
+            .groupBy("sidecar")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("addressed").alias("example"),
             )
-            continue
-        dangling = sorted(
-            p for p in addressed if os.path.realpath(p) not in live
+            .limit(MAX_ISSUES)
+            .collect()
         )
-        if dangling:
-            issues.append(
-                {
-                    "check": "dangling-delete",
-                    "path": d.path,
-                    "detail": f"{len(dangling)} addressed path(s) not live, "
-                    f"e.g. {dangling[0]}",
-                }
-            )
+        issues += [
+            {
+                "check": "dangling-delete",
+                "path": r["sidecar"],
+                "detail": f"{r['n']} addressed path(s) not live, "
+                f"e.g. {r['example']}",
+            }
+            for r in dangling
+        ]
+    finally:
+        rows.unpersist()
     return issues
 
 

@@ -113,6 +113,72 @@ def test_deep_detects_dangling_delete_address(spark, warehouse):
     assert r["ok"] is False and "dangling-delete" in _checks(r)
 
 
+def test_lineage_nested_overlap_detected(spark, warehouse):
+    """Three forged row-id ranges where B nests inside A and C overlaps A
+    while clearing B's end: the overlap frontier must be the running MAX
+    end (tracking only the previous range's end lets C slip through)."""
+    from lakehouse_benchmark_ingestion_spark.icelite import manifest as mf
+    from lakehouse_benchmark_ingestion_spark.icelite.table import (
+        ROW_LINEAGE_PROP,
+    )
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table(
+        "val_lin", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+    )
+    for n in (100, 10, 50):
+        tbl.append(df.limit(n), num_files=1)
+    files = sorted(
+        tbl.data_files(), key=lambda f: f.record_count, reverse=True
+    )
+    assert [f.record_count for f in files] == [100, 50, 10]
+    # forge: A=[0,100), B=[10,20) nested inside A, C=[30,80) overlaps A
+    # only (its lo clears B's end, so a last-end frontier misses it)
+    forged_first = {100: 0, 10: 10, 50: 30}
+    for f in files:
+        f.first_row_id = forged_first[f.record_count]
+    name = mf.write_manifest(tbl.location, files)
+
+    def mutate(meta):
+        meta.snapshots[-1].manifests = [name]
+        meta.next_row_id = 1000
+        return meta
+
+    md.commit(tbl.location, mutate)
+    r = validate_table(spark, tbl)
+    overlaps = [i for i in r["issues"] if i["check"] == "lineage-overlap"]
+    flagged = {i["path"] for i in overlaps}
+    b = next(f for f in files if f.record_count == 10)
+    c = next(f for f in files if f.record_count == 50)
+    assert b.path in flagged
+    assert c.path in flagged, "nested-range regression: C must be flagged"
+    assert len(overlaps) == 2
+
+
+def test_deep_detects_corrupt_delete_sidecar(spark, warehouse):
+    """A pos-delete sidecar with a smashed footer must surface as a parse
+    issue row (per-file), never crash the distributed validation job."""
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+        delete_where,
+    )
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("val_cs", df.schema)
+    tbl.append(df, num_files=2)
+    delete_where(spark, tbl, {"n_tok": (0, 30)}, strategy="mor-pos")
+    side = tbl.pos_delete_files()[0]
+    with open(side.path, "r+b") as fh:
+        fh.seek(-8, os.SEEK_END)
+        fh.write(b"XXXXXXXX")  # same size, broken footer magic
+    r = validate_table(spark, tbl, deep=True)
+    assert r["ok"] is False
+    assert "delete-sidecar-parse" in _checks(r)
+    assert any(
+        i["check"] == "delete-sidecar-parse" and i["path"] == side.path
+        for i in r["issues"]
+    )
+
+
 def test_cli_validate(spark, sequences_table, capsys):
     from tests.test_jobs_cli import run
 
