@@ -295,6 +295,7 @@ def run_scaling() -> None:
     quiet_gate = float(os.environ.get("SCALING_QUIET_GATE", "0.85"))
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     probes: dict[int, list[float | None]] = {c: [] for c in levels}
+    probes_post: dict[int, list[float | None]] = {c: [] for c in levels}
     for r in range(repeats):
         for cpus in levels:
             probes[cpus].append(_probe_quietness())
@@ -335,22 +336,36 @@ def run_scaling() -> None:
                 )
                 raise RuntimeError(f"scaling leg local[{cpus}] produced no JSON")
             runs[cpus].append(json.loads(lines[-1]))
+            # post-leg probe: batch-e showed a pre-leg probe alone
+            # misclassifies legs whose co-tenant load arrives mid-leg (its
+            # one pre-quiet local[16] leg ran 2.3x the level's min). A leg
+            # counts as quiet only when the window is bounded on BOTH sides.
+            probes_post[cpus].append(_probe_quietness())
     best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
     out = {f"local{c}": best[c] for c in levels}
     out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}
     out["leg_probes"] = {f"local{c}": probes[c] for c in levels}
+    out["leg_probes_post"] = {f"local{c}": probes_post[c] for c in levels}
+    # per-leg kernel wall: the pure-CPU control runs inside every leg's
+    # JVM, so it doubles as a load dosimeter DURING the leg (probes only
+    # see the boundaries)
+    out["kernel_walls"] = {
+        f"local{c}": [d["queries"]["kernel_cpu"] for d in runs[c]] for c in levels
+    }
     n, n4 = min(levels), max(levels)
     ratio = n4 / n
     sp = best[n]["value"] / best[n4]["value"]
     out[f"speedup_{n}_to_{n4}"] = round(sp, 3)
     out[f"scaling_efficiency_{n}_{n4}"] = round(sp / ratio, 3)
-    # quiet-legs-only efficiency: min over legs whose PRE-LEG probe read
-    # >= gate; null when either level lacks a verifiably-quiet leg
+    # quiet-legs-only efficiency: min over legs whose pre- AND post-leg
+    # probes BOTH read >= gate (the leg's window is bounded on both
+    # sides); null when either level lacks a verifiably-quiet leg
     quiet_walls = {
         c: [
             d["value"]
-            for d, q in zip(runs[c], probes[c])
-            if q is not None and q >= quiet_gate
+            for d, q1, q2 in zip(runs[c], probes[c], probes_post[c])
+            if q1 is not None and q1 >= quiet_gate
+            and q2 is not None and q2 >= quiet_gate
         ]
         for c in levels
     }
@@ -365,6 +380,16 @@ def run_scaling() -> None:
     k_n4 = min(d["queries"]["kernel_cpu"] for d in runs[n4])
     out["kernel_cpu_sec"] = {f"local{n}": k_n, f"local{n4}": k_n4}
     out["kernel_scaling_efficiency"] = round((k_n / k_n4) / ratio, 3)
+    # the decisive signal on a loaded host: the suite's scaling relative
+    # to what the same window gave embarrassingly-parallel in-JVM CPU.
+    # >= 1 means no engine-side serialization is visible above the host's
+    # own thread-scaling ceiling (every non-contaminated batch shows this).
+    if out["kernel_scaling_efficiency"] > 0:
+        out["control_relative_efficiency"] = round(
+            out[f"scaling_efficiency_{n}_{n4}"]
+            / out["kernel_scaling_efficiency"],
+            3,
+        )
     tp = {c: best[c]["gb_per_hour"] for c in levels}
     out["gb_per_hour"] = {f"local{c}": tp[c] for c in levels}
     out["seq_per_sec"] = {f"local{c}": best[c]["seq_per_sec"] for c in levels}
