@@ -333,6 +333,7 @@ def _manifest_summary(files: list[DataFile]) -> dict:
         "count": len(files),
         "data_count": len(data),
         "bytes": sum(f.file_size_bytes for f in files),
+        "records": sum(f.record_count for f in files),
         "contents": sorted({f.content for f in files}),
         "lower": lower,
         "upper": upper,

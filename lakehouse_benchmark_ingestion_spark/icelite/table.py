@@ -216,21 +216,29 @@ class IceliteTable:
             rows = []
             for name in (snap.manifests if snap else []):
                 summary = mf.read_manifest_summary(self.location, name) or {}
-                entries = mf.read_manifest(self.location, name)
+                if {"count", "data_count", "bytes", "records"} <= set(summary):
+                    n_entries = summary["count"]
+                    n_data = summary["data_count"]
+                    records = summary["records"]
+                    size = summary["bytes"]
+                else:
+                    # manifest written before the footer summary carried
+                    # aggregate counts — body parse is the conservative path
+                    entries = mf.read_manifest(self.location, name)
+                    n_entries = len(entries)
+                    n_data = sum(
+                        1 for f in entries if f.content == mf.CONTENT_DATA
+                    )
+                    records = sum(f.record_count for f in entries)
+                    size = sum(f.file_size_bytes for f in entries)
                 rows.append(
                     {
                         "manifest": name,
-                        "n_entries": len(entries),
-                        "n_data_files": sum(
-                            1 for f in entries if f.content == mf.CONTENT_DATA
-                        ),
-                        "n_delete_files": sum(
-                            1 for f in entries if f.content != mf.CONTENT_DATA
-                        ),
-                        "record_count": sum(f.record_count for f in entries),
-                        "file_size_bytes": sum(
-                            f.file_size_bytes for f in entries
-                        ),
+                        "n_entries": n_entries,
+                        "n_data_files": n_data,
+                        "n_delete_files": n_entries - n_data,
+                        "record_count": records,
+                        "file_size_bytes": size,
                         "summary_json": json.dumps(summary, sort_keys=True),
                     }
                 )

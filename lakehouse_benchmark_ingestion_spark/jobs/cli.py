@@ -688,11 +688,18 @@ def main(argv: list[str] | None = None) -> int:
                 # engine spells it `__`); row-lineage tables additionally
                 # expose t__lineage (_row_id / _last_updated_sequence_number
                 # next to the data columns)
+                # metadata_df is driver-eager (it walks manifests), so only
+                # build the views the query actually names — a plain data
+                # query must not pay O(manifests) sweeps per table, and a
+                # corrupt manifest must only fail queries that read metadata
                 for kind in ("files", "snapshots", "refs", "partitions", "history", "manifests"):
-                    t.metadata_df(spark, kind).createOrReplaceTempView(
-                        f"{name}__{kind}"
-                    )
-                if t.row_lineage_enabled():
+                    view = f"{name}__{kind}"
+                    if view in args.query:
+                        t.metadata_df(spark, kind).createOrReplaceTempView(view)
+                if (
+                    f"{name}__lineage" in args.query
+                    and t.row_lineage_enabled()
+                ):
                     t.scan_lineage(spark).createOrReplaceTempView(
                         f"{name}__lineage"
                     )

@@ -277,6 +277,15 @@ def ndv_estimates(
     if not columns or columns == [""]:
         raise ValueError("no ndv-stats columns recorded; run build_ndv_stats")
     files = table.data_files(sid)
+    if not files:
+        # zero live data files (e.g. delete-all): parquet() on an empty
+        # path list cannot infer a schema — the answer is simply ndv=0
+        return (
+            spark.createDataFrame(
+                [(c, 0) for c in columns], "column string, ndv long"
+            ),
+            "computed",
+        )
     rows = _sketch_rows(
         spark, table, [f.path for f in files], columns,
         int(props.get(PROP_LG_K, DEFAULT_LG_K)),

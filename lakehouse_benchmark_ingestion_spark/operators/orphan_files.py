@@ -96,7 +96,12 @@ def remove_orphan_files(
     meta = table.meta
     live_manifests = {n for s in meta.snapshots for n in s.manifests}
     reg_stats = meta.properties.get("partition-stats.path")
-    reg_stats_dir = os.path.dirname(reg_stats) if reg_stats else None
+    # realpath both sides (as the ndv branch below does): the registered
+    # path was recorded from table.location at write time, which may differ
+    # textually from the current location string (symlink, trailing slash)
+    reg_stats_dir = (
+        os.path.realpath(os.path.dirname(reg_stats)) if reg_stats else None
+    )
     # ndv-stats registers the sidecar DIRECTORY itself; every refresh
     # writes a new dir and re-points the property, so superseded ones are
     # orphans (same lifecycle as losing partition-stats registrations)
@@ -116,7 +121,7 @@ def remove_orphan_files(
         elif (
             name.startswith("partition-stats-")
             and os.path.isdir(p)
-            and p != reg_stats_dir
+            and os.path.realpath(p) != reg_stats_dir
         ):
             paths = [os.path.join(p, n) for n in os.listdir(p)] + [p]
         elif (

@@ -123,7 +123,23 @@ def _check_files_distributed(
     Spark job over O(files) metadata rows, never the data."""
     if not files:
         return []
-    rows = [(f.path, f.file_size_bytes, f.record_count) for f in files]
+    # DV sidecars store ONE parquet row per addressed data file while their
+    # manifest record_count carries the deleted-POSITION cardinality, so the
+    # footer-vs-manifest row comparison is meaningless for them — expect_rows
+    # = -1 disables just that check (existence/size still apply).
+    rows = [
+        (
+            f.path,
+            f.file_size_bytes,
+            -1
+            if (
+                f.content == mf.CONTENT_POS_DELETES
+                and f.delete_format == mf.DELETE_FORMAT_DV
+            )
+            else f.record_count,
+        )
+        for f in files
+    ]
     df = spark.createDataFrame(
         rows, "path string, expect_bytes long, expect_rows long"
     )
@@ -157,7 +173,7 @@ def _check_files_distributed(
                     except Exception as e:
                         out.append(("footer-parse", path, str(e)))
                         continue
-                    if n != er:
+                    if er >= 0 and n != er:
                         out.append(
                             (
                                 "rowcount-mismatch",
@@ -283,7 +299,14 @@ def validate_table(
     """Integrity report for a snapshot (default: head). Never mutates."""
     snap = table.meta.snapshot(snapshot_id)
     if snap is None:
-        return {"ok": True, "files_checked": 0, "issues": []}
+        # same shape as the normal path (callers index snapshot_id/deep)
+        return {
+            "ok": True,
+            "snapshot_id": None,
+            "files_checked": 0,
+            "deep": deep,
+            "issues": [],
+        }
     issues, files = _check_metadata(table, snap)
     issues += _check_files_distributed(spark, files, deep)
     if deep:

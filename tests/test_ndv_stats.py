@@ -160,3 +160,20 @@ def test_full_maintenance_auto_refreshes_registered_ndv(spark, ndv_table):
     for row in got.collect():
         c = row["column"]
         assert abs(row["ndv"] - exact[c]) <= max(2, 0.05 * exact[c])
+
+
+def test_recompute_on_empty_snapshot(spark, ndv_table):
+    """allow_recompute on a snapshot with zero live data files (delete-all)
+    must return ndv=0 rows, not crash on an empty parquet path list."""
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+        delete_where,
+    )
+
+    tbl, df = ndv_table
+    build_ndv_stats(spark, tbl, COLS)
+    delete_where(spark, tbl, {"n_tok": (0, 10**9)}, strategy="cow")
+    assert not tbl.data_files()
+    got, source = ndv_estimates(spark, tbl, allow_recompute=True)
+    assert source == "computed"
+    est = {r["column"]: r["ndv"] for r in got.collect()}
+    assert est == {c: 0 for c in COLS}

@@ -204,3 +204,36 @@ def test_full_maintenance_validate_stage(spark, sequences_table):
     os.remove(tbl.data_files()[0].path)
     with _pytest.raises(RuntimeError, match="post-maintenance validation"):
         run_full_maintenance(spark, tbl, target_file_size=4 * 1024 * 1024)
+
+
+def test_deep_validate_accepts_dv_sidecar(spark, warehouse):
+    """DV sidecars store one parquet row per ADDRESSED file while their
+    manifest record_count is the deleted-position cardinality — deep
+    validation must not read that as a rowcount mismatch."""
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import (
+        delete_where,
+    )
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("val_dv", df.schema)
+    tbl.append(df, num_files=2)
+    r = delete_where(spark, tbl, {"n_tok": (0, 60)}, strategy="dv")
+    # cardinality must exceed addressed-file count for the check to bite
+    assert r["deleted_positions"] > r["delete_files_out"]
+    rep = validate_table(spark, tbl, deep=True)
+    assert rep["ok"] is True, rep["issues"]
+
+
+def test_validate_empty_table_report_shape(spark, warehouse):
+    """A table with no snapshot must return the same report keys as the
+    normal path (the maintenance gate indexes snapshot_id/deep)."""
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("val_empty", df.schema)
+    rep = validate_table(spark, tbl, deep=True)
+    assert rep == {
+        "ok": True,
+        "snapshot_id": None,
+        "files_checked": 0,
+        "deep": True,
+        "issues": [],
+    }
