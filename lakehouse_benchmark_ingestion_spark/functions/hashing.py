@@ -123,5 +123,20 @@ def bucket_value(value, n_buckets: int, dtype_name: str) -> int:
 
 
 def salt_expr(key: str | Column, n_salts: int) -> Column:
-    """Uniform salt derived from a high-cardinality key (doc_id)."""
+    """Uniform salt derived from a high-cardinality key (doc_id).
+
+    Splits hash-collision hot spots (distinct keys truncated to the same
+    ckey dim) but NOT true duplicate-key runs — rows sharing the key get
+    the same salt. Rewrite paths use ``row_salt_expr`` instead."""
     return bucket_expr(key, n_salts)
+
+
+def row_salt_expr(n_salts: int) -> Column:
+    """Row-unique salt for skew-splitting shuffles: diffused
+    ``monotonically_increasing_id`` so even rows with IDENTICAL key
+    columns (a re-ingested doc, CDC update churn) spread across salts —
+    a key-derived salt cannot split those runs. Placement-only: the salt
+    is dropped after partitioning, and Spark treats the nondeterministic
+    stage as indeterminate (whole-stage rollback on map retry), the same
+    contract as the standard rand()-salt pattern."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))

@@ -19,7 +19,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-from ..functions.hashing import salt_expr
+from ..functions.hashing import row_salt_expr
 from ..functions.zorder import with_cluster_key
 from ..icelite import manifest as mf
 from ..icelite import metadata as md
@@ -153,9 +153,9 @@ def cluster(
     # re-evaluates the key, which must not trigger a second Python pass
     df = with_cluster_key(df, curve=curve)
     if n_salts > 1:
-        from .compaction import _salt_col
-
-        df = df.withColumn("_salt", salt_expr(_salt_col(df), n_salts))
+        # row-unique salt: splits even identical-key runs (see
+        # row_salt_expr), which a key-derived salt cannot
+        df = df.withColumn("_salt", row_salt_expr(n_salts))
         df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
     else:
         df = df.repartitionByRange(n_out, "_ckey")

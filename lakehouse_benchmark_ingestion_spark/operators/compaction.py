@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import salt_expr
+from ..functions.hashing import row_salt_expr
 from ..functions.zorder import with_cluster_key
 from ..icelite import manifest as mf
 from ..icelite.table import IceliteTable
@@ -140,15 +140,6 @@ def plan_compaction(
     return plan
 
 
-def _salt_col(df) -> str:
-    """Column the skew salt hashes. Tables keep working after doc_id is
-    renamed/dropped (schema evolution): fall back to the first data column
-    — any deterministic value spreads duplicate-ckey hot spots."""
-    return "doc_id" if "doc_id" in df.columns else [
-        c for c in df.columns if c != "_ckey"
-    ][0]
-
-
 def _rewrite_group(
     spark: SparkSession,
     table: IceliteTable,
@@ -206,8 +197,10 @@ def _rewrite_group(
     elif n_salts > 1:
         # salt INSIDE the range-partition key, OUTSIDE the sort key
         # (SURVEY.md §7.3): duplicate-ckey hot spots split across salts,
-        # while each output file stays internally ckey-sorted.
-        df = df.withColumn("_salt", salt_expr(_salt_col(df), n_salts))
+        # while each output file stays internally ckey-sorted. Row-unique
+        # salt: a key-derived salt cannot split rows whose key columns are
+        # IDENTICAL (re-ingested doc / CDC churn), the worst hot run.
+        df = df.withColumn("_salt", row_salt_expr(n_salts))
         df = df.repartitionByRange(n_out, "_salt", "_ckey").drop("_salt")
     else:
         df = df.repartitionByRange(n_out, "_ckey")

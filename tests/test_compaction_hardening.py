@@ -8,8 +8,9 @@
    over a different snapshot naming the same group id must be ignored, or
    the new plan's group is removed from the table without its rewrite
    output (data loss) / old outputs double-commit (duplication);
-3. the skew salt falls back when doc_id was renamed away (schema evolution
-   must not break n_salts>1 rewrites).
+3. schema evolution must not break n_salts>1 rewrites (the row-unique
+   salt has no column dependence; this pins that a renamed-away doc_id
+   never regresses salted compaction).
 """
 
 from __future__ import annotations

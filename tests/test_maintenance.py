@@ -216,3 +216,50 @@ def test_hilbert_compaction_preserves_content(spark, sequences_table):
     ref = tokens_df(spark, SF_SMOKE)
     assert tbl.scan(spark).exceptAll(ref).count() == 0
     assert ref.exceptAll(tbl.scan(spark)).count() == 0
+
+
+def test_salting_splits_identical_key_runs(spark, warehouse):
+    """The skew case range partitioning cannot fix alone: rows sharing ONE
+    exact (source, n_tok, doc_id) triple interleave to ONE _ckey value, and
+    no quantile boundary can split an identical-key run — only the salt
+    can. With n_salts>1 the dominant run must spread across several output
+    files instead of one straggler holding all of it."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    # token CONTENT varies (else parquet RLE shrinks the table below one
+    # output file); the clustering KEY (source, n_tok, doc_id) stays
+    # identical for the dominant run
+    toks = "transform(sequence(1, 16), i -> cast(hash(id, i) as int))"
+    dom = 9000  # 90% of rows share one key triple
+    skew = spark.range(dom).select(
+        F.lit("dup-doc").alias("doc_id"),
+        F.expr(toks).alias("tokens"),
+        F.lit(16).cast("int").alias("n_tok"),
+        F.lit("src-hot").alias("source"),
+    )
+    rest = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.expr(toks).alias("tokens"),
+        F.lit(16).cast("int").alias("n_tok"),
+        F.concat(F.lit("s"), F.col("id") % 5).alias("source"),
+    )
+    df = skew.unionByName(rest)
+    tbl = Catalog(warehouse).create_table("skewed", df.schema)
+    tbl.append(df, num_files=4)
+
+    target = 16 * 1024  # force n_out >> n_salts so balance is observable
+    m = cluster(spark, tbl, curve="zorder", target_file_size=target, n_salts=8)
+    assert m["files_out"] >= 8
+
+    per_file = {
+        f.path: f.record_count for f in tbl.data_files()
+    }
+    hot_max = max(per_file.values())
+    # one file must NOT hold the whole dominant run (9000 rows); with 8
+    # salts the run splits ~8 ways (allow 2x sampling slack)
+    assert hot_max <= dom / 8 * 2.5, per_file
+    # content preserved
+    assert tbl.scan(spark).count() == dom + 1000
+    assert (
+        tbl.scan(spark).filter(F.col("doc_id") == "dup-doc").count() == dom
+    )
