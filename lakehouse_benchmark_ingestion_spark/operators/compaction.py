@@ -27,7 +27,6 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from ..functions.hashing import row_salt_expr
 from ..functions.zorder import with_cluster_key
