@@ -498,6 +498,22 @@ class IceliteTable:
                     f"cherry-pick supports append snapshots only; "
                     f"{snapshot_id} is {src.operation!r}"
                 )
+            # publish-once guard (Iceberg's duplicate-WAP-commit check): the
+            # path-based duplicate test below goes blind once compaction
+            # rewrites the published files into new paths, so a re-applied
+            # cherry-pick would silently duplicate rows. The publishing
+            # snapshot records its source id; refuse while that record is
+            # in retained history (same bounded guarantee as Iceberg).
+            already = [
+                s.snapshot_id
+                for s in meta.snapshots
+                if s.summary.get("cherry-picked-from") == str(snapshot_id)
+            ]
+            if already:
+                raise ValueError(
+                    f"snapshot {snapshot_id} was already cherry-picked "
+                    f"(published as {already[0]})"
+                )
             parent_manifests: set[str] = set()
             if src.parent_id is not None:
                 try:

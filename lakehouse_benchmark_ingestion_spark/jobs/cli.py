@@ -66,8 +66,10 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    sketches, Puffin-style NDV stats sidecar)
     refresh-ndv    --warehouse W --table T   (incremental: scans only files
                    added since the registered sidecar, unions sketches)
-    ndv            --warehouse W --table T [--dry-run]  (estimates from the
-                   registered sidecar; --dry-run recomputes when stale)
+    ndv            --warehouse W --table T [--allow-recompute]  (estimates
+                   from the registered sidecar; --allow-recompute runs a
+                   fresh distributed estimate when the registration is
+                   stale — NOT a dry run, it scans data)
     create-replica --warehouse W --table T --name R [--key doc_id]
     sync-replica   --warehouse W --table T --name R   (ship the CDC delta
                    since the replica's watermark: eq-delete + append)
@@ -149,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type", dest="col_type")
     p.add_argument("--to-name")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--allow-recompute", action="store_true")
     p.add_argument("--deep", action="store_true")  # validate: footer + delete-target checks
     p.add_argument("--where")
     p.add_argument("--all", action="store_true", dest="all_tables")
@@ -499,7 +502,11 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         df, source = ndv_estimates(
-            spark, cat.load_table(args.table), allow_recompute=args.dry_run
+            spark,
+            cat.load_table(args.table),
+            # --dry-run elsewhere means "mutate nothing, do less"; a full
+            # distributed recompute is the opposite, so it gets its own flag
+            allow_recompute=args.allow_recompute,
         )
         out["source"] = source
         out["ndv"] = {r["column"]: r["ndv"] for r in df.collect()}

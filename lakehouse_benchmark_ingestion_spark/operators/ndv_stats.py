@@ -113,11 +113,20 @@ def _sketch_rows(
         .groupBy("_fp")
         .agg(*aggs)
     )
-    # melt wide sketch columns to the generic long sidecar layout
+    # melt wide sketch columns to the generic long sidecar layout;
+    # identifiers are backtick-quoted and the name literal escaped so
+    # column names with spaces/hyphens/quotes cannot break (or reparse as
+    # arithmetic in) the generated expression
+    def _lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def _ident(c: str) -> str:
+        return "`" + f"_sk_{c}".replace("`", "``") + "`"
+
     stack = F.expr(
         "stack({n}, {pairs}) as (column, sketch)".format(
             n=len(present),
-            pairs=", ".join(f"'{c}', _sk_{c}" for c in present),
+            pairs=", ".join(f"{_lit(c)}, {_ident(c)}" for c in present),
         )
     )
     return wide.select(

@@ -175,7 +175,43 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
 
     snap = table.current_snapshot()
     if snap is None:
-        return {"snapshots": 0, "files": 0}
+        # same shape as the normal report (consumers tabulate keys across
+        # tables; a just-created table must not break `analyze --all`)
+        return {
+            "snapshot_id": None,
+            "snapshots": len(table.meta.snapshots),
+            "manifests": 0,
+            "files": 0,
+            "rows": 0,
+            "bytes": 0,
+            "small_files": 0,
+            "small_file_ratio": 0.0,
+            "eq_delete_files": 0,
+            "eq_delete_keys": 0,
+            "pos_delete_files": 0,
+            "dv_sidecars": 0,
+            "deleted_positions": 0,
+            "sort_orders": [],
+            "unsorted_files": 0,
+            "partitions": 0,
+            "partition_row_skew": 0.0,
+            "lineage_files": 0,
+            "lineage_coverage": 0.0,
+            "partition_spec": _json.loads(
+                table.meta.properties.get("partition-spec", "null")
+            ),
+            "ndv_stats": "absent"
+            if table.meta.properties.get("ndv-stats.snapshot-id") is None
+            else "stale",
+            "partition_stats": "absent"
+            if table.meta.properties.get("partition-stats.snapshot-id") is None
+            else "stale",
+            "properties": {
+                k: v
+                for k, v in table.meta.properties.items()
+                if k.startswith(("write.", "row-lineage", "maintenance."))
+            },
+        }
     data = table.data_files(snap.snapshot_id)
     eq = table.delete_files(snap.snapshot_id)
     pos = table.pos_delete_files(snap.snapshot_id)

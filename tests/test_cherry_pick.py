@@ -69,7 +69,7 @@ def test_intervening_main_delete_does_not_suppress_staged_rows(spark, staged):
 def test_cherry_pick_is_not_reappliable(spark, staged):
     tbl, df, staged_snap = staged
     tbl.cherry_pick(staged_snap.snapshot_id)
-    with pytest.raises(ValueError, match="already live on main"):
+    with pytest.raises(ValueError, match="already cherry-picked"):
         tbl.cherry_pick(staged_snap.snapshot_id)
     # and fast-forward of the now-stale branch still refuses
     with pytest.raises(ValueError, match="does not descend"):
@@ -157,3 +157,40 @@ def test_cherry_pick_races_concurrent_append(spark, staged):
     assert got.count() == df.count() + 7
     ops = [s.operation for s in tbl.history()]
     assert ops.count("append") >= 4  # 3 fixture appends + race commits
+
+
+def test_cherry_pick_publish_once_survives_compaction(spark, staged):
+    """Re-applying a published staged snapshot must be refused EVEN AFTER
+    compaction rewrote the published files into new paths — the path-based
+    duplicate check goes blind there, and a silent re-apply would
+    duplicate every staged row (Iceberg: duplicate-WAP-commit guard)."""
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        compact,
+    )
+
+    tbl, df, staged_snap = staged
+    tbl.cherry_pick(staged_snap.snapshot_id)
+    n = tbl.scan(spark).count()
+    compact(spark, tbl, target_file_size=256 * 1024 * 1024)
+    # published paths are gone from main's live set now
+    with pytest.raises(ValueError, match="already cherry-picked"):
+        tbl.cherry_pick(staged_snap.snapshot_id)
+    assert tbl.scan(spark).count() == n
+
+
+def test_table_health_empty_table_shape(spark, warehouse):
+    """A just-created table must report the same keys as a populated one
+    (analyze --all consumers tabulate across tables)."""
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        table_health,
+    )
+
+    df = tokens_df(spark, SF_SMOKE)
+    cat = Catalog(warehouse)
+    empty = cat.create_table("health_empty", df.schema)
+    full = cat.create_table("health_full", df.schema)
+    full.append(df, num_files=2)
+    h_empty, h_full = table_health(empty), table_health(full)
+    assert set(h_empty) == set(h_full)
+    assert h_empty["snapshot_id"] is None and h_empty["files"] == 0
+    assert h_empty["ndv_stats"] == "absent"
