@@ -194,7 +194,14 @@ def commit(
     last_err: Exception | None = None
     for attempt in range(retries):
         base_version = current_version(location)
-        meta = read_metadata(location, base_version)
+        try:
+            meta = read_metadata(location, base_version)
+        except FileNotFoundError as e:
+            # probe → read race with a concurrent commit+metadata-GC that
+            # deleted the probed version; re-probe (the GC retention floor
+            # makes this need 2+ commits in the window — retry heals it)
+            last_err = e
+            continue
         new_meta = mutate(meta)
         new_meta.last_updated_ms = new_meta.last_updated_ms or now_ms()
         # claim v{N+1} by hard-linking a FULLY-WRITTEN temp file: the claim
@@ -222,8 +229,44 @@ def commit(
         with open(tmp, "w") as f:
             f.write(str(base_version + 1))
         os.replace(tmp, _hint_path(location))
+        _gc_metadata_versions(location, base_version + 1, new_meta.properties)
         return new_meta
     raise CommitConflict(f"gave up after {retries} retries") from last_err
+
+
+def _gc_metadata_versions(location: str, new_version: int, properties: dict) -> None:
+    """Iceberg ``write.metadata.delete-after-commit.enabled`` parity: after
+    a successful commit, keep the current metadata JSON plus the previous
+    ``write.metadata.previous-versions-max`` (default 100) and unlink older
+    ones. Safe because every version carries the FULL snapshot list — old
+    versions are pure commit history, never consulted by reads (snapshot
+    time travel resolves inside the current metadata). Best-effort: a
+    concurrent GC racing on the same file is benign."""
+    if str(properties.get(
+        "write.metadata.delete-after-commit.enabled", ""
+    )).lower() != "true":
+        return
+    try:
+        keep = int(properties.get("write.metadata.previous-versions-max", 100))
+    except (TypeError, ValueError):
+        keep = 100
+    floor = new_version - max(keep, 1)
+    if floor < 1:
+        return
+    import re
+
+    pat = re.compile(r"^v(\d+)\.metadata\.json$")
+    try:
+        names = os.listdir(metadata_dir(location))
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if m and int(m.group(1)) < floor:
+            try:
+                os.unlink(os.path.join(metadata_dir(location), name))
+            except OSError:
+                pass
 
 
 def now_ms() -> int:

@@ -1413,6 +1413,81 @@ class IceliteTable:
             "files_scanned": len(partial),
         }
 
+    def agg_minmax(
+        self,
+        spark: SparkSession,
+        column: str,
+        where: dict | None = None,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> dict:
+        """MIN/MAX(column) with the aggregate pushed into table metadata
+        (the other half of Iceberg's aggregate pushdown, next to
+        ``count_rows``): a file contributes its manifest ``lower_bounds``/
+        ``upper_bounds`` entry — unread — when the predicate provably
+        matches EVERY row of the file (otherwise its extreme row might be
+        one the predicate drops) and the bounds for ``column`` exist.
+        Bounds exclude nulls (manifest.py), matching MIN/MAX null
+        semantics, so a provably all-null file (null_count == record_count)
+        soundly contributes nothing. Files with partial predicate overlap
+        or missing stats pay a two-column scan; outstanding eq-/pos-deletes
+        force the sound delete-applied scan (a delete may remove the
+        extreme row).
+
+        Returns ``{"min", "max", "mode", "files_metadata",
+        "files_scanned"}`` — mode ``metadata`` means zero rows read, the
+        partition- or range-aligned case that answers from the manifest
+        alone at 10^12 rows."""
+        from pyspark.sql import functions as F
+
+        from ..operators.row_dml import _file_fully_matches, predicate_column
+
+        sid = self.resolve_snapshot(snapshot_id, ref, None)
+        if self.delete_files(sid) or self.pos_delete_files(sid):
+            row = (
+                self.scan(spark, snapshot_id=sid, where=where)
+                .agg(F.min(column), F.max(column))
+                .first()
+            )
+            return {"min": row[0], "max": row[1], "mode": "scan",
+                    "files_metadata": 0, "files_scanned": -1}
+        candidates = self.select_data_files(where, sid)
+        full_match = [
+            f for f in candidates if not where or _file_fully_matches(f, where)
+        ]
+        full_paths = {f.path for f in full_match}
+        to_scan = [f for f in candidates if f.path not in full_paths]
+        mins: list = []
+        maxs: list = []
+        n_meta = 0
+        for f in full_match:
+            lo = f.lower_bounds.get(column)
+            hi = f.upper_bounds.get(column)
+            if lo is not None and hi is not None:
+                mins.append(lo)
+                maxs.append(hi)
+                n_meta += 1
+            elif f.null_counts.get(column) == f.record_count:
+                n_meta += 1  # all-null: MIN/MAX ignore it, still metadata-only
+            else:
+                to_scan.append(f)  # bounds unknown: must read
+        if to_scan:
+            df = self.read_files(spark, [f.path for f in to_scan])
+            if where:
+                df = df.filter(predicate_column(where))
+            row = df.agg(F.min(column), F.max(column)).first()
+            if row[0] is not None:
+                mins.append(row[0])
+                maxs.append(row[1])
+        return {
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+            "mode": "metadata" if not to_scan
+            else ("metadata+scan" if n_meta else "scan"),
+            "files_metadata": n_meta,
+            "files_scanned": len(to_scan),
+        }
+
     def scan(
         self,
         spark: SparkSession,

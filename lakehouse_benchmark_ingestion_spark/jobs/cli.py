@@ -17,6 +17,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    one all-or-nothing swap — Iceberg partial-progress)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     rewrite-manifests --warehouse W --table T
+    minmax         --warehouse W --table T --column C [--where JSON]
+                   (MIN/MAX pushed into manifest bounds; scans only
+                   partial-overlap or stats-less files)
     count          --warehouse W --table T [--where JSON]  (COUNT pushed
                    into manifest metadata; scans only indeterminate files)
     convert-eq-deletes  --warehouse W --table T  (eq-delete sidecars ->
@@ -236,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "compact":
         from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
 
+        where = None
+        if args.where:  # targeted rewrite_data_files(filter) parity
+            where = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(args.where).items()
+            }
         out.update(
             compact(
                 spark,
@@ -246,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
                 run_id=args.run_id,
                 max_concurrent_groups=args.concurrency,
                 partial_progress_commits=args.partial_progress,
+                where=where,
             )
         )
 
@@ -287,6 +297,21 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in json.loads(args.where).items()
             }
         out.update(cat.load_table(args.table).count_rows(spark, where=where))
+
+    elif args.command == "minmax":
+        if not args.column:
+            p.error("minmax requires --column")
+        where = None
+        if args.where:
+            where = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(args.where).items()
+            }
+        out.update(
+            cat.load_table(args.table).agg_minmax(
+                spark, args.column, where=where
+            )
+        )
 
     elif args.command == "convert-pos-to-dv":
         from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (

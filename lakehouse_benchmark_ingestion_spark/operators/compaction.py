@@ -69,6 +69,7 @@ def plan_compaction(
     min_input_files: int = 2,
     small_file_threshold: float = 0.75,
     max_group_size: int | None = None,
+    where: dict | None = None,
 ) -> CompactionPlan:
     """Greedy first-fit-decreasing bin packing of small files.
 
@@ -89,6 +90,13 @@ def plan_compaction(
     if max_group_size is None:
         max_group_size = 8 * target_file_size
     files = table.data_files(snap.snapshot_id)
+    if where:
+        # targeted compaction (Iceberg rewrite_data_files(filter) parity):
+        # restrict candidates to files the predicate cannot rule out, via
+        # the same shared pruning stack every reader uses; whole files are
+        # rewritten (file-level filter), non-matching files stay untouched
+        keep = {f.path for f in table.select_data_files(where, snap.snapshot_id)}
+        files = [f for f in files if f.path in keep]
     has_pspec = table.partition_spec is not None
     small = [
         f
@@ -225,6 +233,7 @@ def compact(
     max_group_size: int | None = None,
     partial_progress_commits: int | None = None,
     delete_conflict_retries: int = 1,
+    where: dict | None = None,
 ) -> dict:
     """Compaction with validate-no-new-deletes: every commit (partial and
     final) validates that no eq-/pos-delete file landed after the PLAN
@@ -246,7 +255,7 @@ def compact(
                 spark, table, target_file_size, curve, n_salts,
                 run_id if attempt == 0 else None, plan if attempt == 0 else None,
                 fail_after_groups, timestamp_ms, max_concurrent_groups,
-                max_group_size, partial_progress_commits,
+                max_group_size, partial_progress_commits, where,
             )
         except md.ValidationFailed:
             if attempt == attempts - 1:
@@ -267,6 +276,7 @@ def _compact_attempt(
     max_concurrent_groups: int = 8,
     max_group_size: int | None = None,
     partial_progress_commits: int | None = None,
+    where: dict | None = None,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
 
@@ -291,7 +301,9 @@ def _compact_attempt(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
-        plan = plan_compaction(table, target_file_size, max_group_size=max_group_size)
+        plan = plan_compaction(
+            table, target_file_size, max_group_size=max_group_size, where=where
+        )
     # everything below is pinned to the PLAN snapshot: delete set, group
     # reads, and resume matching — a run must be internally consistent even
     # while partial commits (or concurrent writers) move the head

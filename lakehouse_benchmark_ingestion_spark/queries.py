@@ -803,6 +803,21 @@ def q_maint_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(r["count"],)], "cnt long")
 
 
+def q_maint_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX pushed into table metadata (the aggregate-pushdown twin of
+    ``maint_fast_count``): a partition-aligned MIN/MAX(n_tok) on the
+    hidden-partitioned table must be answered ENTIRELY from the manifest's
+    per-file lower/upper bounds — zero files read, asserted — and still
+    equal the declarative oracle's aggregate."""
+    p = prepared_warehouse(spark, sf_dir)
+    tbl = p["table_part"]
+    r = tbl.agg_minmax(spark, "n_tok", where={"source": "src3"})
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0, r
+    return spark.createDataFrame(
+        [(int(r["min"]), int(r["max"]))], "min_ntok int, max_ntok int"
+    )
+
+
 def q_maint_expire_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot expiration with ref-aware retention, certified end-to-end:
     three appends; a tag pins snapshot 2; ``expire_snapshots(keep_last=1)``
@@ -1130,6 +1145,11 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
     """,
+    "maint_fast_minmax": f"""
+        SELECT CAST(min(n_tok) AS INTEGER) AS min_ntok,
+               CAST(max(n_tok) AS INTEGER) AS max_ntok
+        FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
+    """,
     # cherry-picked rows (third==1) survive in full; main's rows lose the
     # deleted n_tok range
     "maint_cherry_pick": digest_scan_sql(
@@ -1344,6 +1364,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_spec_evolution": q_maint_spec_evolution,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
+        "maint_fast_minmax": q_maint_fast_minmax,
         "maint_ndv_sketch": q_maint_ndv_sketch,
         "maint_cherry_pick": q_maint_cherry_pick,
         "maint_row_lineage": q_maint_row_lineage,

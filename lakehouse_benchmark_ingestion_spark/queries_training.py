@@ -938,3 +938,114 @@ def _dup_clusters_oracle() -> str:
 
 
 ORACLES["pipe_dup_clusters"] = _dup_clusters_oracle()
+
+
+# ---- DSIR importance weights -------------------------------------------------
+
+DSIR_B = 512  # hashed-unigram feature buckets (the paper uses 10k for n-grams)
+
+
+def dsir_doc_weights(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weight (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 — public method):
+    weight(doc) = Σ_w [ln p_tgt(h(w)) − ln p_raw(h(w))] under hashed
+    unigram bag-of-words language models with add-1 smoothing over
+    ``DSIR_B`` buckets. The target slice is the corpus's first source
+    (deterministic: min(source)); resampling then keeps docs by weight.
+
+    Spark shape that survives 100 TB: the bucket hash is the engine-
+    portable polynomial fold (JVM built-ins, shared bit-for-bit with the
+    DuckDB oracle), BOTH models come from ONE groupBy over the exploded
+    words (cnt_raw = count, cnt_tgt = conditional sum — no second pass),
+    the model is DSIR_B rows broadcast back, and the per-doc fold is one
+    map-side-combined groupBy. Integer counts throughout; floats appear
+    only in the ln() folds.
+
+    Returns (doc_id, source, w_doc)."""
+    from .operators.dedup import poly_hash
+
+    w = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tgt = docs.groupBy().agg(F.min("source").alias("_tgt"))  # scalar: one row
+    wb = w.crossJoin(F.broadcast(tgt)).select(
+        "doc_id",
+        "source",
+        (poly_hash(F.col("w")) % DSIR_B).alias("b"),
+        (F.col("source") == F.col("_tgt")).cast("long").alias("is_tgt"),
+    )
+    model = wb.groupBy("b").agg(
+        F.count("*").alias("cnt_r"), F.sum("is_tgt").alias("cnt_t")
+    )
+    totals = model.groupBy().agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    scored = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(F.col("cnt_t") + 1)
+            - F.log(F.col("tot_t") + DSIR_B)
+            - F.log(F.col("cnt_r") + 1)
+            + F.log(F.col("tot_r") + DSIR_B)
+        ).alias("lr"),
+    )
+    return (
+        wb.join(F.broadcast(scored), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("w_doc"))
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights certified as per-source aggregates (the
+    per-doc float sum is rounded once at the aggregate; see
+    ``dsir_doc_weights`` for the method and the 100 TB shape)."""
+    per_doc = dsir_doc_weights(load_table(spark, sf_dir, "documents"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("w_doc"), 6).alias("avg_dsir_weight"),
+        F.sum((F.round("w_doc", 6) > 0).cast("long")).alias("n_positive"),
+    )
+
+
+QUERIES["pipe_dsir_weights"] = q_dsir_weights
+
+_DSIR_WORD_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(w) + 1), "
+    "i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))), "
+    "(h, c) -> (h * 31 + c) % 2147483647)"
+)
+
+ORACLES["pipe_dsir_weights"] = f"""
+    WITH w0 AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), w2 AS (
+        SELECT * FROM w0 WHERE length(w) > 0
+    ), tgt AS (
+        SELECT min(source) AS t FROM documents
+    ), wb AS (
+        SELECT doc_id, source, {_DSIR_WORD_HASH} % 512 AS b,
+               CASE WHEN source = (SELECT t FROM tgt) THEN 1 ELSE 0 END AS is_tgt
+        FROM w2
+    ), model AS (
+        SELECT b, count(*) AS cnt_r, sum(is_tgt) AS cnt_t FROM wb GROUP BY b
+    ), totals AS (
+        SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM model
+    ), scored AS (
+        SELECT b,
+               ln(cnt_t + 1) - ln((SELECT tot_t FROM totals) + 512)
+             - ln(cnt_r + 1) + ln((SELECT tot_r FROM totals) + 512) AS lr
+        FROM model
+    ), per_doc AS (
+        SELECT doc_id, any_value(source) AS source, sum(lr) AS w_doc
+        FROM wb JOIN scored USING (b)
+        GROUP BY doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(w_doc), 6) AS avg_dsir_weight,
+           CAST(sum(CASE WHEN round(w_doc, 6) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive
+    FROM per_doc GROUP BY source
+"""

@@ -76,6 +76,8 @@ DEFERRED_TO_NEXT_WINDOW = {
     "maint_cherry_pick",
     "maint_mv_minmax",
     "stream_online_compact",
+    "maint_fast_minmax",
+    "pipe_dsir_weights",
 }
 
 

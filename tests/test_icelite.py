@@ -119,3 +119,50 @@ def test_file_filter_pruning(spark, sequences_table):
         if f.lower_bounds["doc_id"] <= "2" and "1" <= f.upper_bounds["doc_id"]
     ]
     assert len(kept) < len(files)
+
+
+def test_metadata_version_gc_after_commit(spark, warehouse):
+    """Iceberg write.metadata.delete-after-commit parity: with the property
+    set, commits keep current + previous-versions-max metadata JSONs and
+    unlink older ones; history (snapshots) is untouched because every
+    version carries the full snapshot list."""
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE).limit(20)
+    tbl = Catalog(warehouse).create_table("gc_meta", df.schema)
+    tbl.set_properties({
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "2",
+    })
+    first_sid = None
+    for _ in range(5):
+        tbl.append(df, num_files=1)
+        if first_sid is None:
+            first_sid = tbl.current_snapshot().snapshot_id
+    mdir = os.path.join(tbl.location, "metadata")
+    versions = sorted(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    cur = md.current_version(tbl.location)
+    assert versions == [cur - 2, cur - 1, cur], versions
+    # full snapshot history survives in the current metadata: the FIRST
+    # append is still time-travelable even though v1..vN-3 are gone
+    assert tbl.scan(spark, snapshot_id=first_sid).count() == 20
+    assert tbl.scan(spark).count() == 100
+    # and the commit loop still works after the GC
+    tbl.append(df, num_files=1)
+    assert tbl.scan(spark).count() == 120
+
+
+def test_metadata_versions_kept_without_property(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+
+    df = tokens_df(spark, SF_SMOKE).limit(5)
+    tbl = Catalog(warehouse).create_table("gc_off", df.schema)
+    for _ in range(4):
+        tbl.append(df, num_files=1)
+    mdir = os.path.join(tbl.location, "metadata")
+    n = len([x for x in os.listdir(mdir) if x.endswith(".metadata.json")])
+    assert n == 5  # v1 (create) + 4 appends — nothing deleted by default

@@ -384,3 +384,15 @@ def test_cli_ingest_stream_online_compaction(spark, warehouse, capsys, tmp_path)
     assert r["operations"].count("replace") == 2
     s = run(capsys, "scan", "--warehouse", warehouse)
     assert s["rows"] == 500
+
+
+def test_cli_count_and_minmax_pushdown(spark, warehouse, capsys):
+    run(capsys, "create-table", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse,
+        "--from-documents", SF_SMOKE, "--appends", "2")
+    r = run(capsys, "count", "--warehouse", warehouse)
+    assert r["mode"] == "metadata" and r["count"] == 500
+    r = run(capsys, "minmax", "--warehouse", warehouse, "--column", "n_tok")
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0
+    assert 0 < r["min"] <= r["max"]

@@ -263,3 +263,30 @@ def test_salting_splits_identical_key_runs(spark, warehouse):
     assert (
         tbl.scan(spark).filter(F.col("doc_id") == "dup-doc").count() == dom
     )
+
+
+def test_targeted_compaction_where_rewrites_only_matching_files(spark, warehouse):
+    """compact(where=) — Iceberg rewrite_data_files(filter) parity: only
+    files the predicate cannot rule out are rewritten; disjoint files keep
+    their exact paths, and the post-compaction scan is unchanged."""
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("targeted", df.schema)
+    srcs = sorted(r[0] for r in df.select("source").distinct().collect())
+    lo_srcs, hi_srcs = srcs[: len(srcs) // 2], srcs[len(srcs) // 2:]
+    # two appends with disjoint source ranges -> files prune cleanly
+    tbl.append(df.filter(F.col("source").isin(lo_srcs)), num_files=4)
+    tbl.append(df.filter(F.col("source").isin(hi_srcs)), num_files=4)
+    before = {f.path for f in tbl.data_files()}
+    total_before = tbl.scan(spark).count()
+
+    compact(spark, tbl, target_file_size=TARGET, where={"source": hi_srcs[0]})
+    after = {f.path for f in tbl.data_files()}
+    # the lo-range append's files are untouched (bounds disjoint from the
+    # predicate); the hi side actually changed layout
+    assert len(before & after) >= 4, (before, after)
+    assert after != before
+    assert tbl.scan(spark).count() == total_before

@@ -173,3 +173,71 @@ def test_count_rows_mixed_and_delete_fallback(spark, warehouse):
     assert r2["count"] == df.filter(
         (F.col("n_tok") <= cut) & ~(F.col("n_tok") <= 30)
     ).count()
+
+
+def test_agg_minmax_metadata_only_no_predicate(spark, warehouse):
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mm_plain", df.schema)
+    tbl.append(df, num_files=4)
+    r = tbl.agg_minmax(spark, "n_tok")
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0, r
+    row = df.agg(F.min("n_tok"), F.max("n_tok")).first()
+    assert (r["min"], r["max"]) == (row[0], row[1])
+
+
+def test_agg_minmax_partition_aligned_is_metadata_only(spark, warehouse):
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mm_part", df.schema)
+    tbl.set_partition_spec([{"col": "source", "transform": "identity"}])
+    tbl.append(df)
+    src = df.select("source").first()[0]
+    r = tbl.agg_minmax(spark, "n_tok", where={"source": src})
+    assert r["mode"] == "metadata" and r["files_scanned"] == 0, r
+    row = (
+        df.filter(F.col("source") == src).agg(F.min("n_tok"), F.max("n_tok")).first()
+    )
+    assert (r["min"], r["max"]) == (row[0], row[1])
+
+
+def test_agg_minmax_partial_overlap_scans_straddlers(spark, warehouse):
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mm_mix", df.schema)
+    tbl.append(df.repartitionByRange(4, "n_tok"))  # disjoint n_tok ranges
+
+    bounds = sorted(f.upper_bounds["n_tok"] for f in tbl.data_files())
+    cut = bounds[1] + 1  # straddles a file edge
+    r = tbl.agg_minmax(spark, "doc_id", where={"n_tok": (0, cut)})
+    row = (
+        df.filter(F.col("n_tok") <= cut)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    assert (r["min"], r["max"]) == (row[0], row[1])
+    assert r["mode"] == "metadata+scan" and r["files_metadata"] >= 1, r
+    assert 0 < r["files_scanned"] < len(tbl.data_files())
+
+
+def test_agg_minmax_delete_fallback(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mm_del", df.schema)
+    tbl.append(df, num_files=3)
+    lo = df.agg(F.min("n_tok")).first()[0]
+    # delete the extreme rows: a metadata answer would now be WRONG
+    delete_where(spark, tbl, {"n_tok": (lo, lo)}, strategy="mor-pos")
+    r = tbl.agg_minmax(spark, "n_tok")
+    assert r["mode"] == "scan", r
+    assert r["min"] == df.filter(F.col("n_tok") > lo).agg(F.min("n_tok")).first()[0]
+
+
+def test_agg_minmax_unstatted_column_scans(spark, warehouse):
+    # tokens (array) carries no bounds: every file must be scanned, and the
+    # answer (MIN/MAX over array column) still matches the scan
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("mm_arr", df.schema)
+    tbl.append(df, num_files=2)
+    r = tbl.agg_minmax(spark, "tokens")
+    assert r["mode"] == "scan" and r["files_scanned"] == 2, r
+    row = df.agg(F.min("tokens"), F.max("tokens")).first()
+    assert (r["min"], r["max"]) == (row[0], row[1])

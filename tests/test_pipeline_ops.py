@@ -149,3 +149,48 @@ def test_multimodal_plumbing(spark, docs):
 def test_real_decoder_is_gated(spark):
     with pytest.raises(NotImplementedError):
         M._decode_real(b"xx", "image")
+
+
+def test_dsir_weights_separate_planted_target(spark):
+    """DSIR importance weights on a planted corpus: the target slice
+    (min(source) = 'a_wiki') writes in vocabulary A, the rest in vocabulary
+    B, with a handful of target-like impostors among the rest. Every
+    A-vocabulary doc must score strictly above every B-vocabulary doc —
+    the separation importance resampling relies on — and the target slice
+    itself must average a positive weight."""
+    from lakehouse_benchmark_ingestion_spark.queries_training import (
+        dsir_doc_weights,
+    )
+
+    voc_a = "alpha beta gamma delta epsilon zeta"
+    voc_b = "one two three four five six seven eight nine ten"
+    rows = []
+    for i in range(30):
+        rows.append((f"t{i}", "a_wiki", voc_a))          # target slice
+    for i in range(90):
+        rows.append((f"w{i}", "z_web", voc_b))           # background
+    for i in range(5):
+        rows.append((f"m{i}", "z_web", voc_a))           # target-like docs
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    got = {r["doc_id"]: r["w_doc"] for r in dsir_doc_weights(docs).collect()}
+    a_like = [v for k, v in got.items() if k[0] in ("t", "m")]
+    b_like = [v for k, v in got.items() if k.startswith("w")]
+    assert len(got) == 125
+    assert min(a_like) > max(b_like), (min(a_like), max(b_like))
+    tgt_avg = sum(got[f"t{i}"] for i in range(30)) / 30
+    assert tgt_avg > 0, tgt_avg
+
+
+def test_dsir_query_covers_corpus(spark):
+    """The certified aggregate covers every source with the right doc
+    counts (the fixture text carries no per-source signal, so separation
+    is certified by the planted-corpus test above)."""
+    from lakehouse_benchmark_ingestion_spark.queries_training import q_dsir_weights
+
+    rows = {r["source"]: r for r in q_dsir_weights(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    tgt = docs.agg(F.min("source")).first()[0]
+    n_sources = docs.select("source").distinct().count()
+    assert tgt in rows and len(rows) == n_sources
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
