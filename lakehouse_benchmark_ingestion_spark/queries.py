@@ -1231,8 +1231,7 @@ MAINT_ORACLES: dict[str, str] = {
 # certifies the FIRST 50 entries only. Next round, rebuild this list as
 #   1. any r3-window query that FAILED in CORRECTNESS_r03 (fix + re-certify);
 #   2. the deferred additions (tests/test_certification_window.py
-#      DEFERRED_TO_NEXT_WINDOW: maint_row_lineage, maint_expire_travel,
-#      maint_manifest_rewrite, pipe_gopher_rules, stream_multiplex_cdc);
+#      DEFERRED_TO_NEXT_WINDOW: maint_cherry_pick, maint_mv_minmax);
 #   3. the six north-rule certifiers (always in-window);
 #   4. backfill with the longest-unverified green queries.
 _CERTIFICATION_PRIORITY = [
@@ -1241,7 +1240,6 @@ _CERTIFICATION_PRIORITY = [
     "pipe_minhash_signature",
     # scale-path dedup / ANN, never driver-checked
     "pipe_neardup_lsh",
-    "pipe_lsh_buckets",
     "pipe_dedup_minhash_pairs",
     "pipe_dup_clusters",
     "pipe_ann_lsh",
@@ -1254,13 +1252,11 @@ _CERTIFICATION_PRIORITY = [
     "stream_merge_upsert",
     "stream_dedup_ingest",
     "stream_windowed_rollup",
-    "stream_sessions",
     "stream_multiplex_demux",
     "stream_cdc_apply",
-    # multimodal + grouped-map surface
-    "pipe_multimodal_meta",
+    # multimodal + grouped-map surface (pipe_multimodal_meta and
+    # pipe_source_median_ntok are r1-green; features is the uncertified one)
     "pipe_multimodal_features",
-    "pipe_source_median_ntok",
     # training-data ops, never driver-checked
     "pipe_pack_sequences",
     "pipe_token_topk",
@@ -1295,10 +1291,23 @@ _CERTIFICATION_PRIORITY = [
     "maint_manifest_rewrite",
     "pipe_gopher_rules",
     "stream_multiplex_cdc",
+    # final-session additions, never driver-certified — the 4 slots freed by
+    # r1-green queries (pipe_lsh_buckets, stream_sessions,
+    # pipe_multimodal_meta, pipe_source_median_ntok) go to these; the two
+    # remaining (maint_cherry_pick, maint_mv_minmax) defer to round 4
+    "maint_fast_minmax",
+    "maint_ndv_sketch",
+    "stream_online_compact",
+    "pipe_dsir_weights",
     # north-star headline, re-certified every round (the other five core
     # certifiers are r1+r2 double-green and yield their slots this round)
     "maint_scan",
-    # first past the cutoff: double-green core certifiers
+    # first past the cutoff: r1-green queries that yielded their slots to
+    # the final-session additions above, then double-green core certifiers
+    "pipe_lsh_buckets",
+    "stream_sessions",
+    "pipe_multimodal_meta",
+    "pipe_source_median_ntok",
     "maint_scan_pre_compaction",
     "maint_agg_by_source",
     "maint_token_checksum",

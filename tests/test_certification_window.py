@@ -67,17 +67,14 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracles: {missing}"
 
 
-# Queries added AFTER the round-3 window was re-curated (the 50 slots are
-# fully allocated: 44 never-certified + the 5 rotated-in late-r3 queries +
-# the always-in-window headline scan). Locally oracle-verified
-# (tools/verify_queries.py); rotate INTO the window when round 4 re-curates.
+# Queries that could not fit the fully-allocated 50-slot window (49
+# never-certified + the always-in-window headline scan; four r1-green
+# queries yielded their slots in the final round-3 session). Locally
+# oracle-verified (tools/verify_queries.py); rotate INTO the window when
+# round 4 re-curates.
 DEFERRED_TO_NEXT_WINDOW = {
-    "maint_ndv_sketch",
     "maint_cherry_pick",
     "maint_mv_minmax",
-    "stream_online_compact",
-    "maint_fast_minmax",
-    "pipe_dsir_weights",
 }
 
 
