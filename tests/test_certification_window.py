@@ -106,3 +106,19 @@ def test_north_rule_certifiers_certified():
         f"headline certifier outside the driver window: "
         f"{ALWAYS_IN_WINDOW - window}"
     )
+
+
+def test_rotate_window_tool_agrees():
+    """tools/rotate_window.py --check must agree with these invariants:
+    no already-green query (beyond the pin) holds a slot while a
+    not-yet-green query sits past the cutoff."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rotate_window.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr
+    assert "window OK" in p.stderr
