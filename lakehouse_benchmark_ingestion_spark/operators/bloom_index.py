@@ -38,6 +38,7 @@ import glob
 import hashlib
 import json
 import os
+import urllib.parse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -123,51 +124,88 @@ def build_bloom_index(
         raise ValueError(f"column {column!r} not present in any data file")
     expr = F.coalesce(*[F.col(c) for c in cands]) if len(cands) > 1 else F.col(cands[0])
     df = raw.select(expr.alias(column), F.col("_metadata.file_path").alias("_fp"))
+    # k position columns stay JVM-codegen (sha2/conv built-ins); the
+    # per-file fold is ONE grouped-map that ships the unboxed int64
+    # position columns over Arrow and ORs them into the bitmap with numpy.
+    # This replaces the earlier explode + collect_set shape, whose JVM
+    # hash-sets boxed k×rows Longs per file. The group key is xxhash64 of
+    # the path TAIL (last two components — Spark part names carry a per-job
+    # UUID), not the path string: 8 bytes/row through the shuffle + Arrow
+    # instead of a ~100-byte URI, and the driver resolves ids back to
+    # normalized paths through the bit-identical XXH64 twin
+    # (functions/hashing.py) over the manifest's own file list. A hash
+    # collision merges two files' bitmaps — SOUND for probing (bitmap OR
+    # can only add false positives, and the unmapped file is conservatively
+    # kept by probes), with ~2^-65·n² odds. Group payload is k int64s per
+    # row — a 10 M-row file is an ~320 MB pandas frame; beyond that,
+    # pre-reduce with distinct() (positions are ≤ bits ≤ 2^23 distinct).
+    from ..functions.hashing import xxh64_bytes
+
+    def _tail(path: str) -> str:
+        return "/".join(path.rstrip("/").split("/")[-2:])
+
+    id_to_path: dict[int, str] = {}
+    for f in files:
+        rp = os.path.realpath(f.path)
+        t = _tail(f.path)
+        id_to_path[xxh64_bytes(t.encode("utf-8"))] = rp
+        # _metadata.file_path is a URI; if the tail contains URI-escaped
+        # characters the hashed form differs — register that key too
+        q = urllib.parse.quote(t, safe="/")
+        if q != t:
+            id_to_path[xxh64_bytes(q.encode("utf-8"))] = rp
     pos = df.select(
-        "_fp", F.explode(F.array(*_position_cols(column, bits, k))).alias("_p")
+        F.xxhash64(F.substring_index("_fp", "/", -2)).alias("_g"),
+        *_position_cols(column, bits, k),
     )
-    agg = pos.groupBy("_fp").agg(F.collect_set("_p").alias("_bits"))
 
     n_bytes = bits // 8
+    pos_names = [f"_p{i}" for i in range(k)]
 
-    @F.pandas_udf("binary")
-    def _pack(positions):  # pd.Series of lists/arrays of int
+    def _pack_group(pdf):
         import numpy as np
         import pandas as pd
 
-        out = []
-        for arr in positions:
-            bm = np.zeros(n_bytes, dtype=np.uint8)
-            p = np.asarray(arr, dtype=np.int64)
-            np.bitwise_or.at(
-                bm, p >> 3, (np.uint8(1) << (p & 7).astype(np.uint8))
-            )
-            out.append(bm.tobytes())
-        return pd.Series(out)
-
-    @F.pandas_udf("string")
-    def _norm_path(paths):
-        import pandas as pd
-
-        return pd.Series(
-            [os.path.realpath(p.removeprefix("file:")) for p in paths]
+        path = id_to_path.get(int(pdf["_g"].iloc[0]))
+        if path is None:
+            # unmappable tail (exotic URI escaping): emit no row — probes
+            # conservatively KEEP files absent from the sidecar
+            return pd.DataFrame({"file_path": [], "bitmap": [], "n_set": []})
+        p = np.concatenate(
+            [pdf[c].to_numpy(dtype=np.int64) for c in pos_names]
+        )
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        np.bitwise_or.at(bm, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "file_path": [path],
+                "bitmap": [bm.tobytes()],
+                "n_set": [int(np.unpackbits(bm).sum())],
+            }
         )
 
-    sidecar = agg.select(
-        _norm_path("_fp").alias("file_path"),
-        _pack("_bits").alias("bitmap"),
-        F.size("_bits").alias("n_set"),
+    sidecar = pos.groupBy("_g").applyInPandas(
+        _pack_group, "file_path string, bitmap binary, n_set long"
     )
     # range-sort by file_path so a probe's parquet predicate prunes to the
-    # row groups holding its candidate files; size outputs ~128 MiB each
+    # row groups holding its candidate files; size outputs ~128 MiB each.
+    # n_out is known from the manifest (one row per file), so the single-
+    # output case skips repartitionByRange — its range sampler would run
+    # the whole grouped-map plan a second time (measured ~1.4x build wall).
     n_out = max(1, (len(files) * n_bytes) // SIDECAR_TARGET_BYTES)
     out_dir = _sidecar_dir(table.location, column, snap.snapshot_id)
+    writer = (
+        sidecar.repartition(1)
+        if n_out == 1
+        else sidecar.persist().repartitionByRange(n_out, "file_path")
+    )
     (
-        sidecar.repartitionByRange(n_out, "file_path")
-        .sortWithinPartitions("file_path")
+        writer.sortWithinPartitions("file_path")
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    if n_out > 1:
+        sidecar.unpersist()
     header = {
         "column": column,
         "bits": bits,
