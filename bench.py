@@ -32,6 +32,12 @@ REPLICATE = int(os.environ.get("BENCH_REPLICATE", "256"))
 # tables and each phase reports its min (the classic min-of-k protocol — min
 # is the noise-free estimator for deterministic work)
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+# BENCH_WH_BASE: where the bench warehouse lives. Default /tmp (disk). For
+# executor-mode scaling runs set it to /dev/shm so 4 executor JVMs + driver
+# don't serialize on the sandbox's single virtual disk — a real 4N-node
+# cluster has 4N independent disks, so tmpfs is the honest analogue of
+# per-node storage, not a cheat (the timed work is identical).
+WH_BASE = os.environ.get("BENCH_WH_BASE", "/tmp")
 
 
 def run_bench() -> dict:
@@ -62,7 +68,7 @@ def run_bench() -> dict:
 
     # ---- JIT warmup (untimed): run the whole suite once at replicate=1 so
     # the timed phases measure steady-state codegen, not compiler warmup.
-    wwh = f"/tmp/bench_warm_{CPUS}"
+    wwh = f"{WH_BASE}/bench_warm_{CPUS}"
     shutil.rmtree(wwh, ignore_errors=True)
     wdf = tokens_df(spark, SF_DIR, replicate=1)
     wtbl = Catalog(wwh).create_table("sequences", wdf.schema)
@@ -72,7 +78,7 @@ def run_bench() -> dict:
     merge_into(spark, wtbl, updates_df(spark, SF_DIR))
     shutil.rmtree(wwh, ignore_errors=True)
 
-    wh = f"/tmp/bench_wh_{CPUS}"
+    wh = f"{WH_BASE}/bench_wh_{CPUS}"
     shutil.rmtree(wh, ignore_errors=True)
     cat = Catalog(wh)
     # cache: the 4 ingest appends each filter this — regeneration (crossJoin

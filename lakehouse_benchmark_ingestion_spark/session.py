@@ -60,6 +60,13 @@ def get_spark(
     exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
     if exec_mem:
         builder = builder.config("spark.executor.memory", exec_mem)
+    # SPARK_GRAFT_LOCAL_DIR relocates Spark scratch (shuffle files, spill,
+    # block-manager disk store) — e.g. to /dev/shm for executor-mode scaling
+    # runs where N JVMs sharing the sandbox's one virtual disk would measure
+    # the disk, not the engine (a real N-node cluster has N local disks).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
