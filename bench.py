@@ -302,51 +302,88 @@ def run_scaling() -> None:
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     probes: dict[int, list[float | None]] = {c: [] for c in levels}
     probes_post: dict[int, list[float | None]] = {c: [] for c in levels}
+    def _run_leg(cpus: int, r: int) -> None:
+        probes[cpus].append(_probe_quietness())
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            BENCH_REPLICATE=replicate,
+            # noise robustness comes from the interleaved min-of-3
+            # REPEATS here; no need for in-process rounds on top
+            BENCH_ROUNDS="1",
+            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
+        if executor_mode:
+            # `cpus` total cores split into (cpus // 4) executor JVMs
+            # of 4 cores each: levels 4,16 → 1 vs 4 executors
+            n_exec = max(1, cpus // 4)
+            env["SPARK_GRAFT_MASTER"] = (
+                f"local-cluster[{n_exec},4,{exec_mem_mb}]"
+            )
+            # the worker budget above only CAPS executor requests; the
+            # executor JVM heap itself comes from spark.executor.memory
+            # (default 1g → OOM at bench scale, measured)
+            env["SPARK_GRAFT_EXECUTOR_MEM"] = f"{exec_mem_mb}m"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            # surface the leg's failure instead of a bare IndexError
+            # (a crashed JVM leaves stdout empty; stderr has the cause)
+            sys.stderr.write(
+                f"scaling leg local[{cpus}] repeat {r} failed "
+                f"(exit {p.returncode}):\n{p.stderr[-4000:]}\n"
+            )
+            raise RuntimeError(f"scaling leg local[{cpus}] produced no JSON")
+        runs[cpus].append(json.loads(lines[-1]))
+        # post-leg probe: batch-e showed a pre-leg probe alone
+        # misclassifies legs whose co-tenant load arrives mid-leg (its
+        # one pre-quiet local[16] leg ran 2.3x the level's min). A leg
+        # counts as quiet only when the window is bounded on BOTH sides.
+        probes_post[cpus].append(_probe_quietness())
+
     for r in range(repeats):
         for cpus in levels:
-            probes[cpus].append(_probe_quietness())
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(cpus),
-                BENCH_REPLICATE=replicate,
-                # noise robustness comes from the interleaved min-of-3
-                # REPEATS here; no need for in-process rounds on top
-                BENCH_ROUNDS="1",
-                SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
-            )
-            if executor_mode:
-                # `cpus` total cores split into (cpus // 4) executor JVMs
-                # of 4 cores each: levels 4,16 → 1 vs 4 executors
-                n_exec = max(1, cpus // 4)
-                env["SPARK_GRAFT_MASTER"] = (
-                    f"local-cluster[{n_exec},4,{exec_mem_mb}]"
-                )
-                # the worker budget above only CAPS executor requests; the
-                # executor JVM heap itself comes from spark.executor.memory
-                # (default 1g → OOM at bench scale, measured)
-                env["SPARK_GRAFT_EXECUTOR_MEM"] = f"{exec_mem_mb}m"
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-            if not lines:
-                # surface the leg's failure instead of a bare IndexError
-                # (a crashed JVM leaves stdout empty; stderr has the cause)
-                sys.stderr.write(
-                    f"scaling leg local[{cpus}] repeat {r} failed "
-                    f"(exit {p.returncode}):\n{p.stderr[-4000:]}\n"
-                )
-                raise RuntimeError(f"scaling leg local[{cpus}] produced no JSON")
-            runs[cpus].append(json.loads(lines[-1]))
-            # post-leg probe: batch-e showed a pre-leg probe alone
-            # misclassifies legs whose co-tenant load arrives mid-leg (its
-            # one pre-quiet local[16] leg ran 2.3x the level's min). A leg
-            # counts as quiet only when the window is bounded on BOTH sides.
-            probes_post[cpus].append(_probe_quietness())
+            _run_leg(cpus, r)
+
+    # Adaptive continuation (SCALING_QUIET_TARGET=k, SCALING_DEADLINE_MIN=m):
+    # fixed-repeat batches on this shared box routinely outlive its
+    # minutes-scale quiet windows (r3 batches g/h: every leg probe-bracketed
+    # loaded, quiet_scaling_efficiency null). Instead of praying one batch
+    # lands quiet, keep running legs until EACH level has k legs whose pre-
+    # AND post-probes clear the gate, or the deadline passes. Loaded moments
+    # sleep instead of burning a leg, and levels that already met the target
+    # stop paying — the quiet-legs-only efficiency is what this feeds.
+    quiet_target = int(os.environ.get("SCALING_QUIET_TARGET", "0"))
+    deadline_min = float(os.environ.get("SCALING_DEADLINE_MIN", "60"))
+
+    def _quiet_count(c: int) -> int:
+        return sum(
+            1
+            for q1, q2 in zip(probes[c], probes_post[c])
+            if q1 is not None and q1 >= quiet_gate
+            and q2 is not None and q2 >= quiet_gate
+        )
+
+    if quiet_target > 0:
+        t_end = time.time() + deadline_min * 60
+        r = repeats
+        while time.time() < t_end and any(
+            _quiet_count(c) < quiet_target for c in levels
+        ):
+            peek = _probe_quietness()
+            if peek is None or peek < quiet_gate:
+                time.sleep(60)
+                continue
+            for cpus in levels:
+                if _quiet_count(cpus) < quiet_target:
+                    _run_leg(cpus, r)
+            r += 1
     best = {c: min(rs, key=lambda d: d["value"]) for c, rs in runs.items()}
     out = {f"local{c}": best[c] for c in levels}
     out["walls"] = {f"local{c}": [d["value"] for d in runs[c]] for c in levels}
