@@ -103,6 +103,20 @@ def transform_expr(f: PartitionField, schema: T.StructType) -> Column:
     return bucket_expr(c, f.param)
 
 
+def conforms(partition_json: str, fields: list[PartitionField] | None) -> bool:
+    """Does a recorded file tuple belong to the given spec? A file conforms
+    iff its tuple's field NAMES are exactly the spec's transform-output
+    names (values vary per file; the name set is the spec's signature —
+    e.g. ``n_tok_truncate50`` vs ``source``). With no spec, only the empty
+    tuple conforms. Spec evolution leaves old-era files non-conforming;
+    ``operators.compaction.migrate_partition_spec`` rewrites exactly those.
+    """
+    names = set(json.loads(partition_json))
+    if not fields:
+        return not names
+    return names == {f.name for f in fields}
+
+
 #: sentinel: the transform output for this constant cannot be computed
 #: driver-side (unsupported type) — callers must skip pruning on it.
 NOT_COMPUTABLE = object()

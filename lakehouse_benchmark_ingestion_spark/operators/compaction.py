@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 from ..functions.hashing import row_salt_expr
 from ..functions.zorder import with_cluster_key
 from ..icelite import manifest as mf
+from ..icelite import partition as ps
 from ..icelite.table import IceliteTable
 from ..plans.lineage import LineageLog, LineageRow
 
@@ -70,6 +71,7 @@ def plan_compaction(
     small_file_threshold: float = 0.75,
     max_group_size: int | None = None,
     where: dict | None = None,
+    spec_migration: bool = False,
 ) -> CompactionPlan:
     """Greedy first-fit-decreasing bin packing of small files.
 
@@ -98,14 +100,25 @@ def plan_compaction(
         keep = {f.path for f in table.select_data_files(where, snap.snapshot_id)}
         files = [f for f in files if f.path in keep]
     has_pspec = table.partition_spec is not None
-    small = [
-        f
-        for f in files
-        if f.file_size_bytes < small_file_threshold * target_file_size
-        # unpartitioned stragglers on a spec'd table are ALWAYS candidates
-        # (regardless of size): the fold is layout healing, not bin packing
-        or (has_pspec and f.partition_json == "{}")
-    ]
+    if spec_migration:
+        # spec-migration mode (Iceberg: RewriteDataFiles always writes the
+        # table's CURRENT spec): candidates are exactly the files whose
+        # recorded tuple belongs to an older spec (or none) — any size,
+        # every one rewritten; conforming files are never touched, so the
+        # pass is idempotent (second run plans zero groups).
+        small = [
+            f for f in files
+            if not ps.conforms(f.partition_json, table.partition_spec)
+        ]
+    else:
+        small = [
+            f
+            for f in files
+            if f.file_size_bytes < small_file_threshold * target_file_size
+            # unpartitioned stragglers on a spec'd table are ALWAYS candidates
+            # (regardless of size): the fold is layout healing, not bin packing
+            or (has_pspec and f.partition_json == "{}")
+        ]
 
     # bucketed tables (Hudi-style bucket index): never mix buckets in one
     # group — outputs must stay single-bucket so key→bucket routing holds.
@@ -133,7 +146,11 @@ def plan_compaction(
                 bins.append([f])
                 bin_sizes.append(f.file_size_bytes)
         for b in bins:
-            if len(b) < min_input_files and not (has_pspec and pjson == "{}"):
+            if (
+                len(b) < min_input_files
+                and not (has_pspec and pjson == "{}")
+                and not spec_migration
+            ):
                 continue
             plan.groups.append(
                 CompactionGroup(
@@ -173,16 +190,16 @@ def _rewrite_group(
         table.location, "data", f"rw-{out_tag}-g{group.group_id:06d}"
     )
     pspec = table.partition_spec
-    if pspec is not None and group.partition_json == "{}":
-        # straggler fold: files written without partition tuples (pre-spec
-        # data, MERGE COW outputs) are re-laid-out under the CURRENT spec —
-        # partition-aware write, ckey-sorted within each partition, so the
-        # layout self-heals at the next compaction instead of accreting an
-        # ever-growing unpartitioned residue. maxRecordsPerFile derived from
-        # the group's own bytes/row ratio keeps fold outputs near the
+    if pspec is not None and not ps.conforms(group.partition_json, pspec):
+        # layout healing: files whose tuple doesn't belong to the CURRENT
+        # spec — "{}" stragglers (pre-spec data, MERGE COW outputs) AND
+        # old-spec-era files after spec evolution (Iceberg parity:
+        # RewriteDataFiles always writes the table's current spec) — are
+        # re-laid-out under it: partition-aware write, ckey-sorted within
+        # each partition, so the layout self-heals instead of accreting an
+        # ever-growing foreign-layout residue. maxRecordsPerFile derived
+        # from the group's own bytes/row ratio keeps fold outputs near the
         # target size — an unsplittable giant would violate it forever.
-        from ..icelite import partition as ps
-
         per_file = max(
             1, int(group.rows_in * target_file_size / max(group.bytes_in, 1))
         )
@@ -234,6 +251,7 @@ def compact(
     partial_progress_commits: int | None = None,
     delete_conflict_retries: int = 1,
     where: dict | None = None,
+    spec_migration: bool = False,
 ) -> dict:
     """Compaction with validate-no-new-deletes: every commit (partial and
     final) validates that no eq-/pos-delete file landed after the PLAN
@@ -256,6 +274,7 @@ def compact(
                 run_id if attempt == 0 else None, plan if attempt == 0 else None,
                 fail_after_groups, timestamp_ms, max_concurrent_groups,
                 max_group_size, partial_progress_commits, where,
+                spec_migration,
             )
         except md.ValidationFailed:
             if attempt == attempts - 1:
@@ -277,6 +296,7 @@ def _compact_attempt(
     max_group_size: int | None = None,
     partial_progress_commits: int | None = None,
     where: dict | None = None,
+    spec_migration: bool = False,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
 
@@ -302,7 +322,8 @@ def _compact_attempt(
     run_id = run_id or uuid.uuid4().hex[:12]
     if plan is None:
         plan = plan_compaction(
-            table, target_file_size, max_group_size=max_group_size, where=where
+            table, target_file_size, max_group_size=max_group_size, where=where,
+            spec_migration=spec_migration,
         )
     # everything below is pinned to the PLAN snapshot: delete set, group
     # reads, and resume matching — a run must be internally consistent even
@@ -367,6 +388,17 @@ def _compact_attempt(
     added_paths: list[str] = []
     bucket_by_path: dict[str, int] = {}
     part_json_by_path: dict[str, str] = {}
+    pspec = table.partition_spec
+
+    def _effective_pjson(group: CompactionGroup) -> str:
+        """Tuple to record for a group's outputs: groups being HEALED to the
+        current spec ("{}" stragglers / old-spec eras) get their outputs'
+        tuples from the ``_p`` path components in _finalize — recording the
+        group's old tuple would mislabel the new layout."""
+        if pspec is not None and ps.conforms(group.partition_json, pspec):
+            return group.partition_json
+        return "{}"
+
     skipped = 0
     todo: list[CompactionGroup] = []
     for group in plan.groups:
@@ -375,7 +407,7 @@ def _compact_attempt(
             added_paths.extend(row.output_paths or [])
             bucket_by_path.update({p: group.bucket for p in row.output_paths or []})
             part_json_by_path.update(
-                {p: group.partition_json for p in row.output_paths or []}
+                {p: _effective_pjson(group) for p in row.output_paths or []}
             )
             removed.update(f.path for f in group.files)
             skipped += 1
@@ -404,8 +436,6 @@ def _compact_attempt(
         )
         return out_paths
 
-    pspec = table.partition_spec
-
     def _finalize(paths: list[str]) -> list[mf.DataFile]:
         """Harvest + stamp manifest stats for a set of rewrite outputs."""
         stats = mf.harvest_stats(paths)
@@ -419,8 +449,6 @@ def _compact_attempt(
             # straggler-fold outputs carry _p dirs the path parse recovers
             s.partition_json = part_json_by_path.get(s.path, "{}")
             if s.partition_json == "{}" and pspec is not None:
-                from ..icelite import partition as ps
-
                 s.partition_json = ps.partition_json_from_path(
                     s.path, pspec, table.schema
                 )
@@ -432,7 +460,7 @@ def _compact_attempt(
         removed.update(f.path for f in group.files)
         added_paths.extend(out_paths)
         bucket_by_path.update({p: group.bucket for p in out_paths})
-        part_json_by_path.update({p: group.partition_json for p in out_paths})
+        part_json_by_path.update({p: _effective_pjson(group) for p in out_paths})
 
     executed = 0
     partial_commits = 0
@@ -548,3 +576,34 @@ def _compact_attempt(
         "partial_commits": partial_commits,
         "run_id": run_id,
     }
+
+
+def migrate_partition_spec(
+    spark: SparkSession,
+    table: IceliteTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    curve: str = "zorder",
+    **kwargs,
+) -> dict:
+    """Migrate the whole live layout to the table's CURRENT partition spec.
+
+    Spec evolution is metadata-only (future writes only — Iceberg parity);
+    old-era files keep their recorded tuples. This pass completes the
+    story the way Iceberg's ``rewrite_data_files`` does (RewriteDataFiles
+    always writes under the current spec): it rewrites EXACTLY the live
+    files whose tuple belongs to an older spec (or none), any size, laying
+    them out under the current spec — and touches nothing else, so a
+    second run plans zero groups (idempotent). With the spec dropped
+    (``set_partition_spec(None)``) it folds partitioned eras back into
+    plain files. All of compaction's machinery applies: snapshot-pinned
+    delete-applied reads, per-group lineage (resumable), atomic
+    validate-no-new-deletes commit, partial progress.
+    """
+    return compact(
+        spark,
+        table,
+        target_file_size=target_file_size,
+        curve=curve,
+        spec_migration=True,
+        **kwargs,
+    )

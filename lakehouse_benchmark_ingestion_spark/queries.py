@@ -766,6 +766,43 @@ def q_maint_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_specevo"].scan(spark))
 
 
+def q_maint_spec_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec MIGRATION (Iceberg RewriteDataFiles-writes-current-spec
+    parity): a table with THREE layout eras — unpartitioned, truncate(n_tok),
+    identity(source) — is migrated by one ``migrate_partition_spec`` pass;
+    every live file must then carry a current-spec tuple (asserted), a second
+    pass must plan zero groups (idempotence, asserted), and the scan must be
+    bit-identical to the input because layout may never change results."""
+    from .icelite import partition as ps
+    from .operators.compaction import migrate_partition_spec, plan_compaction
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_specmig" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_specmig", df.schema
+        )
+        third = F.col("doc_id").cast("long") % 3
+        tbl.append(df.filter(third == 0), num_files=2)
+        tbl.set_partition_spec([{"col": "n_tok", "transform": "truncate", "param": 50}])
+        tbl.append(df.filter(third == 1))
+        tbl.set_partition_spec([{"col": "source", "transform": "identity"}])
+        tbl.append(df.filter(third == 2))
+        import json as _json
+
+        eras = {frozenset(_json.loads(f.partition_json)) for f in tbl.data_files()}
+        assert len(eras) == 3, f"three layout eras must be live: {eras}"
+        res = migrate_partition_spec(spark, tbl, target_file_size=4 << 20)
+        assert res["groups"] > 0
+        assert all(
+            ps.conforms(f.partition_json, tbl.partition_spec)
+            for f in tbl.data_files()
+        ), "every live file must conform to the current spec after migration"
+        assert plan_compaction(tbl, 4 << 20, spec_migration=True).groups == []
+        p["table_specmig"] = tbl
+    return _seq_scan_cols(p["table_specmig"].scan(spark))
+
+
 def q_maint_eq_to_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eq-delete -> pos-delete conversion (the Iceberg-v3 delete-file
     evolution direction): two MOR predicate deletes leave two eq-delete
@@ -1141,6 +1178,7 @@ MAINT_ORACLES: dict[str, str] = {
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 35 AND n_tok < 100"
     ),
     "maint_spec_evolution": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_spec_migrate": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_fast_count": f"""
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
@@ -1371,6 +1409,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_update_mor": q_maint_update_mor,
         "maint_bloom_lookup": q_maint_bloom_lookup,
         "maint_spec_evolution": q_maint_spec_evolution,
+        "maint_spec_migrate": q_maint_spec_migrate,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_fast_minmax": q_maint_fast_minmax,

@@ -75,6 +75,7 @@ def test_every_query_has_an_oracle():
 DEFERRED_TO_NEXT_WINDOW = {
     "maint_cherry_pick",
     "maint_mv_minmax",
+    "maint_spec_migrate",
 }
 
 
