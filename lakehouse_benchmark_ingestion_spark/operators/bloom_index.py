@@ -349,3 +349,57 @@ def bloom_multi_probe_filter(
         )
 
     return keep
+
+
+def bloom_range_probe_filter(
+    table,
+    column: str,
+    values,
+    snapshot_id: int | None = None,
+    candidates: list | None = None,
+):
+    """``bloom_multi_probe_filter`` specialized for RANGE-CLUSTERED columns
+    (each file owns a disjoint [min, max] slice of the key space, e.g. the
+    inverted-index postings table): every file is bloom-checked only
+    against the probes INSIDE its recorded bounds (one bisect slice), so
+    per-file work is O(in-range probes) instead of O(all probes) — and,
+    decisively, false-positive probability stops accumulating over the
+    whole probe set (with P probes and F files, each file answers ~P/F
+    membership questions instead of P, so a large probe sweep cannot
+    saturate the filter). Files without bounds stats fall back to the full
+    probe set (conservative); an empty in-range slice is a proof of
+    absence (stats pruning built in). Returns None when no index exists.
+    """
+    from bisect import bisect_left, bisect_right
+
+    probes_sorted = sorted(set(values))
+    if not probes_sorted:
+        return None  # nothing to probe => no filtering (see multi_probe)
+    idx = load_bloom_index(table, column, snapshot_id)
+    if idx is None:
+        return None
+    pos = {
+        v: _positions_py(v, idx["bits"], idx["k"]) for v in probes_sorted
+    }
+    cand_paths = (
+        [_norm(f.path) for f in candidates] if candidates is not None else None
+    )
+    bitmaps = _read_bitmaps(table, column, idx["snapshot_id"], cand_paths)
+
+    def keep(f) -> bool:
+        bm = bitmaps.get(_norm(f.path))
+        if bm is None:
+            return True  # not indexed (newer than the build) — conservative
+        lo = f.lower_bounds.get(column) if f.lower_bounds else None
+        hi = f.upper_bounds.get(column) if f.upper_bounds else None
+        if lo is None or hi is None:
+            span = probes_sorted
+        else:
+            span = probes_sorted[
+                bisect_left(probes_sorted, lo):bisect_right(probes_sorted, hi)
+            ]
+        return any(
+            all(bm[p >> 3] & (1 << (p & 7)) for p in pos[v]) for v in span
+        )
+
+    return keep

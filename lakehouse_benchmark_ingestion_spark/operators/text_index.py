@@ -1,0 +1,207 @@
+"""Inverted n-gram index as a MAINTAINED lakehouse artifact.
+
+Contamination audits, benchmark-string search, and span-level provenance
+all reduce to "which documents contain any of these n-grams?". Scanning
+every document per probe set is O(corpus) per audit; at 100 TB the right
+shape is the classic IR one — an inverted index — expressed here with the
+engine's own table machinery so it inherits snapshots, incremental
+refresh, and file-skipping:
+
+  - the index IS an icelite table of postings ``(gram_hash, doc_id,
+    source)``, range-clustered on ``gram_hash`` at write time so per-file
+    min/max stats carve the hash space into disjoint ranges;
+  - a bloom sidecar on ``gram_hash`` (operators/bloom_index.py) gives
+    probe-time file skipping *within* a range;
+  - refresh is an APPEND of postings for new documents only (the engine's
+    CDC diff tells callers what's new) — O(new docs), never a rebuild;
+    the bloom sidecar is rebuilt snapshot-pinned;
+  - probing is stats-bisect + bloom file pruning, then ONE equi-join on
+    ``gram_hash`` for exact membership: only files that may hold a probed
+    hash are ever opened.
+
+The gram hash is the repo's polynomial rolling hash (HASH_B/HASH_P, the
+same closed form the DuckDB oracles replay), computed entirely JVM-side —
+``aggregate(transform(sequence(...)))`` over character codes, zero Python
+in the hot path.
+
+Reference motivation: the bucket-index philosophy — never touch what the
+key doesn't hash to (HudiCatalogSync.java:151-159) — applied to text
+probes instead of record keys.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..icelite.catalog import Catalog
+from ..icelite.table import IceliteTable
+
+HASH_P = 2147483647  # 2^31-1 — same modulus as queries_pipeline fingerprints
+HASH_B = 31
+
+GRAM_COL = "gram_hash"
+PROP_N = "text-index.gram-n"
+PROP_SOURCE_COL = "text-index.source-column"
+
+#: probe sets up to this size are pulled to the driver for metadata-only
+#: file pruning (bloom + stats bisect over per-file bounds); larger sets
+#: skip pruning and rely on the distributed equi-join alone. Same
+#: capped-probe pattern as streaming/incremental.append_dedup.
+DEFAULT_PROBE_CAP = 10_000
+
+
+def gram_hash_col(text_col: str, n: int) -> Column:
+    """array<bigint> of the polynomial hashes of every char n-gram of
+    ``text_col`` (distinct, order-free). Trailing grams shorter than ``n``
+    hash their actual characters — the exact closed form of
+    ``substr(text, i, n)`` folded with (h*B + ascii(c)) % P, so a DuckDB
+    oracle can replay it verbatim. Pure Catalyst: one nested
+    aggregate/transform over character codes, no Python, no UDF."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f"  i -> aggregate("
+        f"    transform(sequence(i, least(i + {n - 1}, length({text_col}))),"
+        f"              j -> ascii(substring({text_col}, j, 1))),"
+        f"    cast(0 as bigint),"
+        f"    (h, c) -> (h * {HASH_B} + cast(c as bigint)) % {HASH_P})))"
+    )
+
+
+def postings_df(docs: DataFrame, n: int, text_col: str = "text",
+                id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
+    """One posting row per (document, distinct gram hash)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(gram_hash_col(text_col, n)).alias(GRAM_COL),
+    )
+
+
+def _append_range_clustered(
+    tbl: IceliteTable, posting: DataFrame, num_files: int
+) -> None:
+    """Range-partition postings on gram_hash and append: each file owns a
+    disjoint hash range, so per-file min/max bounds (harvested into the
+    manifest like every append) make probe-time stats pruning sharp."""
+    clustered = posting.repartitionByRange(num_files, GRAM_COL)
+    clustered = clustered.sortWithinPartitions(GRAM_COL)
+    tbl.append(clustered, stat_columns=[GRAM_COL, "doc_id", "source"])
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse: str,
+    name: str = "gram_postings",
+    n: int = 16,
+    num_files: int = 8,
+    bloom: bool = True,
+) -> IceliteTable:
+    """Create the postings table for a document corpus and (optionally)
+    its bloom sidecar. One distributed pass: explode distinct gram hashes
+    → range-cluster → append; stats harvest and manifest write are the
+    ordinary append path."""
+    posting = postings_df(docs, n)
+    cat = Catalog(warehouse)
+    tbl = cat.create_table(name, posting.schema)
+    tbl.set_properties({PROP_N: str(n)})
+    _append_range_clustered(tbl, posting, num_files)
+    if bloom:
+        from .bloom_index import build_bloom_index
+
+        build_bloom_index(spark, tbl, GRAM_COL)
+    return tbl
+
+
+def refresh_text_index(
+    spark: SparkSession,
+    tbl: IceliteTable,
+    new_docs: DataFrame,
+    num_files: int = 4,
+    bloom: bool = True,
+) -> None:
+    """Incremental maintenance: append postings for NEW documents only —
+    O(new docs), the existing postings files are never rewritten (they are
+    immutable snapshots like any icelite data). The bloom sidecar is
+    rebuilt snapshot-pinned so probes keep pruning the merged file set.
+    Callers feed this from the engine's own CDC diff (operators/changes)
+    or any "docs since watermark" predicate."""
+    n = int(tbl.meta.properties[PROP_N])
+    _append_range_clustered(tbl, postings_df(new_docs, n), num_files)
+    if bloom:
+        from .bloom_index import build_bloom_index
+
+        build_bloom_index(spark, tbl, GRAM_COL)
+
+
+def _stats_bisect_filter(probes_sorted: list[int]):
+    """keep(DataFile): does any probe fall inside the file's recorded
+    [min, max] gram_hash bounds? O(log probes) per file, driver-side
+    metadata only — the two-level analogue of Iceberg's range pruning."""
+
+    def keep(f) -> bool:
+        lo = f.lower_bounds.get(GRAM_COL) if f.lower_bounds else None
+        hi = f.upper_bounds.get(GRAM_COL) if f.upper_bounds else None
+        if lo is None or hi is None:
+            return True  # no stats — conservative
+        i = bisect_left(probes_sorted, int(lo))
+        return i < len(probes_sorted) and probes_sorted[i] <= int(hi)
+
+    return keep
+
+
+def probe_text_index(
+    spark: SparkSession,
+    tbl: IceliteTable,
+    probe_hashes: DataFrame,
+    probe_cap: int = DEFAULT_PROBE_CAP,
+) -> tuple[DataFrame, dict]:
+    """Documents containing ANY probed gram: file-pruned postings scan
+    joined (exact) against the probe set.
+
+    Pruning is metadata-only and probe-capped: up to ``probe_cap`` probe
+    hashes come to the driver (they are hashes, not row data — same
+    sanctioned pattern as streaming append-dedup's digest probe) and prune
+    via stats-bisect AND bloom sidecar; a larger probe set skips pruning
+    and the equi-join alone decides. Returns (hits, metrics): hits is
+    DISTINCT (doc_id, source); metrics records files_total/files_scanned
+    so callers can assert the index actually pruned."""
+    snap = tbl.current_snapshot()
+    all_files = tbl.data_files(snap.snapshot_id)
+    keep = None
+    probes = [
+        r[0] for r in probe_hashes.limit(probe_cap + 1).collect()
+    ]
+    if len(probes) <= probe_cap:
+        probes_sorted = sorted(probes)
+        stats_keep = _stats_bisect_filter(probes_sorted)
+        from .bloom_index import bloom_range_probe_filter
+
+        cand = [f for f in all_files if stats_keep(f)]
+        bloom_keep = bloom_range_probe_filter(
+            tbl, GRAM_COL, probes_sorted, snap.snapshot_id, candidates=cand
+        )
+        if bloom_keep is None:
+            keep = stats_keep
+        else:
+            # range-sliced bloom: per-file membership questions are only
+            # the probes inside the file's bounds, so a big probe sweep
+            # cannot saturate the filter (see bloom_range_probe_filter)
+            keep = lambda f: stats_keep(f) and bloom_keep(f)  # noqa: E731
+
+    scan = tbl.scan(spark, snapshot_id=snap.snapshot_id, file_filter=keep)
+    kept = [f for f in all_files if keep(f)] if keep is not None else all_files
+    hits = (
+        scan.join(F.broadcast(probe_hashes.select(GRAM_COL).distinct()), GRAM_COL)
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return hits, {
+        "files_total": len(all_files),
+        "files_scanned": len(kept),
+        "probes_pruned": keep is not None,
+    }

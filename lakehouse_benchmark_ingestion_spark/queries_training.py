@@ -129,6 +129,62 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit through the MAINTAINED inverted gram-hash index
+    (operators/text_index.py) instead of a corpus re-scan: the postings
+    table is built over HALF the training docs and brought current with an
+    incremental refresh over the other half (the maintenance path is part
+    of what's certified), then the eval slice's gram hashes probe it with
+    stats-bisect + range-sliced-bloom file pruning and one exact equi-join.
+    Same (source, n_docs, n_contaminated) output as ``pipe_contamination``
+    under gram-HASH membership — the oracle replays the polynomial hash
+    closed-form, so any hash collision is collision-faithful on both sides.
+    At 10^12 docs this is the audit you can afford to re-run per eval-set
+    revision: O(probes + matching files), never O(corpus)."""
+    from .operators.text_index import (
+        GRAM_COL,
+        build_text_index,
+        gram_hash_col,
+        probe_text_index,
+        refresh_text_index,
+    )
+    from .queries import prepared_warehouse
+
+    p = prepared_warehouse(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    if "gram_index" not in p:
+        tbl = build_text_index(
+            spark,
+            train.filter(F.col("doc_id") % 2 == 0),
+            p["warehouse"],
+            name="gram_postings",
+            n=GRAM_N,
+            num_files=8,
+        )
+        refresh_text_index(
+            spark, tbl, train.filter(F.col("doc_id") % 2 == 1), num_files=4
+        )
+        p["gram_index"] = tbl
+    tbl = p["gram_index"]
+
+    eval_hashes = (
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(gram_hash_col("text", GRAM_N)).alias(GRAM_COL))
+        .distinct()
+    )
+    hits, _metrics = probe_text_index(spark, tbl, eval_hashes)
+    contaminated = hits.groupBy("source").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    totals = train.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return totals.join(contaminated, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+
+
 def _pii_text() -> object:
     """Deterministically inject PII into the synthetic text (the corpus
     vocabulary contains none): 0-2 emails and 0-1 phone numbers per doc as
@@ -600,6 +656,7 @@ QUERIES = {
     "pipe_stratified_sample": q_stratified_sample,
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_contamination": q_contamination,
+    "pipe_contamination_indexed": q_contamination_indexed,
     "pipe_pii_redaction": q_pii_redaction,
     "pipe_repetition": q_repetition,
     "pipe_mixture_plan": q_mixture_plan,
@@ -661,8 +718,46 @@ _PII_SQL = """
             ELSE '' END
 """
 
+from .operators.text_index import HASH_B as _IDX_B  # noqa: E402
+from .operators.text_index import HASH_P as _IDX_P  # noqa: E402
+
+# gram-hash replay for the indexed contamination oracle: exactly the
+# closed form of operators/text_index.gram_hash_col — polynomial fold
+# (h*B + ascii(c)) % P over the characters of substr(text, i, GRAM_N)
+_IDX_GRAM_HASHES = f"""
+    list_distinct(list_transform(
+      range(1, greatest(length(text) - {GRAM_N - 1}, 1) + 1),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 range(1, length(substr(text, CAST(i AS INT), {GRAM_N})) + 1),
+                 j -> CAST(ascii(substr(substr(text, CAST(i AS INT), {GRAM_N}),
+                                        CAST(j AS INT), 1)) AS BIGINT))),
+             (h, c) -> (h * {_IDX_B} + c) % {_IDX_P})))
+"""
+
 ORACLES.update(
     {
+        "pipe_contamination_indexed": f"""
+            WITH ex AS (
+              SELECT doc_id, source, unnest({_IDX_GRAM_HASHES}) AS gh
+              FROM documents
+            ),
+            ev AS (SELECT DISTINCT gh FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+            cont AS (
+              SELECT source, count(DISTINCT doc_id) AS n_contaminated
+              FROM ex
+              WHERE doc_id % {EVAL_MOD} <> 0 AND gh IN (SELECT gh FROM ev)
+              GROUP BY source
+            ),
+            tot AS (
+              SELECT source, count(*) AS n_docs FROM documents
+              WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY source
+            )
+            SELECT t.source, t.n_docs,
+                   CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated
+            FROM tot t LEFT JOIN cont c USING (source)
+        """,
         "pipe_contamination": f"""
             WITH ex AS (
               SELECT doc_id, source,

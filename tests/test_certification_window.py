@@ -76,6 +76,7 @@ DEFERRED_TO_NEXT_WINDOW = {
     "maint_cherry_pick",
     "maint_mv_minmax",
     "maint_spec_migrate",
+    "pipe_contamination_indexed",
 }
 
 
