@@ -1,0 +1,200 @@
+"""Persisted IVF ANN index as a MAINTAINED lakehouse artifact.
+
+``operators/similarity.ivf_ann_topk`` quantizes the corpus per call —
+right for one-shot queries, wrong for a serving corpus probed thousands
+of times between ingests. This module persists the inverted file with the
+engine's own table machinery so it inherits snapshots, incremental
+refresh, and partition pruning:
+
+  - the index IS an icelite table of ``(id, vector, cell)`` rows under a
+    HIDDEN partition spec ``identity(cell)`` (icelite/partition.py): each
+    data file belongs to exactly one coarse cell, recorded in the
+    manifest as the file's partition tuple;
+  - the coarse quantizer (cell centroids) is a tiny parquet sidecar under
+    the table's metadata dir — written once at build, read at every
+    refresh/search, NEVER retrained implicitly (retraining moves cell
+    boundaries and would silently invalidate the stored assignment);
+  - refresh ASSIGNS new vectors to the existing cells and appends —
+    O(new vectors), existing index files are immutable; compaction and
+    the rest of the maintenance suite apply to the index table like any
+    other (partition-preserving by construction);
+  - search routes each probe to its ``nprobe`` nearest cells and scans
+    ONLY the files whose partition tuple is a probed cell (metadata-only
+    pruning), then re-scores exactly inside the visited cells.
+
+Cell assignment / scoring reuse similarity.py's JVM-fold kernels (flat
+dot products in whole-stage codegen, zero Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..icelite.catalog import Catalog
+from ..icelite.table import IceliteTable
+from .similarity import ivf_cells, kmeans_centroids, norm, pair_cosine
+
+CELL_COL = "cell"
+PROP_NPROBE_DEFAULT = "ann-index.nprobe"
+
+
+def _centroid_path(tbl: IceliteTable) -> str:
+    return os.path.join(tbl.location, "metadata", "ann-centroids.parquet")
+
+
+def _write_centroids(tbl: IceliteTable, cents: list[tuple[int, list[float]]]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            CELL_COL: pa.array([c for c, _ in cents], pa.int32()),
+            "centroid": pa.array([v for _, v in cents],
+                                 pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, _centroid_path(tbl))
+
+
+def load_centroids(tbl: IceliteTable) -> list[tuple[int, list[float]]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_centroid_path(tbl))
+    return list(zip(
+        t.column(CELL_COL).to_pylist(), t.column("centroid").to_pylist()
+    ))
+
+
+def _assigned(vecs: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    out = ivf_cells(
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents,
+        "v",
+        n_cells=1,
+    )
+    return out.withColumn(CELL_COL, F.col(CELL_COL)[0].cast("int"))
+
+
+def build_ann_index(
+    spark: SparkSession,
+    vecs: DataFrame,
+    warehouse: str,
+    name: str = "ann_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    centroid_mode: str = "id-sample",
+    kmeans_iters: int = 2,
+) -> IceliteTable:
+    """Train the coarse quantizer on the initial corpus, persist it, and
+    write the assigned corpus under identity(cell) hidden partitioning.
+
+    ``centroid_mode`` as in similarity.ivf_ann_topk: "id-sample" (the
+    n_cells lowest-id vectors — deterministic, oracle-replayable) or
+    "kmeans" (Lloyd-iterated — the production quantizer)."""
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(vecs, id_col, vec_col, k=n_cells,
+                                 iters=kmeans_iters)
+    else:
+        cents = [
+            (r[0], list(r[1]))
+            for r in vecs.select(id_col, vec_col)
+            .filter(F.col(id_col) < n_cells)
+            .collect()
+        ]
+    assigned = _assigned(vecs, cents, id_col, vec_col)
+    tbl = Catalog(warehouse).create_table(name, assigned.schema)
+    tbl.set_partition_spec([{"col": CELL_COL, "transform": "identity"}])
+    _write_centroids(tbl, cents)
+    tbl.append(assigned, stat_columns=["id", CELL_COL])
+    return tbl
+
+
+def refresh_ann_index(
+    spark: SparkSession, tbl: IceliteTable, new_vecs: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance: assign new vectors to the EXISTING cells
+    and append — O(new vectors); the quantizer is pinned (see module doc),
+    and identity(cell) partitioning routes the new rows into per-cell
+    files automatically."""
+    cents = load_centroids(tbl)
+    tbl.append(_assigned(new_vecs, cents, id_col, vec_col))
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    tbl: IceliteTable,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> tuple[DataFrame, dict]:
+    """IVF search against the persisted index. probes: (query_id, qv).
+
+    Each probe routes to its ``nprobe`` nearest cells; the index scan
+    opens ONLY files whose partition tuple is one of the probed cells
+    (driver-side metadata filter over the manifest — the probed-cell set
+    is at most n_cells ints, collected as metadata like the IVF centroid
+    sample). Exact cosine re-scoring inside the visited cells; ties break
+    by neighbor id. Returns (topk, metrics) where metrics records
+    files_total / files_scanned so callers can assert the pruning."""
+    cents = load_centroids(tbl)
+    probed = (
+        ivf_cells(probes, cents, "qv", n_cells=nprobe)
+        .withColumnRenamed(CELL_COL, "cells")
+        .withColumn("_qn", norm(F.col("qv")))
+    )
+    # probed-cell set: ≤ n_cells ints of metadata (bounded by the quantizer
+    # size, not the probe count) — drives manifest-level file pruning
+    probed_cells = {
+        int(r[0]) for r in probed.select(F.explode("cells")).distinct().collect()
+    }
+
+    snap = tbl.current_snapshot()
+    all_files = tbl.data_files(snap.snapshot_id)
+
+    def keep(f) -> bool:
+        pv = json.loads(f.partition_json)
+        if CELL_COL in pv and pv[CELL_COL] is not None:
+            return int(pv[CELL_COL]) in probed_cells
+        # no tuple (pre-spec straggler): fall back to per-file cell stats
+        lo = f.lower_bounds.get(CELL_COL) if f.lower_bounds else None
+        hi = f.upper_bounds.get(CELL_COL) if f.upper_bounds else None
+        if lo is None or hi is None:
+            return True  # conservative
+        return any(int(lo) <= c <= int(hi) for c in probed_cells)
+
+    corpus = tbl.scan(spark, snapshot_id=snap.snapshot_id, file_filter=keep)
+    corpus = corpus.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
+        "v", "cv"
+    ).withColumn("_cn", norm(F.col("cv")))
+
+    pairs = (
+        F.broadcast(probed)
+        .join(corpus, F.array_contains(F.col("cells"), F.col(CELL_COL)))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            pair_cosine(F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    kept = [f for f in all_files if keep(f)]
+    return topk, {
+        "files_total": len(all_files),
+        "files_scanned": len(kept),
+        "cells_probed": len(probed_cells),
+    }

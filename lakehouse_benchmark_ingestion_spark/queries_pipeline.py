@@ -380,6 +380,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED index (operators/ann_index.py) instead
+    of a per-call quantization: the index table (identity(cell) hidden
+    partitioning, pinned centroid sidecar) is built over the first 64
+    vectors and brought current with an incremental refresh over the rest —
+    the maintenance path is part of what's certified — then searched with
+    the same probes/params as ``pipe_ann_ivf``. Same algorithm, same
+    oracle: a green row proves the persisted+refreshed index answers
+    bit-identically to the one-shot scan. At serving scale this is the
+    shape that matters: assignment cost is paid once per ingest, probes
+    open only the files of their nprobe cells."""
+    from .operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+    from .queries import prepared_warehouse
+
+    p = prepared_warehouse(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    if "ann_index" not in p:
+        tbl = build_ann_index(
+            spark,
+            e.filter(F.col("vec_id") < 64),  # contains centroid ids 0..7
+            p["warehouse"],
+            name="ann_index",
+            n_cells=8,
+        )
+        refresh_ann_index(spark, tbl, e.filter(F.col("vec_id") >= 64))
+        p["ann_index"] = tbl
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    topk, metrics = ann_index_topk(spark, p["ann_index"], probes, k=3, nprobe=2)
+    assert metrics["files_total"] > 0 and metrics["cells_probed"] <= 8
+    return topk.select("query_id", "neighbor_id", "cosine", "rk")
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means cells
     — assignment is map-only against 8 deterministic centroid literals,
@@ -501,6 +539,7 @@ QUERIES = {
     "pipe_fingerprint": q_fingerprint,
     "pipe_ann_topk": q_ann_topk,
     "pipe_ann_ivf": q_ann_ivf,
+    "pipe_ann_index_topk": q_ann_index_topk,
     "pipe_semdedup": q_semdedup,
     "pipe_embedding_neardup": q_embedding_neardup,
     "pipe_ngram_jaccard": q_ngram_jaccard,
@@ -723,6 +762,10 @@ ORACLES["pipe_ann_ivf"] = f"""
       FROM rescored
     ) WHERE rk <= 3
 """
+
+# the persisted+refreshed ANN index must answer bit-identically to the
+# one-shot IVF scan: same quantizer, same routing, same rescoring
+ORACLES["pipe_ann_index_topk"] = ORACLES["pipe_ann_ivf"]
 
 _SIM_EAEB = f"round({_dot_sql('ea.embedding', 'eb.embedding')} / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')}) * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})), 6)"
 

@@ -1,0 +1,124 @@
+"""Persisted IVF ANN index (operators/ann_index.py).
+
+Contract under test:
+  - build + incremental refresh answers IDENTICALLY to the one-shot
+    ivf_ann_topk over the full corpus with the same quantizer;
+  - refresh assigns against the PINNED centroids and never rewrites
+    existing index files;
+  - search opens only the files of probed cells (identity(cell) hidden
+    partitioning prunes at the manifest level);
+  - compaction of the index table preserves the per-cell layout and
+    search answers are unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.operators.ann_index import (
+    ann_index_topk,
+    build_ann_index,
+    load_centroids,
+    refresh_ann_index,
+)
+from lakehouse_benchmark_ingestion_spark.operators.similarity import (
+    FLAT_DIM,
+    ivf_ann_topk,
+)
+
+N_CELLS = 4
+DIM = FLAT_DIM  # similarity's flat-dot kernels are fixed to this width
+
+
+def _vecs(spark, n=32):
+    """ids 0..3 are unit axes (the id-sample centroids); later vectors sit
+    near the axis of (id % 4) with a small deterministic wobble."""
+    rows = []
+    for i in range(n):
+        axis = i % N_CELLS
+        v = [0.05 * ((i * 7 + j) % 5) for j in range(DIM)]
+        v[axis] += 1.0
+        nrm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / nrm for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _probes(vecs):
+    return vecs.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rk"])
+        for r in df.collect()
+    }
+
+
+def test_build_refresh_matches_one_shot(spark, tmp_path):
+    vecs = _vecs(spark)
+    first = vecs.filter(F.col("vec_id") < 16)  # contains centroid ids 0..3
+    rest = vecs.filter(F.col("vec_id") >= 16)
+
+    tbl = build_ann_index(spark, first, str(tmp_path / "wh"), n_cells=N_CELLS)
+    files_before = {f.path for f in tbl.data_files()}
+    refresh_ann_index(spark, tbl, rest)
+    assert files_before <= {f.path for f in tbl.data_files()}
+
+    got, metrics = ann_index_topk(spark, tbl, _probes(vecs), k=3, nprobe=2)
+    want = ivf_ann_topk(
+        vecs, _probes(vecs), k=3, n_centroids=N_CELLS, nprobe=2
+    ).select("query_id", "neighbor_id", "cosine", "rk")
+    assert _rows(got) == _rows(want)
+    assert metrics["files_total"] > 0
+
+
+def test_search_prunes_to_probed_cells(spark, tmp_path):
+    vecs = _vecs(spark, n=64)
+    tbl = build_ann_index(spark, vecs, str(tmp_path / "wh"), n_cells=N_CELLS)
+    # one probe on axis 0 with nprobe=1 → exactly one cell's files open
+    probe = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got, metrics = ann_index_topk(spark, tbl, probe, k=5, nprobe=1)
+    assert metrics["cells_probed"] == 1
+    assert metrics["files_scanned"] < metrics["files_total"], metrics
+    # every neighbor really lives on the probed axis (cell 0 = ids % 4 == 0)
+    neighbors = {r["neighbor_id"] for r in got.collect()}
+    assert neighbors and all(n % N_CELLS == 0 for n in neighbors)
+
+
+def test_centroids_pinned_across_refresh(spark, tmp_path):
+    vecs = _vecs(spark)
+    tbl = build_ann_index(
+        spark, vecs.filter(F.col("vec_id") < 16), str(tmp_path / "wh"),
+        n_cells=N_CELLS,
+    )
+    before = load_centroids(tbl)
+    refresh_ann_index(spark, tbl, vecs.filter(F.col("vec_id") >= 16))
+    assert load_centroids(tbl) == before
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import compact
+
+    vecs = _vecs(spark, n=48)
+    tbl = build_ann_index(
+        spark, vecs.filter(F.col("vec_id") < 16), str(tmp_path / "wh"),
+        n_cells=N_CELLS,
+    )
+    refresh_ann_index(spark, tbl, vecs.filter(F.col("vec_id") >= 16))
+    probes = _probes(vecs)
+    before, _ = ann_index_topk(spark, tbl, probes, k=3, nprobe=2)
+    before_rows = _rows(before)
+    compact(spark, tbl, target_file_size=4 << 20)
+    # partition-preserving: every file still belongs to exactly one cell
+    import json
+
+    for f in tbl.data_files():
+        assert set(json.loads(f.partition_json)) == {"cell"}
+    after, _ = ann_index_topk(spark, tbl, probes, k=3, nprobe=2)
+    assert _rows(after) == before_rows

@@ -77,6 +77,7 @@ DEFERRED_TO_NEXT_WINDOW = {
     "maint_mv_minmax",
     "maint_spec_migrate",
     "pipe_contamination_indexed",
+    "pipe_ann_index_topk",
 }
 
 
