@@ -16,6 +16,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--partial-progress N]  (commit every N groups instead of
                    one all-or-nothing swap — Iceberg partial-progress)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
+    migrate-spec   --warehouse W --table T [--target-mb N]  (rewrite every
+                   file whose partition tuple predates the current spec —
+                   Iceberg's rewrite-writes-current-spec; idempotent)
     rewrite-manifests --warehouse W --table T
     minmax         --warehouse W --table T --column C [--where JSON]
                    (MIN/MAX pushed into manifest bounds; scans only
@@ -256,6 +259,22 @@ def main(argv: list[str] | None = None) -> int:
                 max_concurrent_groups=args.concurrency,
                 partial_progress_commits=args.partial_progress,
                 where=where,
+            )
+        )
+
+    elif args.command == "migrate-spec":
+        from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+            migrate_partition_spec,
+        )
+
+        out.update(
+            migrate_partition_spec(
+                spark,
+                cat.load_table(args.table),
+                target_file_size=target,
+                curve=args.curve,
+                run_id=args.run_id,
+                max_concurrent_groups=args.concurrency,
             )
         )
 

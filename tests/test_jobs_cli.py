@@ -168,6 +168,28 @@ def test_cli_partition_spec(spark, warehouse, capsys):
     assert r["partition_spec"] is None
 
 
+def test_cli_migrate_spec(spark, warehouse, capsys):
+    """unpartitioned era -> spec set -> migrate-spec heals every file; a
+    second run is an idempotent no-op (zero groups)."""
+    import json as _json
+
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    run(capsys, "create-table", "--warehouse", warehouse, "--from-documents", SF_SMOKE)
+    run(capsys, "ingest", "--warehouse", warehouse, "--from-documents", SF_SMOKE, "--appends", "2")
+    run(capsys, "set-partition-spec", "--warehouse", warehouse,
+        "--spec", '[{"col": "source", "transform": "identity"}]')
+    r = run(capsys, "migrate-spec", "--warehouse", warehouse, "--target-mb", "1")
+    assert r["files_in"] >= 2 and r["files_out"] >= 1
+    tbl = Catalog(warehouse).load_table("sequences")
+    assert all(
+        set(_json.loads(f.partition_json)) == {"source"}
+        for f in tbl.data_files()
+    )
+    r = run(capsys, "migrate-spec", "--warehouse", warehouse, "--target-mb", "1")
+    assert r["groups"] == 0
+
+
 def test_cli_sql(spark, warehouse, capsys):
     """Ad-hoc SQL over the warehouse: every table is a temp view, and the
     view reads through scan() (here: after a compaction, so the view serves
