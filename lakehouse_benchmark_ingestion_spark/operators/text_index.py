@@ -31,6 +31,7 @@ probes instead of record keys.
 
 from __future__ import annotations
 
+import os
 from bisect import bisect_left
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -100,12 +101,17 @@ def build_text_index(
     n: int = 16,
     num_files: int = 8,
     bloom: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
 ) -> IceliteTable:
     """Create the postings table for a document corpus and (optionally)
     its bloom sidecar. One distributed pass: explode distinct gram hashes
     → range-cluster → append; stats harvest and manifest write are the
     ordinary append path."""
-    posting = postings_df(docs, n)
+    posting = postings_df(
+        docs, n, text_col=text_col, id_col=id_col, source_col=source_col
+    )
     cat = Catalog(warehouse)
     tbl = cat.create_table(name, posting.schema)
     tbl.set_properties({PROP_N: str(n)})
@@ -204,4 +210,148 @@ def probe_text_index(
         "files_total": len(all_files),
         "files_scanned": len(kept),
         "probes_pruned": keep is not None,
+    }
+
+
+# ---- CDC-driven maintenance against an icelite base table -----------------
+
+PROP_BASE_TABLE = "tix.base-table"
+PROP_BASE_SNAPSHOT = "tix.base-snapshot"
+PROP_TEXT_COL = "tix.text-col"
+PROP_ID_COL = "tix.id-col"
+PROP_SRC_COL = "tix.source-col"
+
+
+def register_text_index(
+    spark: SparkSession,
+    base,
+    warehouse: str,
+    name: str = "gram_postings",
+    n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_files: int = 8,
+    bloom: bool = True,
+) -> IceliteTable:
+    """Build the index over an icelite BASE table's current snapshot and
+    record that snapshot as the index's watermark — the registration that
+    makes ``sync_text_index`` an O(changed docs) catch-up, the same
+    base-snapshot bookkeeping the incremental materialized views use
+    (operators/materialized.py)."""
+    snap = base.current_snapshot()
+    docs = base.scan(spark, snapshot_id=snap.snapshot_id)
+    tbl = build_text_index(
+        spark, docs, warehouse, name=name, n=n, num_files=num_files,
+        bloom=bloom, text_col=text_col, id_col=id_col, source_col=source_col,
+    )
+    tbl.set_properties(
+        {
+            PROP_BASE_TABLE: base.location,
+            PROP_BASE_SNAPSHOT: str(snap.snapshot_id),
+            PROP_TEXT_COL: text_col,
+            PROP_ID_COL: id_col,
+            PROP_SRC_COL: source_col,
+        }
+    )
+    return tbl
+
+
+def sync_text_index(
+    spark: SparkSession,
+    base,
+    tbl: IceliteTable,
+    num_files: int = 4,
+    bloom: bool = True,
+) -> dict:
+    """Advance the index to the base table's current snapshot by applying
+    the engine's own CDC diff — O(changed docs), never a rebuild:
+
+      - deleted docs (and the delete half of updates) become ONE
+        equality-delete file on ``doc_id`` against the postings table —
+        merge-on-read, no postings file rewritten; the next compaction of
+        the index materializes and GCs it like any MOR table;
+      - inserted docs (and the insert half of updates) append their
+        postings range-clustered as usual, at a HIGHER sequence number
+        than the eq-delete, so an updated doc's new grams survive it;
+      - the watermark property moves atomically WITH the final commit, so
+        a crashed sync replays the same diff idempotently.
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    from ..icelite import manifest as mf
+    from .changes import snapshot_changes
+
+    props = tbl.meta.properties
+    from_id = int(props[PROP_BASE_SNAPSHOT])
+    to_id = base.current_snapshot().snapshot_id
+    if from_id == to_id:
+        return {"synced": False, "from_snapshot": from_id, "to_snapshot": to_id}
+    text_col = props[PROP_TEXT_COL]
+    id_col = props[PROP_ID_COL]
+    src_col = props[PROP_SRC_COL]
+    n = int(props[PROP_N])
+
+    ch = snapshot_changes(spark, base, from_id, to_id)
+    deletes = ch.filter(F.col("change_type") == "delete")
+    inserts = ch.filter(F.col("change_type") == "insert")
+    watermark = {PROP_BASE_SNAPSHOT: str(to_id)}
+
+    n_del_keys = 0
+    del_stats: list = []
+    run_id = _uuid.uuid4().hex[:12]
+    del_keys = deletes.select(F.col(id_col).alias("doc_id")).distinct()
+    if del_keys.limit(1).count():
+        del_dir = os.path.join(tbl.location, "data", f"tixsync-{run_id}-deletes")
+        del_keys.repartitionByRange(1, "doc_id").write.mode("overwrite").parquet(del_dir)
+        del_paths = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        del_stats = mf.harvest_stats(del_paths, stat_columns=["doc_id"])
+        seq = tbl.next_sequence_number()
+        n_del_keys = sum(f.record_count for f in del_stats)
+        for s in del_stats:
+            s.content = mf.CONTENT_EQ_DELETES
+            s.sequence_number = seq
+
+    n_inserts = inserts.limit(1).count()
+    if n_inserts:
+        if del_stats:
+            # deletes commit first (lower sequence) so the re-appended
+            # postings of updated docs outlive them; watermark moves with
+            # the LAST commit of the sync
+            tbl.replace_files(
+                set(), del_stats, operation="delete-mor",
+                summary={"op": "tix-sync-deletes", "run-id": run_id,
+                         "keys": str(n_del_keys)},
+                set_properties={"merge-key": "doc_id"},
+            )
+        posting = postings_df(
+            inserts, n, text_col=text_col, id_col=id_col, source_col=src_col
+        )
+        clustered = posting.repartitionByRange(num_files, GRAM_COL)
+        clustered = clustered.sortWithinPartitions(GRAM_COL)
+        tbl.append(
+            clustered,
+            stat_columns=[GRAM_COL, "doc_id", "source"],
+            set_properties=watermark,
+        )
+    elif del_stats:
+        tbl.replace_files(
+            set(), del_stats, operation="delete-mor",
+            summary={"op": "tix-sync-deletes", "run-id": run_id,
+                     "keys": str(n_del_keys)},
+            set_properties={"merge-key": "doc_id", **watermark},
+        )
+    else:
+        tbl.set_properties(watermark)
+    if bloom:
+        from .bloom_index import build_bloom_index
+
+        build_bloom_index(spark, tbl, GRAM_COL)
+    return {
+        "synced": True,
+        "from_snapshot": from_id,
+        "to_snapshot": to_id,
+        "deleted_keys": n_del_keys,
+        "inserted_docs_postings": bool(n_inserts),
     }

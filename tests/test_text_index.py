@@ -124,3 +124,109 @@ def test_over_cap_probe_skips_pruning_but_stays_exact(spark, tmp_path):
     assert not metrics["probes_pruned"]
     assert metrics["files_scanned"] == metrics["files_total"]
     assert {r["doc_id"] for r in hits.collect()} == {r[0] for r in rows}
+
+
+# ---- CDC-driven sync against an icelite base table ------------------------
+
+
+def _base_table(spark, warehouse, rows):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tbl = Catalog(warehouse).create_table("docs", df.schema)
+    tbl.append(df, num_files=2)
+    return tbl, df
+
+
+def _probe_all_docs(spark, tbl, rows, n=8):
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    probes = postings_df(docs, n).select(GRAM_COL).distinct()
+    hits, _ = probe_text_index(spark, tbl, probes)
+    return {r["doc_id"] for r in hits.collect()}
+
+
+def test_sync_applies_base_appends_and_deletes(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        register_text_index,
+        sync_text_index,
+    )
+
+    rows = [(i, "s", f"unique-{i:04d}-payload words here") for i in range(12)]
+    base, _ = _base_table(spark, str(tmp_path / "base"), rows)
+    idx = register_text_index(
+        spark, base, str(tmp_path / "idx"), n=8, num_files=4
+    )
+
+    # base evolves: 4 new docs appended, doc 3 deleted
+    new_rows = [(100 + i, "s", f"fresh-{i:04d}-added later") for i in range(4)]
+    base.append(
+        spark.createDataFrame(new_rows, "doc_id long, source string, text string")
+    )
+    delete_where(spark, base, {"doc_id": 3}, strategy="cow", key="doc_id")
+
+    r = sync_text_index(spark, base, idx)
+    assert r["synced"] and r["deleted_keys"] == 1
+
+    # probing each doc's own grams: new docs found, deleted doc gone
+    assert _probe_all_docs(spark, idx, new_rows) == {100, 101, 102, 103}
+    assert 3 not in _probe_all_docs(spark, idx, rows)
+    assert 4 in _probe_all_docs(spark, idx, rows)
+
+    # idempotent: watermark moved with the sync
+    assert not sync_text_index(spark, base, idx)["synced"]
+
+
+def test_sync_update_replaces_postings(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        register_text_index,
+        sync_text_index,
+    )
+
+    rows = [(i, "s", f"original-{i:04d}-body") for i in range(6)]
+    base, _ = _base_table(spark, str(tmp_path / "base"), rows)
+    idx = register_text_index(spark, base, str(tmp_path / "idx"), n=8,
+                              num_files=2)
+
+    # update doc 2's text via MERGE (delete+insert pair in the CDC diff)
+    upd = spark.createDataFrame(
+        [(2, "s", "REWRITTEN-0002-payload", 1)],
+        "doc_id long, source string, text string, _seq long",
+    )
+    merge_into(spark, base, upd, key="doc_id")
+    r = sync_text_index(spark, base, idx)
+    assert r["synced"] and r["deleted_keys"] == 1
+
+    # old grams no longer find doc 2; new grams do
+    assert 2 not in _probe_all_docs(spark, idx, [rows[2]])
+    assert _probe_all_docs(
+        spark, idx, [(2, "s", "REWRITTEN-0002-payload")]
+    ) == {2}
+
+
+def test_sync_matches_full_rebuild(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        build_text_index,
+        register_text_index,
+        sync_text_index,
+    )
+
+    rows = [(i, "s", f"alpha-{i:03d}-beta gamma") for i in range(10)]
+    base, _ = _base_table(spark, str(tmp_path / "base"), rows)
+    idx = register_text_index(spark, base, str(tmp_path / "idx"), n=8,
+                              num_files=2)
+    base.append(spark.createDataFrame(
+        [(50, "t", "delta-050-epsilon")],
+        "doc_id long, source string, text string"))
+    delete_where(spark, base, {"doc_id": (0, 2)}, strategy="cow", key="doc_id")
+    sync_text_index(spark, base, idx)
+
+    rebuilt = build_text_index(
+        spark, base.scan(spark), str(tmp_path / "idx2"), n=8, num_files=2
+    )
+    a = idx.scan(spark).select("doc_id", "source", GRAM_COL)
+    b = rebuilt.scan(spark).select("doc_id", "source", GRAM_COL)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
