@@ -198,3 +198,130 @@ def ann_index_topk(
         "files_scanned": len(kept),
         "cells_probed": len(probed_cells),
     }
+
+
+# ---- CDC-driven maintenance against an icelite base table -----------------
+
+PROP_BASE_TABLE = "ann-index.base-table"
+PROP_BASE_SNAPSHOT = "ann-index.base-snapshot"
+PROP_ID_COL = "ann-index.id-col"
+PROP_VEC_COL = "ann-index.vec-col"
+
+
+def register_ann_index(
+    spark: SparkSession,
+    base: IceliteTable,
+    warehouse: str,
+    name: str = "ann_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    centroid_mode: str = "id-sample",
+    kmeans_iters: int = 2,
+) -> IceliteTable:
+    """Build the index over an icelite BASE table's current snapshot and
+    record that snapshot as the index's watermark (the incremental-MV
+    bookkeeping pattern, operators/materialized.py) so ``sync_ann_index``
+    is an O(changed vectors) catch-up."""
+    snap = base.current_snapshot()
+    tbl = build_ann_index(
+        spark,
+        base.scan(spark, snapshot_id=snap.snapshot_id),
+        warehouse,
+        name=name,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        centroid_mode=centroid_mode,
+        kmeans_iters=kmeans_iters,
+    )
+    tbl.set_properties(
+        {
+            PROP_BASE_TABLE: base.location,
+            PROP_BASE_SNAPSHOT: str(snap.snapshot_id),
+            PROP_ID_COL: id_col,
+            PROP_VEC_COL: vec_col,
+        }
+    )
+    return tbl
+
+
+def sync_ann_index(
+    spark: SparkSession, base: IceliteTable, tbl: IceliteTable
+) -> dict:
+    """Advance the index to the base table's current snapshot via the
+    engine's CDC diff — O(changed vectors), quantizer PINNED:
+
+      - deleted vectors (and the delete half of updates) become ONE
+        merge-on-read equality-delete on the index's ``id`` column — no
+        index file rewritten, the next compaction materializes it;
+      - inserted vectors assign to the EXISTING cells and append at a
+        higher sequence (an updated vector's new cell row outlives the
+        eq-delete on its id);
+      - the watermark property moves atomically with the last commit, so
+        a crashed sync replays the same diff idempotently.
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    from ..icelite import manifest as mf
+    from .changes import snapshot_changes
+
+    props = tbl.meta.properties
+    from_id = int(props[PROP_BASE_SNAPSHOT])
+    to_id = base.current_snapshot().snapshot_id
+    if from_id == to_id:
+        return {"synced": False, "from_snapshot": from_id, "to_snapshot": to_id}
+    id_col = props[PROP_ID_COL]
+    vec_col = props[PROP_VEC_COL]
+    watermark = {PROP_BASE_SNAPSHOT: str(to_id)}
+
+    ch = snapshot_changes(spark, base, from_id, to_id)
+    deletes = ch.filter(F.col("change_type") == "delete")
+    inserts = ch.filter(F.col("change_type") == "insert")
+
+    run_id = _uuid.uuid4().hex[:12]
+    n_del_keys = 0
+    del_stats: list = []
+    del_keys = deletes.select(F.col(id_col).alias("id")).distinct()
+    if del_keys.limit(1).count():
+        del_dir = os.path.join(tbl.location, "data", f"annsync-{run_id}-deletes")
+        del_keys.repartitionByRange(1, "id").write.mode("overwrite").parquet(del_dir)
+        del_paths = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
+        del_stats = mf.harvest_stats(del_paths, stat_columns=["id"])
+        seq = tbl.next_sequence_number()
+        n_del_keys = sum(f.record_count for f in del_stats)
+        for s in del_stats:
+            s.content = mf.CONTENT_EQ_DELETES
+            s.sequence_number = seq
+
+    has_inserts = bool(inserts.limit(1).count())
+    if has_inserts:
+        if del_stats:
+            tbl.replace_files(
+                set(), del_stats, operation="delete-mor",
+                summary={"op": "ann-sync-deletes", "run-id": run_id,
+                         "keys": str(n_del_keys)},
+                set_properties={"merge-key": "id"},
+            )
+        cents = load_centroids(tbl)
+        tbl.append(
+            _assigned(inserts, cents, id_col, vec_col),
+            set_properties=watermark,
+        )
+    elif del_stats:
+        tbl.replace_files(
+            set(), del_stats, operation="delete-mor",
+            summary={"op": "ann-sync-deletes", "run-id": run_id,
+                     "keys": str(n_del_keys)},
+            set_properties={"merge-key": "id", **watermark},
+        )
+    else:
+        tbl.set_properties(watermark)
+    return {
+        "synced": True,
+        "from_snapshot": from_id,
+        "to_snapshot": to_id,
+        "deleted_keys": n_del_keys,
+        "inserted_vectors": has_inserts,
+    }

@@ -122,3 +122,53 @@ def test_compaction_preserves_answers(spark, tmp_path):
         assert set(json.loads(f.partition_json)) == {"cell"}
     after, _ = ann_index_topk(spark, tbl, probes, k=3, nprobe=2)
     assert _rows(after) == before_rows
+
+
+# ---- CDC-driven sync against an icelite base table ------------------------
+
+
+def _base_vectors(spark, warehouse, n=32):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    df = _vecs(spark, n)
+    tbl = Catalog(warehouse).create_table("vectors", df.schema)
+    tbl.append(df, num_files=2)
+    return tbl, df
+
+
+def test_ann_sync_applies_appends_and_deletes(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.operators.ann_index import (
+        register_ann_index,
+        sync_ann_index,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    base, _ = _base_vectors(spark, str(tmp_path / "base"), n=24)
+    idx = register_ann_index(
+        spark, base, str(tmp_path / "idx"), n_cells=N_CELLS
+    )
+    before = load_centroids(idx)
+
+    # base evolves: append 8 new vectors, delete vec 5
+    more = _vecs(spark, 32).filter(F.col("vec_id") >= 24)
+    base.append(more)
+    delete_where(spark, base, {"vec_id": 5}, strategy="cow", key="vec_id")
+
+    r = sync_ann_index(spark, base, idx)
+    assert r["synced"] and r["deleted_keys"] == 1
+    assert load_centroids(idx) == before  # quantizer pinned
+
+    # the index now answers like a fresh one-shot over the live base
+    vecs_live = base.scan(spark)
+    probes = vecs_live.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got, _ = ann_index_topk(spark, idx, probes, k=3, nprobe=2)
+    want = ivf_ann_topk(
+        vecs_live, probes, k=3, n_centroids=N_CELLS, nprobe=2
+    ).select("query_id", "neighbor_id", "cosine", "rk")
+    assert _rows(got) == _rows(want)
+    assert 5 not in {r["neighbor_id"] for r in got.collect()}
+
+    # idempotent
+    assert not sync_ann_index(spark, base, idx)["synced"]
