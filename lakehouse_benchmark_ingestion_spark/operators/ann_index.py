@@ -243,6 +243,9 @@ def register_ann_index(
             PROP_VEC_COL: vec_col,
         }
     )
+    from .index_sync import register_index_on_base
+
+    register_index_on_base(base, tbl.location)
     return tbl
 
 

@@ -254,6 +254,9 @@ def register_text_index(
             PROP_SRC_COL: source_col,
         }
     )
+    from .index_sync import register_index_on_base
+
+    register_index_on_base(base, tbl.location)
     return tbl
 
 

@@ -96,6 +96,26 @@ def run_full_maintenance(
     metrics["rewrite_manifests"] = timed(
         "rewrite_manifests", lambda: rewrite_manifests(table)
     )
+    # derived-index freshness: sync every registered text/ANN index to the
+    # head BEFORE snapshot expiration — each index's CDC catch-up diffs
+    # from its recorded base-snapshot watermark, which expiration is about
+    # to make unreachable (same auto-freshness contract as the stats
+    # sidecars; opt-out via index-sync.auto=false). The suite's own
+    # rewrites are an EMPTY logical diff, so when no writes landed since
+    # the last sync this is a watermark move, not work.
+    if (
+        table.meta.properties.get("index-sync.auto", "true") == "true"
+        and table.meta.properties.get("derived.indexes")
+        and table.meta.current_snapshot_id is not None
+    ):
+        from ..operators.index_sync import sync_registered_indexes
+
+        def _isync() -> dict:
+            r = sync_registered_indexes(spark, table)
+            return {"files_out": r["synced"], "rows": r["indexes"],
+                    "snapshot_id": table.meta.current_snapshot_id}
+
+        metrics["index_sync"] = timed("index_sync", _isync)
     metrics["expire_snapshots"] = timed(
         "expire_snapshots",
         lambda: expire_snapshots(table, keep_last=expire_keep_last),

@@ -1,0 +1,99 @@
+"""Derived-index registry + maintenance-driven sync (operators/index_sync.py).
+
+Contract under test:
+  - register_*_index records the index in the BASE table's registry;
+  - run_full_maintenance syncs every registered index to the base's head
+    (text + ANN in one pass) and journals an index_sync metrics row;
+  - a maintenance-only delta is a watermark move (synced=False second run);
+  - dead registrations (index table dropped) are GC'd, not fatal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+from lakehouse_benchmark_ingestion_spark.icelite.table import IceliteTable
+from lakehouse_benchmark_ingestion_spark.operators.ann_index import (
+    register_ann_index,
+)
+from lakehouse_benchmark_ingestion_spark.operators.index_sync import (
+    registered_indexes,
+    sync_registered_indexes,
+)
+from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+    GRAM_COL,
+    postings_df,
+    probe_text_index,
+    register_text_index,
+)
+from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+    run_full_maintenance,
+)
+
+
+def _docs_base(spark, warehouse):
+    rows = [(i, "s", f"docbody-{i:04d}-alpha beta gamma") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tbl = Catalog(warehouse).create_table("docs", df.schema)
+    tbl.append(df, num_files=3)
+    return tbl
+
+
+def test_maintenance_syncs_registered_indexes(spark, tmp_path):
+    base = _docs_base(spark, str(tmp_path / "wh"))
+    tix = register_text_index(spark, base, str(tmp_path / "tix"), n=8,
+                              num_files=2)
+    assert registered_indexes(base) == [tix.location]
+
+    # base evolves, then maintenance runs: the index must come out current
+    new_rows = [(100, "s", "freshdoc-0100-later")]
+    base.append(spark.createDataFrame(
+        new_rows, "doc_id long, source string, text string"))
+    m = run_full_maintenance(spark, base, target_file_size=4 << 20)
+    assert m["index_sync"]["rows"] == 1  # one registered index visited
+
+    probes = postings_df(
+        spark.createDataFrame(new_rows, "doc_id long, source string, text string"),
+        8,
+    ).select(GRAM_COL).distinct()
+    hits, _ = probe_text_index(spark, tix, probes)
+    assert {r["doc_id"] for r in hits.collect()} == {100}
+
+    # second maintenance pass: rewrites only → empty diff → watermark move
+    m2 = run_full_maintenance(spark, base, target_file_size=4 << 20)
+    assert m2["index_sync"]["files_out"] in (0, 1)  # nothing or wm-only
+
+
+def test_sync_walks_text_and_ann_and_gcs_dead(spark, tmp_path):
+    import math
+
+    base = _docs_base(spark, str(tmp_path / "wh"))
+    tix = register_text_index(spark, base, str(tmp_path / "tix"), n=8,
+                              num_files=2)
+
+    # an ANN index on a vector base table shares the registry mechanics
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import FLAT_DIM
+
+    vrows = []
+    for i in range(12):
+        v = [0.0] * FLAT_DIM
+        v[i % 4] = 1.0
+        vrows.append((i, v))
+    vdf = spark.createDataFrame(vrows, "vec_id long, embedding array<double>")
+    vbase = Catalog(str(tmp_path / "vwh")).create_table("vectors", vdf.schema)
+    vbase.append(vdf)
+    ann = register_ann_index(spark, vbase, str(tmp_path / "ann"), n_cells=4)
+    assert registered_indexes(vbase) == [ann.location]
+
+    vbase.append(spark.createDataFrame(
+        [(50, [float(j == 1) for j in range(FLAT_DIM)])],
+        "vec_id long, embedding array<double>"))
+    r = sync_registered_indexes(spark, vbase)
+    assert r["indexes"] == 1 and r["synced"] == 1
+
+    # drop the text index table entirely: next sync GCs the registration
+    IceliteTable.drop(tix.location)
+    r = sync_registered_indexes(spark, base)
+    assert r["results"][tix.location] == {"dropped": True}
+    assert registered_indexes(base) == []
