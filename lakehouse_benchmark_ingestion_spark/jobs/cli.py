@@ -19,6 +19,11 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     migrate-spec   --warehouse W --table T [--target-mb N]  (rewrite every
                    file whose partition tuple predates the current spec —
                    Iceberg's rewrite-writes-current-spec; idempotent)
+    register-text-index --warehouse W --table T --name IDX [--gram-n N]
+                   [--column text]  (build the inverted n-gram index over
+                   T's head and register it on T for auto-sync)
+    sync-indexes   --warehouse W --table T  (CDC-sync every registered
+                   derived index to T's current snapshot)
     rewrite-manifests --warehouse W --table T
     minmax         --warehouse W --table T --column C [--where JSON]
                    (MIN/MAX pushed into manifest bounds; scans only
@@ -173,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["files", "snapshots", "refs", "partitions", "history", "manifests"],
     )
     p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
+    p.add_argument("--gram-n", type=int, default=16)  # register-text-index
     p.add_argument("--val-column")
     p.add_argument("--source")  # cdc-apply / ingest-stream: drop-feed glob
     p.add_argument("--checkpoint")  # streaming checkpoint dir
@@ -510,6 +516,31 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "drop-ref":
             tbl.drop_ref(args.name)
         out["refs"] = tbl.refs()
+
+    elif args.command == "register-text-index":
+        from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+            register_text_index,
+        )
+
+        if not args.name:
+            p.error("register-text-index requires --name (index table name)")
+        idx = register_text_index(
+            spark,
+            cat.load_table(args.table),
+            args.warehouse,
+            name=args.name,
+            n=args.gram_n,
+            text_col=args.column or "text",
+        )
+        out["index"] = idx.location
+        out["postings"] = idx.scan(spark).count()
+
+    elif args.command == "sync-indexes":
+        from lakehouse_benchmark_ingestion_spark.operators.index_sync import (
+            sync_registered_indexes,
+        )
+
+        out.update(sync_registered_indexes(spark, cat.load_table(args.table)))
 
     elif args.command == "build-bloom":
         from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (

@@ -418,3 +418,22 @@ def test_cli_count_and_minmax_pushdown(spark, warehouse, capsys):
     r = run(capsys, "minmax", "--warehouse", warehouse, "--column", "n_tok")
     assert r["mode"] == "metadata" and r["files_scanned"] == 0
     assert 0 < r["min"] <= r["max"]
+
+
+def test_cli_text_index_register_and_sync(spark, warehouse, capsys):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    rows = [(i, "s", f"clidoc-{i:04d}-alpha") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = Catalog(warehouse).create_table("docs", df.schema)
+    base.append(df)
+
+    r = run(capsys, "register-text-index", "--warehouse", warehouse,
+            "--table", "docs", "--name", "docs_grams", "--gram-n", "8")
+    assert r["postings"] > 0
+
+    base.append(spark.createDataFrame(
+        [(99, "s", "clidoc-0099-added")],
+        "doc_id long, source string, text string"))
+    r = run(capsys, "sync-indexes", "--warehouse", warehouse, "--table", "docs")
+    assert r["indexes"] == 1 and r["synced"] == 1
