@@ -33,6 +33,24 @@ def expire_snapshots(
     as_of = as_of_ms if as_of_ms is not None else md.now_ms()
     keep_last = max(1, keep_last)
 
+    # derived-index watermarks pin their snapshots like refs do: an index's
+    # CDC catch-up diffs FROM its recorded base snapshot — expiring it makes
+    # the index permanently unsyncable (rebuild-only). Computed outside the
+    # commit mutate (reads other tables' metadata, not this table's).
+    index_watermarks: set[int] = set()
+    reg = table.meta.properties.get("derived.indexes")
+    if reg:
+        import json as _json
+
+        for loc in _json.loads(reg):
+            try:
+                props = IceliteTable.load(loc).meta.properties
+            except FileNotFoundError:
+                continue  # dead registration — sync GCs it
+            for key in ("tix.base-snapshot", "ann-index.base-snapshot"):
+                if key in props:
+                    index_watermarks.add(int(props[key]))
+
     expired_ids: list[int] = []
 
     def mutate(meta: md.TableMetadata) -> md.TableMetadata:
@@ -44,6 +62,8 @@ def expire_snapshots(
         # named refs pin their snapshots: a tagged or branch-head snapshot
         # never expires (Iceberg ref-aware retention)
         protected.update(int(r["snapshot_id"]) for r in meta.refs.values())
+        # ...and so do registered derived-index watermarks (see above)
+        protected.update(index_watermarks)
         kept: list[md.Snapshot] = []
         for s in ordered:
             if s.snapshot_id in protected:

@@ -97,3 +97,40 @@ def test_sync_walks_text_and_ann_and_gcs_dead(spark, tmp_path):
     r = sync_registered_indexes(spark, base)
     assert r["results"][tix.location] == {"dropped": True}
     assert registered_indexes(base) == []
+
+
+def test_expire_keeps_index_watermark_snapshot(spark, tmp_path):
+    """keep_last=1 would expire the registered index's watermark snapshot;
+    watermark-aware retention must pin it so the CDC catch-up still works."""
+    from lakehouse_benchmark_ingestion_spark.operators.expire_snapshots import (
+        expire_snapshots,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        PROP_BASE_SNAPSHOT,
+    )
+
+    base = _docs_base(spark, str(tmp_path / "wh"))
+    tix = register_text_index(spark, base, str(tmp_path / "tix"), n=8,
+                              num_files=2)
+    wm = int(tix.meta.properties[PROP_BASE_SNAPSHOT])
+
+    for i in range(3):
+        base.append(spark.createDataFrame(
+            [(200 + i, "s", f"late{i}-{i:04d}")],
+            "doc_id long, source string, text string"))
+    expire_snapshots(base, keep_last=1)
+    assert wm in {s.snapshot_id for s in base.meta.snapshots}
+
+    r = sync_registered_indexes(spark, base)
+    assert r["synced"] == 1
+    probes = postings_df(
+        spark.createDataFrame([(202, "s", "late2-0002")],
+                              "doc_id long, source string, text string"), 8
+    ).select(GRAM_COL).distinct()
+    hits, _ = probe_text_index(spark, tix, probes)
+    assert {r["doc_id"] for r in hits.collect()} == {202}
+
+    # after the sync moved the watermark forward, the old snapshot is
+    # expirable again
+    expire_snapshots(base, keep_last=1)
+    assert wm not in {s.snapshot_id for s in base.meta.snapshots}
