@@ -173,6 +173,25 @@ def run_full_maintenance(
     return metrics
 
 
+def _index_freshness(table: IceliteTable, head_sid: int) -> dict[str, str]:
+    """'fresh' | 'stale' | 'dead' per registered derived index."""
+    import json as _json
+
+    raw = table.meta.properties.get("derived.indexes")
+    out: dict[str, str] = {}
+    for loc in _json.loads(raw) if raw else []:
+        try:
+            props = IceliteTable.load(loc).meta.properties
+        except FileNotFoundError:
+            out[loc] = "dead"
+            continue
+        wm = props.get("tix.base-snapshot") or props.get(
+            "ann-index.base-snapshot"
+        )
+        out[loc] = "fresh" if wm is not None and int(wm) == head_sid else "stale"
+    return out
+
+
 def _stats_freshness(table: IceliteTable, head_sid: int, prop: str) -> str:
     """'absent' | 'fresh' | 'stale' for a snapshot-pinned stats sidecar
     registration (ndv-stats / partition-stats)."""
@@ -283,6 +302,10 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
         "partition_stats": _stats_freshness(
             table, snap.snapshot_id, "partition-stats.snapshot-id"
         ),
+        # derived-index freshness: per registered index, fresh when its
+        # watermark is the head, stale when a sync is due, dead when the
+        # index table no longer exists (the next sync GCs it)
+        "derived_indexes": _index_freshness(table, snap.snapshot_id),
         "properties": {
             k: v
             for k, v in table.meta.properties.items()

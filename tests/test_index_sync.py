@@ -134,3 +134,20 @@ def test_expire_keeps_index_watermark_snapshot(spark, tmp_path):
     # expirable again
     expire_snapshots(base, keep_last=1)
     assert wm not in {s.snapshot_id for s in base.meta.snapshots}
+
+
+def test_status_reports_index_freshness(spark, tmp_path):
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import table_health
+
+    base = _docs_base(spark, str(tmp_path / "wh"))
+    tix = register_text_index(spark, base, str(tmp_path / "tix"), n=8,
+                              num_files=2)
+    assert table_health(base)["derived_indexes"] == {tix.location: "fresh"}
+    base.append(spark.createDataFrame(
+        [(300, "s", "statusdoc-0300")],
+        "doc_id long, source string, text string"))
+    assert table_health(base)["derived_indexes"] == {tix.location: "stale"}
+    sync_registered_indexes(spark, base)
+    assert table_health(base)["derived_indexes"] == {tix.location: "fresh"}
+    IceliteTable.drop(tix.location)
+    assert table_health(base)["derived_indexes"] == {tix.location: "dead"}
