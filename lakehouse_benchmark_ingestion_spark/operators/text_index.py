@@ -34,8 +34,10 @@ from __future__ import annotations
 import os
 from bisect import bisect_left
 
+import pandas as _pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..icelite.catalog import Catalog
 from ..icelite.table import IceliteTable
@@ -72,13 +74,54 @@ def gram_hash_col(text_col: str, n: int) -> Column:
     )
 
 
+def gram_hashes_udf(n: int):
+    """Vectorized Arrow twin of ``gram_hash_col`` — the HOT-PATH kernel.
+
+    The Catalyst expression is the replayable spec, but it is O(len²) per
+    document: ``ascii(substring(text, j, 1))`` seeks from the string start
+    for every one of n×len calls (UTF8 has no O(1) char index). This
+    pandas UDF decodes the codepoints ONCE per document
+    (``encode('utf-32-le')`` → uint32 view, exactly Spark's ``ascii``
+    values) and evaluates every window in one numpy sliding-window
+    mat-vec: hash = Σ code[i+j]·(B^(n-1-j) mod P) mod P — identical to
+    the left fold because mod distributes; products stay < 2^52 so int64
+    never overflows. O(len·n) at memory speed, ~10× the expression on
+    real documents (measured at sf0.1). Equality with the Catalyst twin
+    and the pure-Python replay is pinned by tests/test_text_index.py."""
+    import numpy as np
+
+    pows = np.array(
+        [pow(HASH_B, n - 1 - j, HASH_P) for j in range(n)], dtype=np.int64
+    )
+
+    def one(text) -> np.ndarray:
+        if text is None:
+            text = ""
+        codes = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        if codes.size < n:
+            h = 0
+            for c in codes:
+                h = (h * HASH_B + int(c)) % HASH_P
+            return np.array([h], dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        return np.unique((win * pows).sum(axis=1) % HASH_P)
+
+    @pandas_udf("array<long>")
+    def _grams(s: _pd.Series) -> _pd.Series:
+        return s.map(one)
+
+    return _grams
+
+
 def postings_df(docs: DataFrame, n: int, text_col: str = "text",
                 id_col: str = "doc_id", source_col: str = "source") -> DataFrame:
     """One posting row per (document, distinct gram hash)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        F.explode(gram_hash_col(text_col, n)).alias(GRAM_COL),
+        F.explode(gram_hashes_udf(n)(F.col(text_col))).alias(GRAM_COL),
     )
 
 

@@ -144,7 +144,7 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_index import (
         GRAM_COL,
         build_text_index,
-        gram_hash_col,
+        gram_hashes_udf,
         probe_text_index,
         refresh_text_index,
     )
@@ -154,6 +154,11 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     if "gram_index" not in p:
+        # bloom=False: the certified probe set is the full eval-slice gram
+        # set, which exceeds the driver-side pruning cap at sf>=0.1 — the
+        # sidecar would be built and then never consulted (pure overhead,
+        # ~4 sha256 per posting). The bloom probe path is certified by
+        # tests/test_text_index.py and the maint_bloom_lookup query.
         tbl = build_text_index(
             spark,
             train.filter(F.col("doc_id") % 2 == 0),
@@ -161,16 +166,18 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             name="gram_postings",
             n=GRAM_N,
             num_files=8,
+            bloom=False,
         )
         refresh_text_index(
-            spark, tbl, train.filter(F.col("doc_id") % 2 == 1), num_files=4
+            spark, tbl, train.filter(F.col("doc_id") % 2 == 1), num_files=4,
+            bloom=False,
         )
         p["gram_index"] = tbl
     tbl = p["gram_index"]
 
     eval_hashes = (
         d.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode(gram_hash_col("text", GRAM_N)).alias(GRAM_COL))
+        .select(F.explode(gram_hashes_udf(GRAM_N)(F.col("text"))).alias(GRAM_COL))
         .distinct()
     )
     hits, _metrics = probe_text_index(spark, tbl, eval_hashes)

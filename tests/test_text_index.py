@@ -43,15 +43,26 @@ def _docs(spark, rows):
 
 
 def test_gram_hashes_match_python_replay(spark):
-    rows = [(1, "a", "hello world"), (2, "a", "abc"), (3, "b", "")]
-    got = {
-        r["doc_id"]: set(r["g"])
-        for r in _docs(spark, rows)
-        .select("doc_id", gram_hash_col("text", 5).alias("g"))
-        .collect()
-    }
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        gram_hashes_udf,
+    )
+
+    rows = [(1, "a", "hello world"), (2, "a", "abc"), (3, "b", ""),
+            (4, "c", "exact"), (5, "d", "ünïcødé £5 → ok")]
+    df = _docs(spark, rows).select(
+        "doc_id",
+        gram_hash_col("text", 5).alias("g_expr"),
+        gram_hashes_udf(5)(F.col("text")).alias("g_np"),
+    )
+    got = {r["doc_id"]: (set(r["g_expr"]), set(r["g_np"])) for r in df.collect()}
     for doc_id, _, text in rows:
-        assert got[doc_id] == _py_gram_hashes(text, 5), text
+        expr_set, np_set = got[doc_id]
+        want = _py_gram_hashes(text, 5)
+        # the Catalyst spec, the vectorized Arrow kernel, and the pure-
+        # Python replay must agree exactly (incl. unicode codepoints,
+        # short-text fallback, empty text)
+        assert expr_set == want, text
+        assert np_set == want, text
 
 
 def test_probe_exactness_and_pruning(spark, tmp_path):
