@@ -74,3 +74,57 @@ def pack_stats(
         )
         .withColumnRenamed("stream", by)
     )
+
+
+# ---- deterministic global shuffle (training-order randomization) ----------
+
+SHUFFLE_P = 2147483647  # 2^31-1, same modulus as the repo's text hashes
+SHUFFLE_B = 31
+
+
+def shuffle_rank(key_col: str, seed: str):
+    """Deterministic pseudo-random rank for a row: the repo's polynomial
+    hash folded over the characters of ``"<seed>:<key>"`` — pure Catalyst
+    (aggregate over transform(sequence)), replayable closed-form in the
+    DuckDB oracle, identical across runs and cluster shapes. Keys are
+    short (ids), so the O(len) fold is trivial here — unlike document
+    text, where the vectorized kernel (text_index.gram_hashes_udf) is the
+    right tool."""
+    s = f"concat('{seed}', ':', cast({key_col} as string))"
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({s})),"
+        f"  i -> ascii(substring({s}, i, 1))),"
+        f"  cast(0 as bigint),"
+        f"  (h, c) -> (h * {SHUFFLE_B} + cast(c as bigint)) % {SHUFFLE_P})"
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Seeded deterministic global shuffle into ``n_shards`` — the
+    training-order randomization step of an LLM data pipeline, expressed
+    so a 1000-executor run and a laptop run produce the SAME permutation:
+
+      - ``_rank`` = closed-form hash of (seed, key): the permutation IS
+        the rank order, no RNG state, no partition-order dependence;
+      - ``_shard`` = pmod(rank, n_shards): shards are hash-balanced (each
+        gets a ~uniform slice of the rank space, so also of the corpus);
+      - materializing is ONE ``repartitionByRange(_shard, _rank)`` +
+        ``sortWithinPartitions`` write — the same two-stage shape as the
+        engine's compaction rewrites; changing ``seed`` re-shuffles
+        without touching the hash design (epoch reshuffling is free).
+
+    Collision note: ranks collide at ~n²/2P; ties break by the key at the
+    consumer (deterministic either way since ranks+keys are stable).
+    Returns df + (_rank, _shard); callers write with
+    ``partitionBy/_repartitionByRange`` or feed curriculum batching.
+    """
+    rank = shuffle_rank(key_col, seed)
+    out = df.withColumn("_rank", rank)
+    return out.withColumn(
+        "_shard", F.pmod(F.col("_rank"), F.lit(n_shards)).cast("int")
+    )

@@ -192,6 +192,26 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle (training-order randomization):
+    every doc gets a closed-form pseudo-random rank and a hash-balanced
+    shard — the permutation is a pure function of (seed, doc_id), so a
+    1000-executor run reproduces a laptop run exactly and an epoch
+    reshuffle is just a new seed. Certified per-shard: doc count, doc_id
+    sum (membership, order-insensitive), and rank extrema (the oracle
+    replays the hash, so a single misplaced doc mismatches)."""
+    from .operators.packing import global_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = global_shuffle(d, "doc_id", seed="epoch0", n_shards=16)
+    return sh.groupBy(F.col("_shard").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.min("_rank").alias("min_rank"),
+        F.max("_rank").alias("max_rank"),
+    )
+
+
 def _pii_text() -> object:
     """Deterministically inject PII into the synthetic text (the corpus
     vocabulary contains none): 0-2 emails and 0-1 phone numbers per doc as
@@ -664,6 +684,7 @@ QUERIES = {
     "pipe_dup_clusters": q_dup_clusters,
     "pipe_contamination": q_contamination,
     "pipe_contamination_indexed": q_contamination_indexed,
+    "pipe_global_shuffle": q_global_shuffle,
     "pipe_pii_redaction": q_pii_redaction,
     "pipe_repetition": q_repetition,
     "pipe_mixture_plan": q_mixture_plan,
@@ -745,6 +766,24 @@ _IDX_GRAM_HASHES = f"""
 
 ORACLES.update(
     {
+        "pipe_global_shuffle": """
+            WITH r AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         range(1, length('epoch0:' || CAST(doc_id AS VARCHAR)) + 1),
+                         i -> CAST(ascii(substr('epoch0:' || CAST(doc_id AS VARCHAR),
+                                               CAST(i AS INT), 1)) AS BIGINT))),
+                       (h, c) -> (h * 31 + c) % 2147483647) AS rank
+              FROM documents
+            )
+            SELECT CAST(rank % 16 AS INT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(min(rank) AS BIGINT) AS min_rank,
+                   CAST(max(rank) AS BIGINT) AS max_rank
+            FROM r GROUP BY shard
+        """,
         "pipe_contamination_indexed": f"""
             WITH ex AS (
               SELECT doc_id, source, unnest({_IDX_GRAM_HASHES}) AS gh

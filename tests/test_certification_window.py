@@ -78,6 +78,7 @@ DEFERRED_TO_NEXT_WINDOW = {
     "maint_spec_migrate",
     "pipe_contamination_indexed",
     "pipe_ann_index_topk",
+    "pipe_global_shuffle",
 }
 
 

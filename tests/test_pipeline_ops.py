@@ -194,3 +194,40 @@ def test_dsir_query_covers_corpus(spark):
     n_sources = docs.select("source").distinct().count()
     assert tgt in rows and len(rows) == n_sources
     assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+
+
+def test_global_shuffle_deterministic_and_balanced(spark):
+    from lakehouse_benchmark_ingestion_spark.operators.packing import (
+        SHUFFLE_B,
+        SHUFFLE_P,
+        global_shuffle,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(df, "doc_id", seed="epoch0", n_shards=16)
+    # partition-order independence: same permutation from any layout
+    b = global_shuffle(df.repartition(7), "doc_id", seed="epoch0", n_shards=16)
+    ra = {r["doc_id"]: (r["_rank"], r["_shard"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["_rank"], r["_shard"]) for r in b.collect()}
+    assert ra == rb
+
+    # closed-form replay (the oracle's contract)
+    def py_rank(doc_id):
+        h = 0
+        for ch in f"epoch0:{doc_id}":
+            h = (h * SHUFFLE_B + ord(ch)) % SHUFFLE_P
+        return h
+
+    for doc_id in (0, 1, 999, 1999):
+        assert ra[doc_id] == (py_rank(doc_id), py_rank(doc_id) % 16)
+
+    # hash balance: no shard is empty or grossly over-filled
+    sizes = [0] * 16
+    for _, (_, s) in ra.items():
+        sizes[s] += 1
+    assert min(sizes) > 0 and max(sizes) < 2000 / 16 * 2
+
+    # a new seed is a different permutation
+    c = global_shuffle(df, "doc_id", seed="epoch1", n_shards=16)
+    rc = {r["doc_id"]: r["_rank"] for r in c.collect()}
+    assert any(rc[d] != ra[d][0] for d in rc)
