@@ -40,6 +40,7 @@ def stream_ingest_files(
     bloom_probe_cap: int = 10_000,
     online_compaction=None,
     compact_kwargs: dict | None = None,
+    sync_indexes_every: int | None = None,
 ) -> int:
     """Stream parquet drops from ``source_dir`` into the table.
 
@@ -186,6 +187,19 @@ def stream_ingest_files(
                     run_id=f"online-b{batch_id}",
                     **(compact_kwargs or {}),
                 )
+        # online derived-index maintenance: every N committed batches,
+        # CDC-sync the registered text/ANN indexes — the streaming
+        # analogue of run_full_maintenance's auto-sync, so a continuously
+        # ingested table's indexes track it without a separate scheduler.
+        # Each sync is O(docs since the last one) by construction.
+        if (
+            sync_indexes_every is not None
+            and batches["n"] % sync_indexes_every == 0
+            and table.meta.properties.get("derived.indexes")
+        ):
+            from ..operators.index_sync import sync_registered_indexes
+
+            sync_registered_indexes(spark, table)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

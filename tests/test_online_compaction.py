@@ -133,3 +133,49 @@ def test_online_compaction_trigger_state_survives_restart(spark, warehouse, tmp_
     ops = [s.operation for s in tbl.history()]
     assert ops[-1] == "replace", f"restart lost trigger state: {ops}"
     assert tbl.scan(spark).exceptAll(df).count() == 0
+
+
+def test_stream_online_index_sync(spark, warehouse, tmp_path):
+    """Streaming ingest keeps registered derived indexes fresh: with
+    sync_indexes_every=2 the text index is CDC-synced during the run and
+    finishes current with the table head (watermark == head snapshot)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        PROP_BASE_SNAPSHOT,
+        GRAM_COL,
+        postings_df,
+        probe_text_index,
+        register_text_index,
+    )
+
+    rows = [(i, "s", f"streamdoc-{i:04d}-alpha") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tbl = Catalog(warehouse).create_table("docs", df.schema)
+    tbl.append(df.filter(F.col("doc_id") < 4))
+    idx = register_text_index(spark, tbl, str(tmp_path / "tix"), n=8,
+                              num_files=2, bloom=False)
+
+    drop_parquet_batches(
+        df.filter(F.col("doc_id") >= 4), str(tmp_path / "drops"), n_batches=4
+    )
+    n = stream_ingest_files(
+        spark,
+        tbl,
+        str(tmp_path / "drops" / "drop-*"),
+        str(tmp_path / "ckpt"),
+        mode="append",
+        sync_indexes_every=2,
+    )
+    assert n == 4
+    # the final sync (batch 4) left the index at the table head
+    assert int(idx.meta.properties[PROP_BASE_SNAPSHOT]) == (
+        tbl.current_snapshot().snapshot_id
+    )
+    # and the streamed docs are findable through the index
+    probes = postings_df(
+        spark.createDataFrame([(11, "s", "streamdoc-0011-alpha")],
+                              "doc_id long, source string, text string"), 8
+    ).select(GRAM_COL).distinct()
+    hits, _ = probe_text_index(spark, idx, probes)
+    assert 11 in {r["doc_id"] for r in hits.collect()}
