@@ -192,6 +192,50 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-index lifecycle certified end-to-end against the oracle:
+    an icelite docs base table gets HALF the corpus, a text index is
+    registered over it, then the base receives the other half (append) and
+    loses a slice (COW delete) — and ONE ``sync_registered_indexes`` pass
+    must leave the index holding exactly the live corpus's postings
+    (insert half applied, deleted docs' postings suppressed by the MOR
+    eq-delete). Certified shape: per-source indexed-doc and posting
+    counts; the oracle recomputes both from the live documents with the
+    gram-hash replay, so a stale watermark, an unapplied delete, or a
+    duplicated sync all mismatch."""
+    from .icelite import Catalog
+    from .operators.index_sync import sync_registered_indexes
+    from .operators.row_dml import delete_where
+    from .operators.text_index import register_text_index
+    from .queries import prepared_warehouse
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "tix_sync" not in p:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        base = Catalog(p["warehouse"]).create_table("docs_tix", d.schema)
+        base.append(d.filter(F.col("doc_id") % 2 == 0), num_files=2)
+        idx = register_text_index(
+            spark, base, p["warehouse"], name="docs_tix_grams", n=GRAM_N,
+            num_files=4, bloom=False,
+        )
+        base.append(d.filter(F.col("doc_id") % 2 == 1), num_files=2)
+        delete_where(spark, base, {"doc_id": (0, 49)}, strategy="cow",
+                     key="doc_id")
+        r = sync_registered_indexes(spark, base)
+        assert r["synced"] == 1, r
+        p["tix_sync"] = idx
+    return (
+        p["tix_sync"].scan(spark)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_postings"),
+        )
+    )
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded deterministic global shuffle (training-order randomization):
     every doc gets a closed-form pseudo-random rank and a hash-balanced
@@ -685,6 +729,7 @@ QUERIES = {
     "pipe_contamination": q_contamination,
     "pipe_contamination_indexed": q_contamination_indexed,
     "pipe_global_shuffle": q_global_shuffle,
+    "maint_index_sync": q_index_sync,
     "pipe_pii_redaction": q_pii_redaction,
     "pipe_repetition": q_repetition,
     "pipe_mixture_plan": q_mixture_plan,
@@ -766,6 +811,23 @@ _IDX_GRAM_HASHES = f"""
 
 ORACLES.update(
     {
+        # live corpus = even half ∪ odd half minus the deleted doc_id<50
+        # slice; per-source docs and distinct-gram-hash postings replayed
+        "maint_index_sync": f"""
+            WITH live AS (
+              SELECT doc_id, source, text FROM documents
+              WHERE NOT (doc_id BETWEEN 0 AND 49)
+            ),
+            g AS (
+              SELECT doc_id, source,
+                     CAST(len({_IDX_GRAM_HASHES}) AS BIGINT) AS n_grams
+              FROM live
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_grams) AS BIGINT) AS n_postings
+            FROM g GROUP BY source
+        """,
         "pipe_global_shuffle": """
             WITH r AS (
               SELECT doc_id,

@@ -79,6 +79,7 @@ DEFERRED_TO_NEXT_WINDOW = {
     "pipe_contamination_indexed",
     "pipe_ann_index_topk",
     "pipe_global_shuffle",
+    "maint_index_sync",
 }
 
 
