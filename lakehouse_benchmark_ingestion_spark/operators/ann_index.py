@@ -143,10 +143,13 @@ def ann_index_topk(
     by neighbor id. Returns (topk, metrics) where metrics records
     files_total / files_scanned so callers can assert the pruning."""
     cents = load_centroids(tbl)
+    # persist: the probed frame backs the cell collect AND the join below
+    # — the centroid-scoring assignment must evaluate once per probe
     probed = (
         ivf_cells(probes, cents, "qv", n_cells=nprobe)
         .withColumnRenamed(CELL_COL, "cells")
         .withColumn("_qn", norm(F.col("qv")))
+        .persist()
     )
     # probed-cell set: ≤ n_cells ints of metadata (bounded by the quantizer
     # size, not the probe count) — drives manifest-level file pruning
@@ -168,7 +171,14 @@ def ann_index_topk(
             return True  # conservative
         return any(int(lo) <= c <= int(hi) for c in probed_cells)
 
-    corpus = tbl.scan(spark, snapshot_id=snap.snapshot_id, file_filter=keep)
+    # evaluate the metadata filter ONCE (it parses per-file partition
+    # JSON); the scan then consumes the precomputed survivor set
+    kept = [f for f in all_files if keep(f)]
+    kept_paths = {f.path for f in kept}
+    corpus = tbl.scan(
+        spark, snapshot_id=snap.snapshot_id,
+        file_filter=lambda f: f.path in kept_paths,
+    )
     corpus = corpus.withColumnRenamed("id", "neighbor_id").withColumnRenamed(
         "v", "cv"
     ).withColumn("_cn", norm(F.col("cv")))
@@ -192,7 +202,6 @@ def ann_index_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
-    kept = [f for f in all_files if keep(f)]
     return topk, {
         "files_total": len(all_files),
         "files_scanned": len(kept),
@@ -224,6 +233,11 @@ def register_ann_index(
     bookkeeping pattern, operators/materialized.py) so ``sync_ann_index``
     is an O(changed vectors) catch-up."""
     snap = base.current_snapshot()
+    if snap is None:
+        raise ValueError(
+            f"cannot register an ANN index over {base.location}: the base "
+            "table has no snapshot yet — ingest first, then register"
+        )
     tbl = build_ann_index(
         spark,
         base.scan(spark, snapshot_id=snap.snapshot_id),
@@ -256,75 +270,73 @@ def sync_ann_index(
     engine's CDC diff — O(changed vectors), quantizer PINNED:
 
       - deleted vectors (and the delete half of updates) become ONE
-        merge-on-read equality-delete on the index's ``id`` column — no
-        index file rewritten, the next compaction materializes it;
-      - inserted vectors assign to the EXISTING cells and append at a
-        higher sequence (an updated vector's new cell row outlives the
-        eq-delete on its id);
-      - the watermark property moves atomically with the last commit, so
-        a crashed sync replays the same diff idempotently.
+        equality-delete file on the index's ``id`` column; inserted
+        vectors assign to the EXISTING cells and land as per-cell data
+        files — BOTH in one atomic commit at one sequence number
+        (index_sync.commit_index_delta, the MOR MERGE shape), so an
+        updated vector's new cell row outlives the delete on its id and
+        a crashed sync leaves no partial state;
+      - the watermark moves in that same commit; an empty logical diff
+        (maintenance-only base delta) is a watermark-only property move.
     """
-    import glob as _glob
     import uuid as _uuid
 
-    from ..icelite import manifest as mf
+    from ..icelite import partition as ps
     from .changes import snapshot_changes
+    from .index_sync import commit_index_delta
 
     props = tbl.meta.properties
     from_id = int(props[PROP_BASE_SNAPSHOT])
-    to_id = base.current_snapshot().snapshot_id
-    if from_id == to_id:
-        return {"synced": False, "from_snapshot": from_id, "to_snapshot": to_id}
+    head = base.current_snapshot()
+    if head is None or from_id == head.snapshot_id:
+        return {
+            "synced": False,
+            "from_snapshot": from_id,
+            "to_snapshot": None if head is None else head.snapshot_id,
+        }
+    to_id = head.snapshot_id
     id_col = props[PROP_ID_COL]
     vec_col = props[PROP_VEC_COL]
     watermark = {PROP_BASE_SNAPSHOT: str(to_id)}
 
-    ch = snapshot_changes(spark, base, from_id, to_id)
-    deletes = ch.filter(F.col("change_type") == "delete")
-    inserts = ch.filter(F.col("change_type") == "insert")
+    # persist: the diff backs the probes and both writes below
+    ch = snapshot_changes(spark, base, from_id, to_id).persist()
+    try:
+        deletes = ch.filter(F.col("change_type") == "delete")
+        inserts = ch.filter(F.col("change_type") == "insert")
+        has_del = bool(deletes.limit(1).count())
+        has_ins = bool(inserts.limit(1).count())
+        if not has_del and not has_ins:
+            tbl.set_properties(watermark)
+            return {
+                "synced": True, "from_snapshot": from_id, "to_snapshot": to_id,
+                "deleted_keys": 0, "inserted_vectors": False,
+            }
 
-    run_id = _uuid.uuid4().hex[:12]
-    n_del_keys = 0
-    del_stats: list = []
-    del_keys = deletes.select(F.col(id_col).alias("id")).distinct()
-    if del_keys.limit(1).count():
-        del_dir = os.path.join(tbl.location, "data", f"annsync-{run_id}-deletes")
-        del_keys.repartitionByRange(1, "id").write.mode("overwrite").parquet(del_dir)
-        del_paths = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
-        del_stats = mf.harvest_stats(del_paths, stat_columns=["id"])
-        seq = tbl.next_sequence_number()
-        n_del_keys = sum(f.record_count for f in del_stats)
-        for s in del_stats:
-            s.content = mf.CONTENT_EQ_DELETES
-            s.sequence_number = seq
-
-    has_inserts = bool(inserts.limit(1).count())
-    if has_inserts:
-        if del_stats:
-            tbl.replace_files(
-                set(), del_stats, operation="delete-mor",
-                summary={"op": "ann-sync-deletes", "run-id": run_id,
-                         "keys": str(n_del_keys)},
-                set_properties={"merge-key": "id"},
+        data_paths: list[str] = []
+        if has_ins:
+            cents = load_centroids(tbl)
+            assigned = _assigned(inserts, cents, id_col, vec_col)
+            out_dir = os.path.join(
+                tbl.location, "data", f"annsync-{_uuid.uuid4().hex[:12]}"
             )
-        cents = load_centroids(tbl)
-        tbl.append(
-            _assigned(inserts, cents, id_col, vec_col),
-            set_properties=watermark,
+            data_paths = ps.write_partitioned(
+                assigned, tbl.partition_spec, out_dir, mode="overwrite"
+            )
+        del_keys = (
+            deletes.select(F.col(id_col).alias("id")).distinct()
+            if has_del else None
         )
-    elif del_stats:
-        tbl.replace_files(
-            set(), del_stats, operation="delete-mor",
-            summary={"op": "ann-sync-deletes", "run-id": run_id,
-                     "keys": str(n_del_keys)},
-            set_properties={"merge-key": "id", **watermark},
+        r = commit_index_delta(
+            tbl, del_keys, "id", data_paths, ["id", CELL_COL],
+            watermark, "ann-sync",
         )
-    else:
-        tbl.set_properties(watermark)
+    finally:
+        ch.unpersist()
     return {
         "synced": True,
         "from_snapshot": from_id,
         "to_snapshot": to_id,
-        "deleted_keys": n_del_keys,
-        "inserted_vectors": has_inserts,
+        "deleted_keys": r["deleted_keys"],
+        "inserted_vectors": bool(data_paths),
     }

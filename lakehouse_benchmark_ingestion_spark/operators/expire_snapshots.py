@@ -42,14 +42,16 @@ def expire_snapshots(
     if reg:
         import json as _json
 
+        from .index_sync import watermark_of
+
         for loc in _json.loads(reg):
             try:
                 props = IceliteTable.load(loc).meta.properties
             except FileNotFoundError:
                 continue  # dead registration — sync GCs it
-            for key in ("tix.base-snapshot", "ann-index.base-snapshot"):
-                if key in props:
-                    index_watermarks.add(int(props[key]))
+            wm = watermark_of(props)
+            if wm is not None:
+                index_watermarks.add(wm)
 
     expired_ids: list[int] = []
 

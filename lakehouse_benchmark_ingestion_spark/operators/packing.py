@@ -89,8 +89,15 @@ def shuffle_rank(key_col: str, seed: str):
     DuckDB oracle, identical across runs and cluster shapes. Keys are
     short (ids), so the O(len) fold is trivial here — unlike document
     text, where the vectorized kernel (text_index.gram_hashes_udf) is the
-    right tool."""
-    s = f"concat('{seed}', ':', cast({key_col} as string))"
+    right tool. ``seed`` is a free-form user string interpolated into a
+    SQL literal, so quotes/backslashes are escaped; ``key_col`` must be a
+    plain column name (validated), not an expression."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key_col):
+        raise ValueError(f"key_col must be a plain column name: {key_col!r}")
+    seed_lit = seed.replace("\\", "\\\\").replace("'", "\\'")
+    s = f"concat('{seed_lit}', ':', cast({key_col} as string))"
     return F.expr(
         f"aggregate(transform(sequence(1, length({s})),"
         f"  i -> ascii(substring({s}, i, 1))),"

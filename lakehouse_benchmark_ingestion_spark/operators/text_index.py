@@ -221,10 +221,12 @@ def probe_text_index(
     so callers can assert the index actually pruned."""
     snap = tbl.current_snapshot()
     all_files = tbl.data_files(snap.snapshot_id)
-    keep = None
-    probes = [
-        r[0] for r in probe_hashes.limit(probe_cap + 1).collect()
-    ]
+    probe_col = probe_hashes.select(GRAM_COL).distinct()
+    kept = None
+    # select GRAM_COL explicitly: the join below is column-addressed, so
+    # the driver-side probe list must be too — a multi-column probe frame
+    # must never prune on whatever its first column happens to be
+    probes = [r[0] for r in probe_col.limit(probe_cap + 1).collect()]
     if len(probes) <= probe_cap:
         probes_sorted = sorted(probes)
         stats_keep = _stats_bisect_filter(probes_sorted)
@@ -234,25 +236,29 @@ def probe_text_index(
         bloom_keep = bloom_range_probe_filter(
             tbl, GRAM_COL, probes_sorted, snap.snapshot_id, candidates=cand
         )
-        if bloom_keep is None:
-            keep = stats_keep
-        else:
-            # range-sliced bloom: per-file membership questions are only
-            # the probes inside the file's bounds, so a big probe sweep
-            # cannot saturate the filter (see bloom_range_probe_filter)
-            keep = lambda f: stats_keep(f) and bloom_keep(f)  # noqa: E731
+        # range-sliced bloom: per-file membership questions are only the
+        # probes inside the file's bounds, so a big probe sweep cannot
+        # saturate the filter (see bloom_range_probe_filter)
+        kept = [f for f in cand if bloom_keep is None or bloom_keep(f)]
 
-    scan = tbl.scan(spark, snapshot_id=snap.snapshot_id, file_filter=keep)
-    kept = [f for f in all_files if keep(f)] if keep is not None else all_files
-    hits = (
-        scan.join(F.broadcast(probe_hashes.select(GRAM_COL).distinct()), GRAM_COL)
-        .select("doc_id", "source")
-        .distinct()
-    )
+    if kept is not None:
+        kept_paths = {f.path for f in kept}
+        scan = tbl.scan(
+            spark, snapshot_id=snap.snapshot_id,
+            file_filter=lambda f: f.path in kept_paths,
+        )
+        # the pruned probe set fits the driver cap, so it broadcasts
+        probe_side = F.broadcast(probe_col)
+    else:
+        scan = tbl.scan(spark, snapshot_id=snap.snapshot_id)
+        # over-cap probe sets must NOT be forced driver-side: leave the
+        # join strategy to the planner (shuffle join at scale)
+        probe_side = probe_col
+    hits = scan.join(probe_side, GRAM_COL).select("doc_id", "source").distinct()
     return hits, {
         "files_total": len(all_files),
-        "files_scanned": len(kept),
-        "probes_pruned": keep is not None,
+        "files_scanned": len(kept) if kept is not None else len(all_files),
+        "probes_pruned": kept is not None,
     }
 
 
@@ -283,6 +289,11 @@ def register_text_index(
     base-snapshot bookkeeping the incremental materialized views use
     (operators/materialized.py)."""
     snap = base.current_snapshot()
+    if snap is None:
+        raise ValueError(
+            f"cannot register a text index over {base.location}: the base "
+            "table has no snapshot yet — ingest first, then register"
+        )
     docs = base.scan(spark, snapshot_id=snap.snapshot_id)
     tbl = build_text_index(
         spark, docs, warehouse, name=name, n=n, num_files=num_files,
@@ -314,82 +325,83 @@ def sync_text_index(
     the engine's own CDC diff — O(changed docs), never a rebuild:
 
       - deleted docs (and the delete half of updates) become ONE
-        equality-delete file on ``doc_id`` against the postings table —
-        merge-on-read, no postings file rewritten; the next compaction of
-        the index materializes and GCs it like any MOR table;
-      - inserted docs (and the insert half of updates) append their
-        postings range-clustered as usual, at a HIGHER sequence number
-        than the eq-delete, so an updated doc's new grams survive it;
-      - the watermark property moves atomically WITH the final commit, so
-        a crashed sync replays the same diff idempotently.
+        equality-delete file on ``doc_id``; inserted docs (and the insert
+        half of updates) land as range-clustered postings files — BOTH in
+        one atomic commit at one sequence number (the MOR MERGE shape,
+        index_sync.commit_index_delta): the eq-delete suppresses only
+        strictly-older rows, so an updated doc's new grams survive it,
+        and a crashed sync leaves no partial state to double-apply;
+      - the watermark property moves in that same commit;
+      - a maintenance-only delta (empty logical diff) is a watermark-only
+        property move: no data commit, no bloom rebuild — the O(0) path
+        run_full_maintenance's auto-sync relies on.
     """
-    import glob as _glob
     import uuid as _uuid
 
-    from ..icelite import manifest as mf
     from .changes import snapshot_changes
+    from .index_sync import commit_index_delta
 
     props = tbl.meta.properties
     from_id = int(props[PROP_BASE_SNAPSHOT])
-    to_id = base.current_snapshot().snapshot_id
-    if from_id == to_id:
-        return {"synced": False, "from_snapshot": from_id, "to_snapshot": to_id}
+    head = base.current_snapshot()
+    if head is None or from_id == head.snapshot_id:
+        return {
+            "synced": False,
+            "from_snapshot": from_id,
+            "to_snapshot": None if head is None else head.snapshot_id,
+        }
+    to_id = head.snapshot_id
     text_col = props[PROP_TEXT_COL]
     id_col = props[PROP_ID_COL]
     src_col = props[PROP_SRC_COL]
     n = int(props[PROP_N])
-
-    ch = snapshot_changes(spark, base, from_id, to_id)
-    deletes = ch.filter(F.col("change_type") == "delete")
-    inserts = ch.filter(F.col("change_type") == "insert")
     watermark = {PROP_BASE_SNAPSHOT: str(to_id)}
 
-    n_del_keys = 0
-    del_stats: list = []
-    run_id = _uuid.uuid4().hex[:12]
-    del_keys = deletes.select(F.col(id_col).alias("doc_id")).distinct()
-    if del_keys.limit(1).count():
-        del_dir = os.path.join(tbl.location, "data", f"tixsync-{run_id}-deletes")
-        del_keys.repartitionByRange(1, "doc_id").write.mode("overwrite").parquet(del_dir)
-        del_paths = sorted(_glob.glob(os.path.join(del_dir, "part-*.parquet")))
-        del_stats = mf.harvest_stats(del_paths, stat_columns=["doc_id"])
-        seq = tbl.next_sequence_number()
-        n_del_keys = sum(f.record_count for f in del_stats)
-        for s in del_stats:
-            s.content = mf.CONTENT_EQ_DELETES
-            s.sequence_number = seq
+    # persist: the diff plan (exceptAll over both snapshots' changed
+    # files) backs four actions below — existence probes, the delete-key
+    # write, and the postings write — and must evaluate once
+    ch = snapshot_changes(spark, base, from_id, to_id).persist()
+    try:
+        deletes = ch.filter(F.col("change_type") == "delete")
+        inserts = ch.filter(F.col("change_type") == "insert")
+        has_del = bool(deletes.limit(1).count())
+        has_ins = bool(inserts.limit(1).count())
+        if not has_del and not has_ins:
+            tbl.set_properties(watermark)
+            return {
+                "synced": True, "from_snapshot": from_id, "to_snapshot": to_id,
+                "deleted_keys": 0, "inserted_docs_postings": False,
+            }
 
-    n_inserts = inserts.limit(1).count()
-    if n_inserts:
-        if del_stats:
-            # deletes commit first (lower sequence) so the re-appended
-            # postings of updated docs outlive them; watermark moves with
-            # the LAST commit of the sync
-            tbl.replace_files(
-                set(), del_stats, operation="delete-mor",
-                summary={"op": "tix-sync-deletes", "run-id": run_id,
-                         "keys": str(n_del_keys)},
-                set_properties={"merge-key": "doc_id"},
+        data_paths: list[str] = []
+        if has_ins:
+            import glob as _glob
+
+            out_dir = os.path.join(
+                tbl.location, "data", f"tixsync-{_uuid.uuid4().hex[:12]}"
             )
-        posting = postings_df(
-            inserts, n, text_col=text_col, id_col=id_col, source_col=src_col
+            posting = postings_df(
+                inserts, n, text_col=text_col, id_col=id_col,
+                source_col=src_col,
+            )
+            (
+                posting.repartitionByRange(num_files, GRAM_COL)
+                .sortWithinPartitions(GRAM_COL)
+                .write.mode("overwrite").parquet(out_dir)
+            )
+            data_paths = sorted(
+                _glob.glob(os.path.join(out_dir, "part-*.parquet"))
+            )
+        del_keys = (
+            deletes.select(F.col(id_col).alias("doc_id")).distinct()
+            if has_del else None
         )
-        clustered = posting.repartitionByRange(num_files, GRAM_COL)
-        clustered = clustered.sortWithinPartitions(GRAM_COL)
-        tbl.append(
-            clustered,
-            stat_columns=[GRAM_COL, "doc_id", "source"],
-            set_properties=watermark,
+        r = commit_index_delta(
+            tbl, del_keys, "doc_id", data_paths,
+            [GRAM_COL, "doc_id", "source"], watermark, "tix-sync",
         )
-    elif del_stats:
-        tbl.replace_files(
-            set(), del_stats, operation="delete-mor",
-            summary={"op": "tix-sync-deletes", "run-id": run_id,
-                     "keys": str(n_del_keys)},
-            set_properties={"merge-key": "doc_id", **watermark},
-        )
-    else:
-        tbl.set_properties(watermark)
+    finally:
+        ch.unpersist()
     if bloom:
         from .bloom_index import build_bloom_index
 
@@ -398,6 +410,6 @@ def sync_text_index(
         "synced": True,
         "from_snapshot": from_id,
         "to_snapshot": to_id,
-        "deleted_keys": n_del_keys,
-        "inserted_docs_postings": bool(n_inserts),
+        "deleted_keys": r["deleted_keys"],
+        "inserted_docs_postings": bool(data_paths),
     }

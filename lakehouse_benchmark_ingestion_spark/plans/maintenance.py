@@ -177,6 +177,8 @@ def _index_freshness(table: IceliteTable, head_sid: int) -> dict[str, str]:
     """'fresh' | 'stale' | 'dead' per registered derived index."""
     import json as _json
 
+    from ..operators.index_sync import watermark_of
+
     raw = table.meta.properties.get("derived.indexes")
     out: dict[str, str] = {}
     for loc in _json.loads(raw) if raw else []:
@@ -185,10 +187,8 @@ def _index_freshness(table: IceliteTable, head_sid: int) -> dict[str, str]:
         except FileNotFoundError:
             out[loc] = "dead"
             continue
-        wm = props.get("tix.base-snapshot") or props.get(
-            "ann-index.base-snapshot"
-        )
-        out[loc] = "fresh" if wm is not None and int(wm) == head_sid else "stale"
+        wm = watermark_of(props)
+        out[loc] = "fresh" if wm == head_sid else "stale"
     return out
 
 
