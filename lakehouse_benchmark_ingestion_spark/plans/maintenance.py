@@ -245,6 +245,9 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
             "partition_stats": "absent"
             if table.meta.properties.get("partition-stats.snapshot-id") is None
             else "stale",
+            # no snapshot -> nothing to be fresh AGAINST; report stale per
+            # registered index (same key set as the populated shape)
+            "derived_indexes": _index_freshness(table, -1),
             "properties": {
                 k: v
                 for k, v in table.meta.properties.items()
