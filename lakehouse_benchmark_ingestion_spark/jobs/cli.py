@@ -22,6 +22,10 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     register-text-index --warehouse W --table T --name IDX [--gram-n N]
                    [--column text]  (build the inverted n-gram index over
                    T's head and register it on T for auto-sync)
+    register-ann-index --warehouse W --table T --name IDX [--cells N]
+                   [--column embedding] [--key vec_id]
+                   [--centroid-mode kmeans|id-sample]  (build the
+                   persisted IVF index over T's head and register it)
     sync-indexes   --warehouse W --table T  (CDC-sync every registered
                    derived index to T's current snapshot)
     rewrite-manifests --warehouse W --table T
@@ -179,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
     p.add_argument("--gram-n", type=int, default=16)  # register-text-index
+    p.add_argument("--cells", type=int, default=8)  # register-ann-index
+    p.add_argument(  # register-ann-index quantizer (see similarity.ivf_ann_topk)
+        "--centroid-mode", default="kmeans", choices=["kmeans", "id-sample"]
+    )
     p.add_argument("--val-column")
     p.add_argument("--source")  # cdc-apply / ingest-stream: drop-feed glob
     p.add_argument("--checkpoint")  # streaming checkpoint dir
@@ -534,6 +542,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         out["index"] = idx.location
         out["postings"] = idx.scan(spark).count()
+
+    elif args.command == "register-ann-index":
+        from lakehouse_benchmark_ingestion_spark.operators.ann_index import (
+            register_ann_index,
+        )
+
+        if not args.name:
+            p.error("register-ann-index requires --name (index table name)")
+        idx = register_ann_index(
+            spark,
+            cat.load_table(args.table),
+            args.warehouse,
+            name=args.name,
+            id_col=args.key,
+            vec_col=args.column or "embedding",
+            n_cells=args.cells,
+            centroid_mode=args.centroid_mode,
+        )
+        out["index"] = idx.location
+        out["vectors"] = idx.scan(spark).count()
 
     elif args.command == "sync-indexes":
         from lakehouse_benchmark_ingestion_spark.operators.index_sync import (

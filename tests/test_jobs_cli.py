@@ -437,3 +437,29 @@ def test_cli_text_index_register_and_sync(spark, warehouse, capsys):
         "doc_id long, source string, text string"))
     r = run(capsys, "sync-indexes", "--warehouse", warehouse, "--table", "docs")
     assert r["indexes"] == 1 and r["synced"] == 1
+
+
+def test_cli_ann_index_register_and_sync(spark, warehouse, capsys):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.similarity import FLAT_DIM
+
+    rows = []
+    for i in range(16):
+        v = [0.01 * ((i + j) % 3) for j in range(FLAT_DIM)]
+        v[i % 4] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = Catalog(warehouse).create_table("vectors", df.schema)
+    base.append(df)
+
+    r = run(capsys, "register-ann-index", "--warehouse", warehouse,
+            "--table", "vectors", "--name", "vec_ivf", "--cells", "4",
+            "--key", "vec_id", "--centroid-mode", "id-sample")
+    assert r["vectors"] == 16
+
+    base.append(spark.createDataFrame(
+        [(99, [1.0] + [0.0] * (FLAT_DIM - 1))],
+        "vec_id long, embedding array<double>"))
+    r = run(capsys, "sync-indexes", "--warehouse", warehouse,
+            "--table", "vectors")
+    assert r["indexes"] == 1 and r["synced"] == 1
