@@ -28,6 +28,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    persisted IVF index over T's head and register it)
     sync-indexes   --warehouse W --table T  (CDC-sync every registered
                    derived index to T's current snapshot)
+    search-text    --warehouse W --name IDX --text STR [--limit N]
+                   (documents containing any gram of STR, via the
+                   stats+bloom file-pruned postings probe)
     rewrite-manifests --warehouse W --table T
     minmax         --warehouse W --table T --column C [--where JSON]
                    (MIN/MAX pushed into manifest bounds; scans only
@@ -184,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--spec")  # set-partition-spec: JSON list of transforms
     p.add_argument("--gram-n", type=int, default=16)  # register-text-index
     p.add_argument("--cells", type=int, default=8)  # register-ann-index
+    p.add_argument("--text")  # search-text: the query string
     p.add_argument(  # register-ann-index quantizer (see similarity.ivf_ann_topk)
         "--centroid-mode", default="kmeans", choices=["kmeans", "id-sample"]
     )
@@ -562,6 +566,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         out["index"] = idx.location
         out["vectors"] = idx.scan(spark).count()
+
+    elif args.command == "search-text":
+        from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+            GRAM_COL,
+            HASH_B,
+            HASH_P,
+            PROP_N,
+            probe_text_index,
+        )
+
+        if not args.text:
+            p.error("search-text requires --text <query string>")
+        idx = cat.load_table(args.name or args.table)
+        n = int(idx.meta.properties[PROP_N])
+        # driver-side gram hashes of the query literal (same closed form
+        # as the index kernel) — a handful of ints, not row data
+        hashes = set()
+        for i in range(max(len(args.text) - n + 1, 1)):
+            h = 0
+            for ch in args.text[i:i + n]:
+                h = (h * HASH_B + ord(ch)) % HASH_P
+            hashes.add(h)
+        probe_df = spark.createDataFrame(
+            [(h,) for h in sorted(hashes)], f"{GRAM_COL} long"
+        )
+        hits, metrics = probe_text_index(spark, idx, probe_df)
+        rows = hits.limit(args.limit).collect()
+        out.update(metrics)
+        out["n_probe_grams"] = len(hashes)
+        out["hits"] = [{"doc_id": r["doc_id"], "source": r["source"]} for r in rows]
 
     elif args.command == "sync-indexes":
         from lakehouse_benchmark_ingestion_spark.operators.index_sync import (

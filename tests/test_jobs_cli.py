@@ -463,3 +463,25 @@ def test_cli_ann_index_register_and_sync(spark, warehouse, capsys):
     r = run(capsys, "sync-indexes", "--warehouse", warehouse,
             "--table", "vectors")
     assert r["indexes"] == 1 and r["synced"] == 1
+
+
+def test_cli_search_text(spark, warehouse, capsys):
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+
+    rows = [(i, "s", f"needle-{i:04d} haystack words") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = Catalog(warehouse).create_table("docs", df.schema)
+    base.append(df)
+    run(capsys, "register-text-index", "--warehouse", warehouse,
+        "--table", "docs", "--name", "docs_grams", "--gram-n", "8")
+
+    # exactly one 8-gram, unique to doc 7 (any-gram semantics would match
+    # every doc on the shared "needle-0" prefix)
+    r = run(capsys, "search-text", "--warehouse", warehouse,
+            "--name", "docs_grams", "--text", "dle-0007")
+    assert {h["doc_id"] for h in r["hits"]} == {7}
+    assert r["n_probe_grams"] >= 1 and r["files_total"] >= 1
+
+    r = run(capsys, "search-text", "--warehouse", warehouse,
+            "--name", "docs_grams", "--text", "ZZZZ@@@absent##string")
+    assert r["hits"] == []
