@@ -151,3 +151,66 @@ def test_status_reports_index_freshness(spark, tmp_path):
     assert table_health(base)["derived_indexes"] == {tix.location: "fresh"}
     IceliteTable.drop(tix.location)
     assert table_health(base)["derived_indexes"] == {tix.location: "dead"}
+
+
+def test_randomized_lifecycle_matches_rebuild(spark, tmp_path):
+    """Stateful fuzz of the sync contract: a seeded random sequence of
+    append / COW-delete / MERGE-update batches against the base, syncing
+    after every step, must leave the index IDENTICAL (postings multiset)
+    to a from-scratch rebuild over the live docs — any watermark slip,
+    unapplied delete, sequence-rule error, or double-applied diff shows
+    up as a multiset difference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.operators.text_index import (
+        build_text_index,
+    )
+
+    SCHEMA = "doc_id long, source string, text string"
+
+    def doc(i, rev=0):
+        return (i, f"s{i % 3}", f"body-{i:04d}-rev{rev}-payload")
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        wh = str(tmp_path / f"wh{seed}")
+        live = {i: doc(i) for i in range(10)}
+        base = Catalog(wh).create_table("docs", spark.createDataFrame(
+            list(live.values()), SCHEMA).schema)
+        base.append(spark.createDataFrame(list(live.values()), SCHEMA))
+        idx = register_text_index(spark, base, str(tmp_path / f"ix{seed}"),
+                                  n=8, num_files=2, bloom=False)
+        next_id = 100
+        for step in range(4):
+            op = rng.choice(["append", "delete", "update", "noop"])
+            if op == "append":
+                new = [doc(next_id + j) for j in range(rng.randint(1, 3))]
+                next_id += len(new)
+                base.append(spark.createDataFrame(new, SCHEMA))
+                live.update({d[0]: d for d in new})
+            elif op == "delete" and live:
+                victim = rng.choice(sorted(live))
+                delete_where(spark, base, {"doc_id": victim},
+                             strategy="cow", key="doc_id")
+                del live[victim]
+            elif op == "update" and live:
+                victim = rng.choice(sorted(live))
+                upd = doc(victim, rev=step + 1)
+                merge_into(spark, base, spark.createDataFrame(
+                    [(*upd, 1)], SCHEMA + ", _seq long"), key="doc_id")
+                live[victim] = upd
+            sync_registered_indexes(spark, base)
+
+        rebuilt = build_text_index(
+            spark,
+            spark.createDataFrame(sorted(live.values()), SCHEMA),
+            str(tmp_path / f"rb{seed}"), n=8, num_files=2, bloom=False,
+        )
+        a = idx.scan(spark).select("doc_id", "source", GRAM_COL)
+        b = rebuilt.scan(spark).select("doc_id", "source", GRAM_COL)
+        assert a.exceptAll(b).count() == 0, f"seed {seed}: extra postings"
+        assert b.exceptAll(a).count() == 0, f"seed {seed}: missing postings"
