@@ -1273,10 +1273,74 @@ MAINT_ORACLES: dict[str, str] = {
 #   3. the six north-rule certifiers (always in-window);
 #   4. backfill with the longest-unverified green queries.
 _CERTIFICATION_PRIORITY = [
-    # r1-fail fixes that MUST produce a green row this round
+    "maint_mv_minmax", # never certified
+    "maint_spec_migrate", # never certified
+    "maint_cherry_pick", # never certified
+    "pipe_ann_index_topk", # never certified
+    "pipe_contamination_indexed", # never certified
+    "pipe_global_shuffle", # never certified
+    "maint_index_sync", # never certified
+    "maint_scan",
+    "pipe_lsh_buckets",
+    "stream_sessions",
+    "pipe_multimodal_meta",
+    "pipe_source_median_ntok",
+    "pipe_simhash",
+    "pipe_ngram_jaccard",
+    "pipe_frame_sample",
+    "pipe_embedding_neardup",
+    "maint_scan_pre_compaction",
+    "maint_agg_by_source",
+    "maint_token_checksum",
+    "merge_result",
+    "zorder_key",
+    "merge_mor_result",
+    "merge_bucketed_result",
+    "maint_partial_progress",
+    "maint_partition_prune",
+    "maint_predicate_scan",
+    "maint_delete_where",
+    "maint_wap_publish",
+    "maint_changes",
+    "pipe_ann_ivf",
+    "maint_dsv2_scan",
+    "maint_dsv2_mor_scan",
+    "merge_agg",
+    "merge_mor_materialized",
+    "maint_schema_evolution",
+    "maint_mv_incremental",
+    "maint_replica_sync",
+    "maint_time_travel_tag",
+    "maint_update_where",
+    "maint_delete_mor",
+    "maint_delete_pos",
+    "maint_partitioned_scan",
+    "rel_nation_trade_volume",
+    "rel_promo_share",
+    "rel_big_orders_having",
+    "rel_supplier_exists_part",
+    "rel_mktsegment_rollup",
+    "rel_pricing_summary",
+    "rel_region_rollup",
+    "rel_order_revenue",
+    # ---- past the driver cutoff ----
+    "rel_customers_without_orders",
+    "rel_suppliers_semi",
+    "rel_top_order_per_customer",
+    "rel_running_share",
+    "rel_events_hourly",
+    "rel_click_no_purchase",
+    "rel_dedup_exact_docs",
+    "pipe_unigram_logprob",
+    "pipe_tfidf_topk",
+    "pipe_token_count",
+    "pipe_token_bpe",
+    "pipe_quality_score",
+    "pipe_lang_id",
+    "pipe_fingerprint",
+    "pipe_ann_topk",
     "pipe_events_props_json",
     "pipe_minhash_signature",
-    # scale-path dedup / ANN, never driver-checked
     "pipe_neardup_lsh",
     "pipe_dedup_minhash_pairs",
     "pipe_dup_clusters",
@@ -1285,17 +1349,13 @@ _CERTIFICATION_PRIORITY = [
     "pipe_incremental_dedup",
     "pipe_span_dedup",
     "pipe_chunk_windows",
-    # streaming surface (S1), never driver-checked
     "stream_ingested_scan",
     "stream_merge_upsert",
     "stream_dedup_ingest",
     "stream_windowed_rollup",
     "stream_multiplex_demux",
     "stream_cdc_apply",
-    # multimodal + grouped-map surface (pipe_multimodal_meta and
-    # pipe_source_median_ntok are r1-green; features is the uncertified one)
     "pipe_multimodal_features",
-    # training-data ops, never driver-checked
     "pipe_pack_sequences",
     "pipe_token_topk",
     "pipe_stratified_sample",
@@ -1308,11 +1368,8 @@ _CERTIFICATION_PRIORITY = [
     "pipe_bigram_topk",
     "pipe_e2e_training_prep",
     "pipe_length_quantiles",
-    # temporal joins, never driver-checked
     "rel_asof_error_click",
     "rel_events_in_windows",
-    # round-3 additions: rollback / metadata tables / pos-delete rewrite,
-    # never driver-checked (pytest-only until now)
     "maint_rollback_scan",
     "maint_metadata_files",
     "maint_pos_rewrite_scan",
@@ -1322,51 +1379,15 @@ _CERTIFICATION_PRIORITY = [
     "maint_spec_evolution",
     "maint_eq_to_pos",
     "maint_fast_count",
-    # late-round-3 additions, never driver-certified — rotated INTO the
-    # window so every registered query has a green row in some round
     "maint_row_lineage",
     "maint_expire_travel",
     "maint_manifest_rewrite",
     "pipe_gopher_rules",
     "stream_multiplex_cdc",
-    # final-session additions, never driver-certified — the 4 slots freed by
-    # r1-green queries (pipe_lsh_buckets, stream_sessions,
-    # pipe_multimodal_meta, pipe_source_median_ntok) go to these; the two
-    # remaining (maint_cherry_pick, maint_mv_minmax) defer to round 4
     "maint_fast_minmax",
     "maint_ndv_sketch",
     "stream_online_compact",
     "pipe_dsir_weights",
-    # north-star headline, re-certified every round (the other five core
-    # certifiers are r1+r2 double-green and yield their slots this round)
-    "maint_scan",
-    # first past the cutoff: r1-green queries that yielded their slots to
-    # the final-session additions above, then double-green core certifiers
-    "pipe_lsh_buckets",
-    "stream_sessions",
-    "pipe_multimodal_meta",
-    "pipe_source_median_ntok",
-    "maint_scan_pre_compaction",
-    "maint_agg_by_source",
-    "maint_token_checksum",
-    "merge_result",
-    "zorder_key",
-    # r1-green queries whose SURVEY rows are co-covered by in-window
-    # certifiers (multimodal: pipe_multimodal_meta/features; near-dup:
-    # pipe_neardup_lsh is the certified path) — first past the cutoff
-    "pipe_simhash",
-    "pipe_ngram_jaccard",
-    "pipe_frame_sample",
-    "pipe_embedding_neardup",
-    "merge_mor_result",
-    "merge_bucketed_result",
-    "maint_partial_progress",
-    "maint_partition_prune",
-    "maint_predicate_scan",
-    "maint_delete_where",
-    "maint_wap_publish",
-    "maint_changes",
-    "pipe_ann_ivf",
 ]
 
 

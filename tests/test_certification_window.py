@@ -45,11 +45,10 @@ def _registry():
 
 
 def _ever_green() -> set[str]:
+    import glob
+
     green: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(REPO, fname)
-        if not os.path.exists(path):
-            continue
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             if (
                 row.get("rows_match")
@@ -67,20 +66,11 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracles: {missing}"
 
 
-# Queries that could not fit the fully-allocated 50-slot window (49
-# never-certified + the always-in-window headline scan; four r1-green
-# queries yielded their slots in the final round-3 session). Locally
-# oracle-verified (tools/verify_queries.py); rotate INTO the window when
-# round 4 re-curates.
-DEFERRED_TO_NEXT_WINDOW = {
-    "maint_cherry_pick",
-    "maint_mv_minmax",
-    "maint_spec_migrate",
-    "pipe_contamination_indexed",
-    "pipe_ann_index_topk",
-    "pipe_global_shuffle",
-    "maint_index_sync",
-}
+# Queries registered too late to fit the current 50-slot window. Empty
+# after the round-4 rotation: every never-certified query now sits inside
+# the driver budget (tools/rotate_window.py --check enforces it). Add names
+# here only when a NEW query genuinely cannot fit until the next rotation.
+DEFERRED_TO_NEXT_WINDOW: set[str] = set()
 
 
 def test_never_certified_queries_fit_the_driver_budget():
