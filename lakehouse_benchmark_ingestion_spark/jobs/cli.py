@@ -152,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
-    p.add_argument("--key", default="doc_id")
+    p.add_argument("--key", default=None)  # per-command default: doc_id (CDC/merge), vec_id (ann index)
     p.add_argument(
         "--strategy", default=None,
         choices=["cow", "mor", "mor-pos", "dv"],
@@ -392,7 +392,7 @@ def main(argv: list[str] | None = None) -> int:
         updates = spark.read.parquet(args.updates_parquet)
         out.update(
             merge_into(
-                spark, cat.load_table(args.table), updates, key=args.key,
+                spark, cat.load_table(args.table), updates, key=args.key or "doc_id",
                 run_id=args.run_id, strategy=args.strategy,
             )
         )
@@ -501,7 +501,7 @@ def main(argv: list[str] | None = None) -> int:
             out.update(
                 delete_where(
                     spark, tbl, where, strategy=args.strategy,
-                    target_file_size=target, key=args.key, run_id=args.run_id,
+                    target_file_size=target, key=args.key or "doc_id", run_id=args.run_id,
                 )
             )
         else:
@@ -510,7 +510,7 @@ def main(argv: list[str] | None = None) -> int:
             out.update(
                 update_where(
                     spark, tbl, where, json.loads(args.set_json),
-                    target_file_size=target, key=args.key,
+                    target_file_size=target, key=args.key or "doc_id",
                     strategy=args.strategy, run_id=args.run_id,
                 )
             )
@@ -559,7 +559,7 @@ def main(argv: list[str] | None = None) -> int:
             cat.load_table(args.table),
             args.warehouse,
             name=args.name,
-            id_col=args.key,
+            id_col=args.key or "vec_id",
             vec_col=args.column or "embedding",
             n_cells=args.cells,
             centroid_mode=args.centroid_mode,
@@ -658,7 +658,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"{args.command} requires --name")
         base = cat.load_table(args.table)
         if args.command == "create-replica":
-            rep = create_replica(spark, cat, base, args.name, key=args.key)
+            rep = create_replica(spark, cat, base, args.name, key=args.key or "doc_id")
             out["replica"] = args.name
             out["rows"] = rep.scan(spark).count()
         else:
@@ -797,7 +797,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error("changelog-tail requires --state-dir")
         tbl = cat.load_table(args.table)
         r = changelog_tail(
-            spark, tbl, args.state_dir, key=args.key,
+            spark, tbl, args.state_dir, key=args.key or "doc_id",
             max_snapshots=args.max_snapshots,
         )
         counts = {
@@ -914,7 +914,7 @@ def main(argv: list[str] | None = None) -> int:
             tbl,
             args.source,
             args.checkpoint,
-            key=args.key,
+            key=args.key or "doc_id",
             trust_inserts=args.trust_inserts,
         )
         out["snapshot_id"] = tbl.current_snapshot().snapshot_id
@@ -947,7 +947,7 @@ def main(argv: list[str] | None = None) -> int:
             args.source,
             args.checkpoint,
             mode=args.mode,
-            key=args.key,
+            key=args.key or "doc_id",
             online_compaction=policy,
             compact_kwargs={
                 "curve": args.curve,

@@ -143,13 +143,15 @@ def ann_index_topk(
     by neighbor id. Returns (topk, metrics) where metrics records
     files_total / files_scanned so callers can assert the pruning."""
     cents = load_centroids(tbl)
-    # persist: the probed frame backs the cell collect AND the join below
-    # — the centroid-scoring assignment must evaluate once per probe
+    # no persist: the probed frame backs BOTH the cell collect and the join
+    # below, but the centroid-scoring assignment is deterministic (pinned
+    # driver-side centroid list), so each consumer may evaluate it — in the
+    # serving pattern (thousands of probes between ingests) a persist here
+    # would leak cached partitions across calls
     probed = (
         ivf_cells(probes, cents, "qv", n_cells=nprobe)
         .withColumnRenamed(CELL_COL, "cells")
         .withColumn("_qn", norm(F.col("qv")))
-        .persist()
     )
     # probed-cell set: ≤ n_cells ints of metadata (bounded by the quantizer
     # size, not the probe count) — drives manifest-level file pruning

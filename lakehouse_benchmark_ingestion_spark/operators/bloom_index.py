@@ -395,6 +395,13 @@ def bloom_range_probe_filter(
         if lo is None or hi is None:
             span = probes_sorted
         else:
+            # normalize like _stats_bisect_filter: manifest bounds round-trip
+            # through JSON (default=str for non-native types), so compare as
+            # int — a str bound would otherwise TypeError inside bisect
+            try:
+                lo, hi = int(lo), int(hi)
+            except (TypeError, ValueError):
+                return True  # unparseable bound — conservative
             span = probes_sorted[
                 bisect_left(probes_sorted, lo):bisect_right(probes_sorted, hi)
             ]

@@ -48,6 +48,10 @@ HASH_B = 31
 GRAM_COL = "gram_hash"
 PROP_N = "text-index.gram-n"
 PROP_SOURCE_COL = "text-index.source-column"
+#: "1"/"0" — whether this index keeps a bloom sidecar; recorded at build
+#: time so auto-sync (index_sync.sync_registered_indexes) honors the
+#: builder's choice instead of rebuilding a sidecar the index never had
+PROP_BLOOM = "text-index.bloom"
 
 #: probe sets up to this size are pulled to the driver for metadata-only
 #: file pruning (bloom + stats bisect over per-file bounds); larger sets
@@ -157,7 +161,7 @@ def build_text_index(
     )
     cat = Catalog(warehouse)
     tbl = cat.create_table(name, posting.schema)
-    tbl.set_properties({PROP_N: str(n)})
+    tbl.set_properties({PROP_N: str(n), PROP_BLOOM: "1" if bloom else "0"})
     _append_range_clustered(tbl, posting, num_files)
     if bloom:
         from .bloom_index import build_bloom_index
@@ -171,7 +175,7 @@ def refresh_text_index(
     tbl: IceliteTable,
     new_docs: DataFrame,
     num_files: int = 4,
-    bloom: bool = True,
+    bloom: bool | None = None,
 ) -> None:
     """Incremental maintenance: append postings for NEW documents only —
     O(new docs), the existing postings files are never rewritten (they are
@@ -180,6 +184,8 @@ def refresh_text_index(
     Callers feed this from the engine's own CDC diff (operators/changes)
     or any "docs since watermark" predicate."""
     n = int(tbl.meta.properties[PROP_N])
+    if bloom is None:
+        bloom = tbl.meta.properties.get(PROP_BLOOM, "1") == "1"
     _append_range_clustered(tbl, postings_df(new_docs, n), num_files)
     if bloom:
         from .bloom_index import build_bloom_index
@@ -319,7 +325,7 @@ def sync_text_index(
     base,
     tbl: IceliteTable,
     num_files: int = 4,
-    bloom: bool = True,
+    bloom: bool | None = None,
 ) -> dict:
     """Advance the index to the base table's current snapshot by applying
     the engine's own CDC diff — O(changed docs), never a rebuild:
@@ -342,6 +348,8 @@ def sync_text_index(
     from .index_sync import commit_index_delta
 
     props = tbl.meta.properties
+    if bloom is None:
+        bloom = props.get(PROP_BLOOM, "1") == "1"
     from_id = int(props[PROP_BASE_SNAPSHOT])
     head = base.current_snapshot()
     if head is None or from_id == head.snapshot_id:

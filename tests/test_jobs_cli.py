@@ -452,9 +452,11 @@ def test_cli_ann_index_register_and_sync(spark, warehouse, capsys):
     base = Catalog(warehouse).create_table("vectors", df.schema)
     base.append(df)
 
+    # no --key: the command's own default must be vec_id (the usage text's
+    # promise) — the CDC commands' doc_id default must not leak in here
     r = run(capsys, "register-ann-index", "--warehouse", warehouse,
             "--table", "vectors", "--name", "vec_ivf", "--cells", "4",
-            "--key", "vec_id", "--centroid-mode", "id-sample")
+            "--centroid-mode", "id-sample")
     assert r["vectors"] == 16
 
     base.append(spark.createDataFrame(
