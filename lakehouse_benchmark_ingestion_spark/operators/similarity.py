@@ -12,6 +12,7 @@ global scan; the bucket groupBy is the only shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -282,6 +283,13 @@ def quantization_error(df: DataFrame, centroids, vec_col: str = "embedding") -> 
     """Mean (1 - cosine-to-nearest-centroid) — the objective kmeans improves."""
     from pyspark.sql import functions as F
 
+    if len(centroids) > CENTROID_LITERAL_MAX:
+        # large K: the greatest()-fold below also grows the plan O(K*dim);
+        # reuse the broadcast-matrix ranking (rounded at 6 decimals — noise
+        # for an objective metric)
+        best = F.element_at(_centroid_rank_pandas(vec_col, centroids), 1)["c"]
+        row = df.select(F.avg(F.lit(1.0) - best).alias("err")).collect()[0]
+        return float(row["err"])
     best = None
     for _cid, w in centroids:
         wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
@@ -321,10 +329,27 @@ def ivf_cells(
     return df.withColumn(out_col, cells)
 
 
+#: above this many centroids the ranking switches from inlined literal
+#: arrays (zero Python, but the Catalyst projection tree grows O(K*dim)
+#: and plan compilation becomes the bottleneck long before execution —
+#: SemDeDup's own "K proportional to corpus" contract implies K~1e5 at
+#: 1e12 rows) to ONE vectorized pandas UDF over a broadcast numpy
+#: centroid matrix: plan size O(1) in K, assignment stays the same
+#: N*K-flop map-only pass, now as a BLAS matmul per Arrow batch.
+CENTROID_LITERAL_MAX = 256
+
+
 def _centroid_rank_array(vec_col: str, centroids) -> Column:
     """Centroid ranking expression shared by ``ivf_cells`` and ``semdedup``:
     an array of (rounded cosine, -cid) structs sorted best-first, so
-    element 1 is the assigned cell and carries the centroid cosine."""
+    element 1 is the assigned cell and carries the centroid cosine.
+
+    Two physical strategies behind one contract (same column type, same
+    ordering, same 6-decimal rounding): literal JVM folds below
+    ``CENTROID_LITERAL_MAX`` centroids, a broadcast-matrix pandas UDF
+    above it (``_centroid_rank_pandas``)."""
+    if len(centroids) > CENTROID_LITERAL_MAX:
+        return _centroid_rank_pandas(vec_col, centroids)
     entries = []
     for cid, w in centroids:
         wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
@@ -347,6 +372,60 @@ def _centroid_rank_array(vec_col: str, centroids) -> Column:
         c = F.round(d / (F.sqrt(vv) * F.lit(ww) ** 0.5), 6)
         entries.append(F.struct(c.alias("c"), F.lit(-cid).cast("long").alias("nid")))
     return F.sort_array(F.array(*entries), asc=False)
+
+
+def _centroid_rank_pandas(vec_col: str, centroids) -> Column:
+    """Large-K centroid ranking: one Arrow-batched pandas UDF scoring every
+    vector against a broadcast numpy centroid matrix (K x dim float64).
+
+    Mirrors the literal path's arithmetic: per-element products in float64
+    (float32 inputs widen exactly), centroid norms from the SAME Python
+    ``sum(x*x) ** 0.5``, cosine rounded HALF_UP to 6 decimals (Spark
+    ``F.round`` semantics, not numpy's half-even), ties ordered by cosine
+    desc then nid desc (= cid asc) exactly like ``sort_array`` on the
+    (c, nid) struct. Summation order inside the dot product differs from
+    the JVM's sequential fold by at most a few ulps pre-rounding — the
+    same tolerance the certified oracles already accept between Spark and
+    DuckDB evaluation orders."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    W = np.asarray([w for _, w in centroids], dtype=np.float64)
+    wn = np.asarray(
+        [sum(float(x) * float(x) for x in w) ** 0.5 for _, w in centroids],
+        dtype=np.float64,
+    )
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("c", T.DoubleType()),
+                T.StructField("nid", T.LongType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_type)
+    def rank(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        vv = np.einsum("ij,ij->i", V, V)
+        D = V @ W.T  # B x K — the whole assignment cost, one BLAS call
+        C = D / (np.sqrt(vv)[:, None] * wn[None, :])
+        # HALF_UP at 6 decimals (sign-aware away-from-zero on ties)
+        C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        out = []
+        for i in range(C.shape[0]):
+            order = np.lexsort((cids, -C[i]))  # c desc, then cid asc
+            out.append(
+                [
+                    {"c": float(C[i, j]), "nid": int(-cids[j])}
+                    for j in order
+                ]
+            )
+        return pd.Series(out)
+
+    return rank(F.col(vec_col))
 
 
 def semdedup(
