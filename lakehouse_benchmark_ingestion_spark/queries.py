@@ -803,6 +803,61 @@ def q_maint_spec_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _seq_scan_cols(p["table_specmig"].scan(spark))
 
 
+def q_maint_spec_stats_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec migration and partition-stats freshness certified TOGETHER
+    (Iceberg rewrite-writes-current-spec + partition-statistics files):
+    a two-era table (unpartitioned, then identity(source)) registers a
+    partition-stats file at the pre-migration head; ``migrate_partition_spec``
+    moves the head, the stale registration must be REFUSED by the strict
+    reader (asserted — stats may never silently describe a dead layout),
+    and the recomputed stats at the migrated head — grouped by the now
+    uniform identity(source) tuples — must equal a declarative data-side
+    GROUP BY. Reference parity: the continuously-maintained sink tables'
+    metadata metrics (IcebergCatalogSync.java:116) staying truthful through
+    layout rewrites."""
+    from .icelite import partition as ps
+    from .operators.compaction import migrate_partition_spec
+    from .operators.partition_stats import (
+        read_partition_stats,
+        write_partition_stats,
+    )
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_specstats" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_specstats", df.schema
+        )
+        half = F.col("doc_id").cast("long") % 2
+        tbl.append(df.filter(half == 0), num_files=2)  # era 1: unpartitioned
+        tbl.set_partition_spec([{"col": "source", "transform": "identity"}])
+        tbl.append(df.filter(half == 1))  # era 2: identity(source)
+        write_partition_stats(spark, tbl)  # registered at PRE-migration head
+        res = migrate_partition_spec(spark, tbl, target_file_size=4 << 20)
+        assert res["groups"] > 0
+        assert all(
+            ps.conforms(f.partition_json, tbl.partition_spec)
+            for f in tbl.data_files()
+        ), "every live file must conform to the current spec after migration"
+        try:
+            read_partition_stats(spark, tbl, allow_recompute=False)
+            raise AssertionError(
+                "stale partition-stats registration served at the new head"
+            )
+        except ValueError:
+            pass
+        write_partition_stats(spark, tbl)  # recompute at the migrated head
+        p["table_specstats"] = tbl
+    stats, kind = read_partition_stats(
+        spark, p["table_specstats"], allow_recompute=False
+    )
+    assert kind == "stats-file", kind
+    return stats.select(
+        F.get_json_object("partition_json", "$.source").alias("source"),
+        F.col("record_count").alias("n_docs"),
+    )
+
+
 def q_maint_eq_to_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eq-delete -> pos-delete conversion (the Iceberg-v3 delete-file
     evolution direction): two MOR predicate deletes leave two eq-delete
@@ -1179,6 +1234,11 @@ MAINT_ORACLES: dict[str, str] = {
     ),
     "maint_spec_evolution": digest_scan_sql(TOKENS_ORACLE_SQL),
     "maint_spec_migrate": digest_scan_sql(TOKENS_ORACLE_SQL),
+    "maint_spec_stats_fresh": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL})
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM seq GROUP BY source
+    """,
     "maint_fast_count": f"""
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
@@ -1275,6 +1335,7 @@ MAINT_ORACLES: dict[str, str] = {
 _CERTIFICATION_PRIORITY = [
     "maint_mv_minmax", # never certified
     "maint_spec_migrate", # never certified
+    "maint_spec_stats_fresh", # new this round: migrate + stats freshness
     "maint_cherry_pick", # never certified
     "pipe_ann_index_topk", # never certified
     "pipe_contamination_indexed", # never certified
@@ -1431,6 +1492,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_bloom_lookup": q_maint_bloom_lookup,
         "maint_spec_evolution": q_maint_spec_evolution,
         "maint_spec_migrate": q_maint_spec_migrate,
+        "maint_spec_stats_fresh": q_maint_spec_stats_fresh,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_fast_minmax": q_maint_fast_minmax,
