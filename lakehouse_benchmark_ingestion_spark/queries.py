@@ -479,6 +479,52 @@ def q_maint_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_changelog_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed changelog CONSUMER certified end-to-end — the engine's
+    Delta-CDF-reader analogue and the consumer half of the reference's CDC
+    contract (bootstrap-then-tail startup, SyncDbFunction.java:128-135):
+    first call bootstraps the whole table as inserts (count asserted) and
+    acks; a predicate delete + an append move the head; the next call tails
+    BOTH commits, an un-acked re-call must replay the identical range
+    (at-least-once, asserted), ack advances the offset atomically, and a
+    final call must return empty (caught up, asserted). The certified
+    result is the tailed I/U/D set vs a declarative DuckDB diff."""
+    from .operators.changes import changelog_tail
+    from .operators.row_dml import delete_where
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "tail_result" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_tail", df.schema
+        )
+        half = F.col("doc_id").cast("long") % 2
+        tbl.append(df.filter(half == 0), num_files=2)
+        state = os.path.join(p["warehouse"], "_tail_state")
+        boot = changelog_tail(spark, tbl, state)
+        assert boot["df"].count() == df.filter(half == 0).count(), (
+            "bootstrap must emit the whole current table as inserts"
+        )
+        boot["ack"]()
+        delete_where(spark, tbl, {"n_tok": (100, None)}, strategy="cow")
+        tbl.append(df.filter(half == 1))
+        r1 = changelog_tail(spark, tbl, state)
+        r2 = changelog_tail(spark, tbl, state)  # un-acked: must replay
+        assert (r1["from_snapshot_id"], r1["to_snapshot_id"]) == (
+            r2["from_snapshot_id"],
+            r2["to_snapshot_id"],
+        ), "at-least-once: un-acked consumer must replay the same range"
+        r2["ack"]()
+        assert changelog_tail(spark, tbl, state)["df"].count() == 0, (
+            "acked consumer at the head must read empty"
+        )
+        p["tail_result"] = r1["df"].select(
+            "doc_id", "n_tok", "source",
+            F.expr(TOK_DIGEST_SPARK).alias("tok_digest"), "change_type",
+        )
+    return p["tail_result"]
+
+
 def q_maint_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename-under-live-data: files from before AND after a rename of a
     column answer one scan under the current schema (alias-aware coalesce,
@@ -1239,6 +1285,21 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         FROM seq GROUP BY source
     """,
+    # the tailed range covers a predicate delete (n_tok >= 100 over the
+    # even-doc_id half) followed by an append of the odd half; key sets are
+    # disjoint so no update pairs arise
+    "maint_changelog_consumer": f"""
+        WITH seq AS ({TOKENS_ORACLE_SQL}),
+             half0 AS (SELECT * FROM seq WHERE CAST(doc_id AS BIGINT) % 2 = 0),
+             half1 AS (SELECT * FROM seq WHERE CAST(doc_id AS BIGINT) % 2 = 1)
+        SELECT doc_id, n_tok, source, {TOK_DIGEST_DUCK} AS tok_digest,
+               'delete' AS change_type
+        FROM half0 WHERE n_tok >= 100
+        UNION ALL
+        SELECT doc_id, n_tok, source, {TOK_DIGEST_DUCK} AS tok_digest,
+               'insert' AS change_type
+        FROM half1
+    """,
     "maint_fast_count": f"""
         SELECT CAST(count(*) AS BIGINT) AS cnt
         FROM ({TOKENS_ORACLE_SQL}) WHERE source = 'src3'
@@ -1336,6 +1397,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_mv_minmax", # never certified
     "maint_spec_migrate", # never certified
     "maint_spec_stats_fresh", # new this round: migrate + stats freshness
+    "maint_changelog_consumer", # new this round: checkpointed CDF consumer
     "maint_cherry_pick", # never certified
     "pipe_ann_index_topk", # never certified
     "pipe_contamination_indexed", # never certified
@@ -1493,6 +1555,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_spec_evolution": q_maint_spec_evolution,
         "maint_spec_migrate": q_maint_spec_migrate,
         "maint_spec_stats_fresh": q_maint_spec_stats_fresh,
+        "maint_changelog_consumer": q_maint_changelog_consumer,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_fast_minmax": q_maint_fast_minmax,
