@@ -225,6 +225,42 @@ def run_bench() -> dict:
     tbl.scan(spark).groupBy("source").agg(F.count("*").alias("n")).collect()
     timings["scan_after_mor"] = round(time.time() - t0, 3)
 
+    # ---- deletion vectors at cardinality (v3 flagship; not part of the
+    # suite wall): ~1% of rows deleted as v2 row-file pos-deletes, then
+    # converted to ONE DV bitmap sidecar — sidecar bytes for both formats
+    # plus the DV-applied scan cost guard the feature against regression.
+    from lakehouse_benchmark_ingestion_spark.operators.pos_delete_rewrite import (
+        convert_pos_deletes_to_dv,
+    )
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+
+    t0 = time.time()
+    m_del = delete_where(spark, tbl, {"n_tok": (64, 64)}, strategy="mor-pos")
+    timings["delete_1pct_pos"] = round(time.time() - t0, 3)
+    pos_rows = [f for f in tbl.pos_delete_files()]
+    pos_bytes = sum(f.file_size_bytes for f in pos_rows)
+    dv_deleted = sum(f.record_count for f in pos_rows)
+
+    t0 = time.time()
+    convert_pos_deletes_to_dv(spark, tbl)
+    timings["convert_pos_to_dv"] = round(time.time() - t0, 3)
+    dv_sidecars = [
+        f for f in tbl.pos_delete_files() if f.delete_format == "dv"
+    ]
+    dv_bytes = sum(f.file_size_bytes for f in dv_sidecars)
+
+    # direct --strategy dv write path (a second ~1% slice): positions are
+    # packed to bitmaps executor-side in the delete itself — no row files
+    t0 = time.time()
+    delete_where(spark, tbl, {"n_tok": (72, 72)}, strategy="dv")
+    timings["delete_1pct_dv_direct"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_after_dv = (
+        tbl.scan(spark).groupBy("source").agg(F.count("*").alias("n")).collect()
+    )
+    timings["scan_after_dv"] = round(time.time() - t0, 3)
+
     gb = bytes_in / 1e9
     out = {
         "metric": "maintenance_suite_wall",
@@ -246,6 +282,11 @@ def run_bench() -> dict:
         "bloom_files_scanned_absent": bloom_files_scanned,
         "scan_rows": agg and sum(r.n for r in agg),
         "token_checksum": full[0]["cksum"],
+        "dv_deleted_positions": dv_deleted,
+        "pos_delete_bytes": pos_bytes,
+        "dv_sidecar_bytes": dv_bytes,
+        "dv_sidecar_files": len(dv_sidecars),
+        "rows_after_dv": n_after_dv and sum(r.n for r in n_after_dv),
     }
     shutil.rmtree(wh, ignore_errors=True)
     return out
