@@ -570,9 +570,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "search-text":
         from lakehouse_benchmark_ingestion_spark.operators.text_index import (
             GRAM_COL,
-            HASH_B,
-            HASH_P,
             PROP_N,
+            gram_hashes_py,
             probe_text_index,
         )
 
@@ -582,14 +581,9 @@ def main(argv: list[str] | None = None) -> int:
         n = int(idx.meta.properties[PROP_N])
         # driver-side gram hashes of the query literal (same closed form
         # as the index kernel) — a handful of ints, not row data
-        hashes = set()
-        for i in range(max(len(args.text) - n + 1, 1)):
-            h = 0
-            for ch in args.text[i:i + n]:
-                h = (h * HASH_B + ord(ch)) % HASH_P
-            hashes.add(h)
+        hashes = gram_hashes_py(args.text, n)
         probe_df = spark.createDataFrame(
-            [(h,) for h in sorted(hashes)], f"{GRAM_COL} long"
+            [(h,) for h in hashes], f"{GRAM_COL} long"
         )
         hits, metrics = probe_text_index(spark, idx, probe_df)
         rows = hits.limit(args.limit).collect()

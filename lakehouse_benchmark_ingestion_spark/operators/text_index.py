@@ -78,6 +78,19 @@ def gram_hash_col(text_col: str, n: int) -> Column:
     )
 
 
+def gram_hashes_py(text: str, n: int) -> list[int]:
+    """Driver-side twin of ``gram_hash_col`` for QUERY literals: the sorted
+    distinct polynomial hashes of every char n-gram of ``text``. A handful
+    of ints, not row data — the probe set ``probe_text_index`` consumes."""
+    hashes = set()
+    for i in range(max(len(text) - n + 1, 1)):
+        h = 0
+        for ch in text[i:i + n]:
+            h = (h * HASH_B + ord(ch)) % HASH_P
+        hashes.add(h)
+    return sorted(hashes)
+
+
 def gram_hashes_udf(n: int):
     """Vectorized Arrow twin of ``gram_hash_col`` — the HOT-PATH kernel.
 

@@ -193,20 +193,29 @@ def q_contamination_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived-index lifecycle certified end-to-end against the oracle:
+    """The derived-index lifecycle certified end-to-end UNDER MAINTENANCE:
     an icelite docs base table gets HALF the corpus, a text index is
     registered over it, then the base receives the other half (append) and
-    loses a slice (COW delete) — and ONE ``sync_registered_indexes`` pass
-    must leave the index holding exactly the live corpus's postings
-    (insert half applied, deleted docs' postings suppressed by the MOR
-    eq-delete). Certified shape: per-source indexed-doc and posting
-    counts; the oracle recomputes both from the live documents with the
-    gram-hash replay, so a stale watermark, an unapplied delete, or a
-    duplicated sync all mismatch."""
+    loses a slice (COW delete) — and ONE ``run_full_maintenance`` pass
+    (compact + cluster + manifest rewrite + AUTO index-sync + snapshot
+    expiration, plans/maintenance.py) must leave the index holding exactly
+    the live corpus's postings (insert half applied, deleted docs'
+    postings suppressed by the MOR eq-delete), with the sync's watermark
+    moved BEFORE expiration made the old base snapshot unreachable — the
+    registry's whole freshness claim. A file-pruned probe from the synced
+    index must also hit a doc from the appended half (asserted). Certified
+    shape: per-source indexed-doc and posting counts; the oracle recomputes
+    both from the live documents with the gram-hash replay, so a stale
+    watermark, an unapplied delete, or a duplicated sync all mismatch."""
     from .icelite import Catalog
-    from .operators.index_sync import sync_registered_indexes
     from .operators.row_dml import delete_where
-    from .operators.text_index import register_text_index
+    from .operators.text_index import (
+        GRAM_COL,
+        gram_hashes_py,
+        probe_text_index,
+        register_text_index,
+    )
+    from .plans.maintenance import run_full_maintenance
     from .queries import prepared_warehouse
 
     p = prepared_warehouse(spark, sf_dir)
@@ -223,8 +232,27 @@ def q_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.append(d.filter(F.col("doc_id") % 2 == 1), num_files=2)
         delete_where(spark, base, {"doc_id": (0, 49)}, strategy="cow",
                      key="doc_id")
-        r = sync_registered_indexes(spark, base)
-        assert r["synced"] == 1, r
+        m = run_full_maintenance(
+            spark, base, target_file_size=4 << 20, expire_keep_last=1,
+        )
+        assert m["index_sync"]["files_out"] == 1, (
+            "auto-sync must have caught the registered index up to head"
+        )
+        # probe the SYNCED index for a doc only the appended half contains:
+        # an unapplied insert half (or a stale watermark) would miss it
+        probe_doc = [
+            r for r in d.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") > 49)
+            ).limit(1).collect()
+        ][0]
+        probes = spark.createDataFrame(
+            [(h,) for h in gram_hashes_py(probe_doc["text"], GRAM_N)],
+            f"{GRAM_COL} long",
+        )
+        hits, _metrics = probe_text_index(spark, idx, probes)
+        assert hits.filter(
+            F.col("doc_id") == probe_doc["doc_id"]
+        ).count() == 1, "synced index must answer a probe for an appended doc"
         p["tix_sync"] = idx
     return (
         p["tix_sync"].scan(spark)
