@@ -172,3 +172,36 @@ def test_ann_sync_applies_appends_and_deletes(spark, tmp_path):
 
     # idempotent
     assert not sync_ann_index(spark, base, idx)["synced"]
+
+
+def test_large_k_index_build_and_search(spark, tmp_path):
+    """K past CENTROID_LITERAL_MAX: assignment (build, refresh) and probe
+    routing must switch to the broadcast-matrix pandas path transparently —
+    the persisted quantizer is the engine's largest K consumer. 300 cells
+    over a small corpus: many cells stay empty (fine), answers must still
+    equal brute-force cosine over the visited cells' contract, and refresh
+    must keep the quantizer pinned."""
+    from lakehouse_benchmark_ingestion_spark.operators import similarity as sim
+
+    assert 300 > sim.CENTROID_LITERAL_MAX
+    vecs = _vecs(spark, 64)
+    idx = build_ann_index(
+        spark, vecs, str(tmp_path / "bigk"), n_cells=300,
+        centroid_mode="id-sample",
+    )
+    assert len(load_centroids(idx)) <= 300  # id-sample caps at corpus ids
+    before = load_centroids(idx)
+
+    probes = _probes(vecs)
+    got, metrics = ann_index_topk(spark, idx, probes, k=3, nprobe=2)
+    assert metrics["files_scanned"] <= metrics["files_total"]
+    want = ivf_ann_topk(
+        vecs, probes, k=3, n_centroids=300, nprobe=2
+    ).select("query_id", "neighbor_id", "cosine", "rk")
+    assert _rows(got) == _rows(want)
+
+    extra = spark.createDataFrame(
+        [(1000, [1.0] + [0.0] * (DIM - 1))], "vec_id long, embedding array<double>"
+    )
+    refresh_ann_index(spark, idx, extra)
+    assert load_centroids(idx) == before  # quantizer pinned through large-K refresh
