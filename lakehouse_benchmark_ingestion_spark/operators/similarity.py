@@ -408,14 +408,30 @@ def _centroid_rank_pandas(vec_col: str, centroids) -> Column:
 
     @pandas_udf(out_type)
     def rank(vs: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(vs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        null_mask = vs.isna().to_numpy()
+        V = np.stack(
+            [
+                np.zeros(W.shape[1])
+                if null_mask[i]
+                else np.asarray(vs.iloc[i], dtype=np.float64)
+                for i in range(len(vs))
+            ]
+        )
         vv = np.einsum("ij,ij->i", V, V)
         D = V @ W.T  # B x K — the whole assignment cost, one BLAS call
-        C = D / (np.sqrt(vv)[:, None] * wn[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = D / (np.sqrt(vv)[:, None] * wn[None, :])
         # HALF_UP at 6 decimals (sign-aware away-from-zero on ties)
         C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
         out = []
         for i in range(C.shape[0]):
+            if null_mask[i]:
+                # vectors are non-null by contract; a stray null degrades to
+                # a null ranked array instead of crashing the whole batch
+                out.append(None)
+                continue
             order = np.lexsort((cids, -C[i]))  # c desc, then cid asc
             out.append(
                 [

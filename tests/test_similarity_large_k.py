@@ -112,3 +112,24 @@ def test_kmeans_through_large_k_threshold(spark, monkeypatch, n_cells):
         for r in sim.ivf_cells(df, cents, "embedding", n_cells=n_cells).collect()
     }
     assert got == want
+
+
+def test_large_k_null_and_empty_batches(spark):
+    """Null vectors mirror the literal path (null ranked array), and empty
+    partitions (empty Arrow batches) must not crash the kernel."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, [0.5] * DIM), (1, None), (2, [0.25] * DIM)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8)  # more partitions than rows -> some empty batches
+    out = (
+        df.select(
+            "vec_id",
+            sim._centroid_rank_array("embedding", _centroids()).alias("r"),
+        )
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["r"] for r in out}
+    assert by_id[1] is None
+    assert by_id[0] is not None and len(by_id[0]) == K
