@@ -24,6 +24,15 @@ def main() -> int:
     qs = entry.queries()
     if filters:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
+    # warm the shared warehouse UP FRONT so its one-time build (ingest +
+    # full maintenance + MERGE) is charged to this setup line, not to
+    # whichever query happens to run first in the certification order
+    from lakehouse_benchmark_ingestion_spark.queries import prepared_warehouse
+
+    t0 = time.time()
+    prepared_warehouse(spark, sf_dir)
+    print(f"{'(prepared_warehouse setup)':32s} {'':>9s}       {time.time() - t0:7.1f}s",
+          flush=True)
     timings: list[tuple[str, int, float]] = []
     for name, fn in qs.items():
         t0 = time.time()
