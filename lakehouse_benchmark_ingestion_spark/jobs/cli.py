@@ -15,6 +15,9 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
                    [--salts N] [--run-id ID] [--concurrency N]
                    [--partial-progress N]  (commit every N groups instead of
                    one all-or-nothing swap — Iceberg partial-progress)
+                   [--delete-file-threshold N]  (also rewrite any file
+                   addressed by >= N delete sidecars, materializing the
+                   deletes — Iceberg delete-file-threshold)
     cluster        --warehouse W --table T [--target-mb N] [--curve ...] [--salts N]
     migrate-spec   --warehouse W --table T [--target-mb N]  (rewrite every
                    file whose partition tuple predates the current spec —
@@ -149,6 +152,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--concurrency", type=int, default=8)
     # compact: commit every N groups (Iceberg partial-progress.enabled)
     p.add_argument("--partial-progress", type=int, default=None)
+    # compact: also rewrite any file addressed by >= N delete sidecars
+    # (Iceberg delete-file-threshold), materializing the deletes
+    p.add_argument("--delete-file-threshold", type=int, default=None)
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
@@ -277,6 +283,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_concurrent_groups=args.concurrency,
                 partial_progress_commits=args.partial_progress,
                 where=where,
+                delete_file_threshold=args.delete_file_threshold,
             )
         )
 

@@ -64,6 +64,38 @@ class CompactionPlan:
     groups: list[CompactionGroup] = field(default_factory=list)
 
 
+def delete_debt(
+    table: IceliteTable, snapshot_id: int | None = None
+) -> dict[str, int]:
+    """Per-data-file count of delete sidecars that may address it — pure
+    manifest metadata, no sidecar bodies read (Iceberg's
+    ``delete-file-threshold`` accounting): an equality-delete file counts
+    against every data file with a LOWER sequence number (the v2 strict-<
+    rule, icelite/mor.py); a pos/DV sidecar counts against the data files
+    inside its recorded ``file_path`` bounds — exact when the sidecar was
+    stats-harvested on file_path (every engine writer does), conservative
+    all-files otherwise."""
+    snap = table.current_snapshot()
+    sid = snapshot_id if snapshot_id is not None else (
+        snap.snapshot_id if snap else None
+    )
+    if sid is None:
+        return {}
+    files = table.data_files(sid)
+    eq = table.delete_files(sid)
+    pos = table.pos_delete_files(sid)
+    debt: dict[str, int] = {}
+    for f in files:
+        d = sum(1 for e in eq if e.sequence_number > f.sequence_number)
+        for s in pos:
+            lo = s.lower_bounds.get("file_path") if s.lower_bounds else None
+            hi = s.upper_bounds.get("file_path") if s.upper_bounds else None
+            if lo is None or hi is None or (str(lo) <= f.path <= str(hi)):
+                d += 1
+        debt[f.path] = d
+    return debt
+
+
 def plan_compaction(
     table: IceliteTable,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
@@ -72,6 +104,7 @@ def plan_compaction(
     max_group_size: int | None = None,
     where: dict | None = None,
     spec_migration: bool = False,
+    delete_file_threshold: int | None = None,
 ) -> CompactionPlan:
     """Greedy first-fit-decreasing bin packing of small files.
 
@@ -100,6 +133,7 @@ def plan_compaction(
         keep = {f.path for f in table.select_data_files(where, snap.snapshot_id)}
         files = [f for f in files if f.path in keep]
     has_pspec = table.partition_spec is not None
+    debt_paths: set[str] = set()
     if spec_migration:
         # spec-migration mode (Iceberg: RewriteDataFiles always writes the
         # table's CURRENT spec): candidates are exactly the files whose
@@ -111,6 +145,17 @@ def plan_compaction(
             if not ps.conforms(f.partition_json, table.partition_spec)
         ]
     else:
+        # delete-debt candidates (Iceberg rewrite_data_files
+        # delete-file-threshold): a file addressed by >= threshold delete
+        # sidecars is rewritten REGARDLESS of size — the rewrite reads
+        # through the delete-applied reader, materializing the deletes, and
+        # the commit GCs the now-dead sidecars (the read-side anti-join
+        # cost disappears). Opt-in: None disables (existing plans unchanged).
+        if delete_file_threshold is not None:
+            debt = delete_debt(table, snap.snapshot_id)
+            debt_paths = {
+                p for p, d in debt.items() if d >= delete_file_threshold
+            }
         small = [
             f
             for f in files
@@ -118,6 +163,7 @@ def plan_compaction(
             # unpartitioned stragglers on a spec'd table are ALWAYS candidates
             # (regardless of size): the fold is layout healing, not bin packing
             or (has_pspec and f.partition_json == "{}")
+            or f.path in debt_paths
         ]
 
     # bucketed tables (Hudi-style bucket index): never mix buckets in one
@@ -150,6 +196,8 @@ def plan_compaction(
                 len(b) < min_input_files
                 and not (has_pspec and pjson == "{}")
                 and not spec_migration
+                # a solo delete-debt rewrite IS the point: materialize
+                and not any(f.path in debt_paths for f in b)
             ):
                 continue
             plan.groups.append(
@@ -252,6 +300,7 @@ def compact(
     delete_conflict_retries: int = 1,
     where: dict | None = None,
     spec_migration: bool = False,
+    delete_file_threshold: int | None = None,
 ) -> dict:
     """Compaction with validate-no-new-deletes: every commit (partial and
     final) validates that no eq-/pos-delete file landed after the PLAN
@@ -274,7 +323,7 @@ def compact(
                 run_id if attempt == 0 else None, plan if attempt == 0 else None,
                 fail_after_groups, timestamp_ms, max_concurrent_groups,
                 max_group_size, partial_progress_commits, where,
-                spec_migration,
+                spec_migration, delete_file_threshold,
             )
         except md.ValidationFailed:
             if attempt == attempts - 1:
@@ -297,6 +346,7 @@ def _compact_attempt(
     partial_progress_commits: int | None = None,
     where: dict | None = None,
     spec_migration: bool = False,
+    delete_file_threshold: int | None = None,
 ) -> dict:
     """Run (or resume) a compaction; returns metrics.
 
@@ -324,6 +374,7 @@ def _compact_attempt(
         plan = plan_compaction(
             table, target_file_size, max_group_size=max_group_size, where=where,
             spec_migration=spec_migration,
+            delete_file_threshold=delete_file_threshold,
         )
     # everything below is pinned to the PLAN snapshot: delete set, group
     # reads, and resume matching — a run must be internally consistent even

@@ -904,6 +904,43 @@ def q_maint_spec_stats_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_compact_delete_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-debt-aware compaction (Iceberg rewrite_data_files
+    ``delete-file-threshold`` parity): two MOR position-deletes address
+    files that are NOT small (the size-based planner plans zero groups,
+    asserted); `compact(delete_file_threshold=2)` must rewrite the
+    addressed files anyway, materializing the deletes — all sidecars GC'd
+    in the commit (asserted), a second plan is empty (idempotence,
+    asserted), and the scan must equal the declarative remainder."""
+    from .operators.compaction import compact, plan_compaction
+    from .operators.row_dml import delete_where
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_debt" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table("sequences_debt", df.schema)
+        tbl.append(df, num_files=2)
+        delete_where(spark, tbl, {"n_tok": (40, 60)}, strategy="mor-pos")
+        delete_where(spark, tbl, {"n_tok": (61, 90)}, strategy="mor-pos")
+        assert len(tbl.pos_delete_files()) == 2
+        # target chosen so every live file counts as LARGE (>= 0.75*target)
+        # but rewrite output splitting stays O(few) files at any sf
+        tiny = max(1, min(f.file_size_bytes for f in tbl.data_files()) // 2)
+        assert plan_compaction(tbl, tiny).groups == []
+        compact(spark, tbl, target_file_size=tiny, delete_file_threshold=2)
+        assert not tbl.pos_delete_files(), "deletes must be materialized"
+        # debt idempotence: with the sidecars gone, the threshold adds NO
+        # groups beyond the plain size-based plan (rewrite remainder chunks
+        # may legitimately be size-small — that is ordinary compaction debt)
+        again = plan_compaction(tbl, tiny, delete_file_threshold=2)
+        base = plan_compaction(tbl, tiny)
+        assert [
+            [f.path for f in g.files] for g in again.groups
+        ] == [[f.path for f in g.files] for g in base.groups]
+        p["table_debt"] = tbl
+    return _seq_scan_cols(p["table_debt"].scan(spark))
+
+
 def q_maint_eq_to_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eq-delete -> pos-delete conversion (the Iceberg-v3 delete-file
     evolution direction): two MOR predicate deletes leave two eq-delete
@@ -1285,6 +1322,9 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         FROM seq GROUP BY source
     """,
+    "maint_compact_delete_debt": digest_scan_sql(
+        f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok < 40 OR n_tok > 90"
+    ),
     # the tailed range covers a predicate delete (n_tok >= 100 over the
     # even-doc_id half) followed by an append of the odd half; key sets are
     # disjoint so no update pairs arise
@@ -1398,6 +1438,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_spec_migrate", # never certified
     "maint_spec_stats_fresh", # new this round: migrate + stats freshness
     "maint_changelog_consumer", # new this round: checkpointed CDF consumer
+    "maint_compact_delete_debt", # new this round: delete-file-threshold
     "maint_cherry_pick", # never certified
     "pipe_ann_index_topk", # never certified
     "pipe_contamination_indexed", # never certified
@@ -1556,6 +1597,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_spec_migrate": q_maint_spec_migrate,
         "maint_spec_stats_fresh": q_maint_spec_stats_fresh,
         "maint_changelog_consumer": q_maint_changelog_consumer,
+        "maint_compact_delete_debt": q_maint_compact_delete_debt,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_fast_minmax": q_maint_fast_minmax,

@@ -268,3 +268,54 @@ def test_convert_eq_to_pos_noop_without_deletes(spark, warehouse):
     m = convert_eq_deletes_to_pos(spark, tbl)
     assert m == {"eq_delete_files_in": 0, "pos_delete_files_out": 0}
     assert len(tbl.history()) == snaps_before
+
+
+# ---- delete-debt-aware compaction (Iceberg delete-file-threshold) ---------
+
+
+def test_delete_debt_counts_metadata_only(spark, pos_table):
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        delete_debt,
+    )
+
+    tbl = pos_table
+    assert all(v == 0 for v in delete_debt(tbl).values())
+    delete_where(spark, tbl, {"n_tok": (40, 60)}, strategy="mor-pos")
+    debt = delete_debt(tbl)
+    addressed = [p for p, d in debt.items() if d >= 1]
+    # some but not all files sit inside the sidecar's file_path bounds
+    assert addressed
+    # an eq-delete counts against every older data file
+    delete_where(spark, tbl, {"n_tok": (10, 12)}, strategy="mor")
+    debt2 = delete_debt(tbl)
+    assert all(debt2[p] >= debt[p] + 1 for p in debt)
+
+
+def test_delete_file_threshold_rewrites_regardless_of_size(spark, warehouse):
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        compact,
+        plan_compaction,
+    )
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("debt", df.schema)
+    tbl.append(df, num_files=2)  # two LARGE files (vs the tiny target below)
+    expected = df.filter(~((F.col("n_tok") >= 40) & (F.col("n_tok") <= 90))).count()
+    delete_where(spark, tbl, {"n_tok": (40, 60)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (61, 90)}, strategy="mor-pos")
+    assert len(tbl.pos_delete_files()) == 2
+
+    # default planner: files are "large" (>= 0.75 * tiny target) -> no groups
+    tiny = 1  # 1-byte target: nothing is a small file
+    assert plan_compaction(tbl, tiny).groups == []
+    # threshold planner: the addressed files become candidates at any size
+    plan = plan_compaction(tbl, tiny, delete_file_threshold=2)
+    assert plan.groups, "debt-laden files must be planned despite their size"
+
+    m = compact(spark, tbl, target_file_size=tiny, delete_file_threshold=2)
+    assert m.get("files_in", 0) >= 1
+    # deletes materialized: sidecars addressing only rewritten files are GC'd
+    assert not tbl.pos_delete_files()
+    assert tbl.scan(spark).count() == expected
+    # second pass: nothing left to do
+    assert plan_compaction(tbl, tiny, delete_file_threshold=2).groups == []
