@@ -19,6 +19,7 @@ from ..icelite import metadata as md
 from ..icelite.table import IceliteTable
 from ..operators.clustering import cluster
 from ..operators.compaction import compact
+from ..operators.compaction import delete_debt as _file_debt
 from ..operators.expire_snapshots import expire_snapshots
 from ..operators.manifest_rewrite import rewrite_manifests
 
@@ -82,11 +83,18 @@ def run_full_maintenance(
         )
         return m
 
+    # per-table delete-debt threshold (Iceberg's delete-file-threshold as a
+    # table property): files addressed by >= N delete sidecars are rewritten
+    # by the suite's compaction regardless of size, materializing the deletes
+    dft_prop = table.meta.properties.get("compaction.delete-file-threshold")
+    dft = int(dft_prop) if dft_prop is not None else None
+
     metrics: dict = {}
     metrics["compact"] = timed("compact", lambda: compact(
         spark, table, target_file_size=target_file_size, curve=curve,
         n_salts=n_salts, run_id=run_id,
         max_concurrent_groups=max_concurrent_groups,
+        delete_file_threshold=dft,
     ))
     if table.bucket_spec is None:
         metrics["cluster"] = timed("cluster", lambda: cluster(
@@ -230,6 +238,7 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
             "pos_delete_files": 0,
             "dv_sidecars": 0,
             "deleted_positions": 0,
+            "max_delete_debt": 0,
             "sort_orders": [],
             "unsorted_files": 0,
             "partitions": 0,
@@ -288,6 +297,10 @@ def table_health(table: IceliteTable, small_file_bytes: int = 32 * 1024 * 1024) 
         "pos_delete_files": len(pos) - len(dvs),
         "dv_sidecars": len(dvs),
         "deleted_positions": sum(f.record_count for f in pos),
+        # worst per-file delete debt (sidecars that may address one file;
+        # operators/compaction.delete_debt) — the signal for setting
+        # compact(delete_file_threshold=)
+        "max_delete_debt": max(_file_debt(table).values(), default=0),
         "sort_orders": sorted(curves),
         "unsorted_files": unsorted,
         "partitions": len(by_part),

@@ -200,3 +200,37 @@ def test_distributed_harvest_matches_footer(spark, tmp_path):
     # auto-dispatch: below the threshold → footer path (identity result)
     auto = mf.harvest_stats_auto(paths, spark=spark)
     assert [f.path for f in auto] == [f.path for f in footer]
+
+
+def test_full_maintenance_honors_delete_file_threshold_property(spark, warehouse):
+    """compaction.delete-file-threshold as a TABLE property: the suite's
+    compact pass rewrites debt-addressed files of any size, so the pos
+    sidecars are materialized away by run_full_maintenance alone."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_benchmark_ingestion_spark.icelite import Catalog
+    from lakehouse_benchmark_ingestion_spark.operators.row_dml import delete_where
+    from lakehouse_benchmark_ingestion_spark.plans.maintenance import (
+        run_full_maintenance,
+        table_health,
+    )
+    from lakehouse_benchmark_ingestion_spark.sources.tokens import tokens_df
+    from tests.conftest import SF_SMOKE
+
+    df = tokens_df(spark, SF_SMOKE)
+    tbl = Catalog(warehouse).create_table("debtprop", df.schema)
+    tbl.append(df, num_files=2)
+    delete_where(spark, tbl, {"n_tok": (40, 60)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (61, 90)}, strategy="mor-pos")
+    assert table_health(tbl)["max_delete_debt"] >= 1
+
+    expected = df.filter(
+        ~((F.col("n_tok") >= 40) & (F.col("n_tok") <= 90))
+    ).count()
+    tbl.set_properties({"compaction.delete-file-threshold": "1"})
+    # 1-byte target: no file ever counts as size-small, so only the debt
+    # rule can select the inputs
+    run_full_maintenance(spark, tbl, target_file_size=1, expire_keep_last=1)
+    assert not tbl.pos_delete_files()
+    assert table_health(tbl)["max_delete_debt"] == 0
+    assert tbl.scan(spark).count() == expected
