@@ -81,18 +81,37 @@ def delete_debt(
     )
     if sid is None:
         return {}
+    from bisect import bisect_right
+
     files = table.data_files(sid)
     eq = table.delete_files(sid)
     pos = table.pos_delete_files(sid)
+    # O((F+S) log S), not O(F*S) — at 10^7 files x 10^3 sidecars the naive
+    # double loop is a 10^10-step driver stall.
+    # eq-deletes: debt = #eq files with seq > f.seq -> bisect a sorted list
+    eq_seqs = sorted(e.sequence_number for e in eq)
+    # pos/DV sidecars: interval stabbing over recorded file_path bounds via
+    # a sweep in path order; boundless sidecars cover everything
+    unbounded = 0
+    starts: list[tuple[str, int]] = []  # (path, +1 at lo / -1 after hi)
+    for s in pos:
+        lo = s.lower_bounds.get("file_path") if s.lower_bounds else None
+        hi = s.upper_bounds.get("file_path") if s.upper_bounds else None
+        if lo is None or hi is None:
+            unbounded += 1
+        else:
+            starts.append((str(lo), +1))
+            starts.append((str(hi) + "\0", -1))  # closes AFTER hi inclusively
+    starts.sort()
     debt: dict[str, int] = {}
-    for f in files:
-        d = sum(1 for e in eq if e.sequence_number > f.sequence_number)
-        for s in pos:
-            lo = s.lower_bounds.get("file_path") if s.lower_bounds else None
-            hi = s.upper_bounds.get("file_path") if s.upper_bounds else None
-            if lo is None or hi is None or (str(lo) <= f.path <= str(hi)):
-                d += 1
-        debt[f.path] = d
+    active = 0
+    ei = 0
+    for f in sorted(files, key=lambda f: f.path):
+        while ei < len(starts) and starts[ei][0] <= f.path:
+            active += starts[ei][1]
+            ei += 1
+        d = len(eq_seqs) - bisect_right(eq_seqs, f.sequence_number)
+        debt[f.path] = d + active + unbounded
     return debt
 
 

@@ -319,3 +319,31 @@ def test_delete_file_threshold_rewrites_regardless_of_size(spark, warehouse):
     assert tbl.scan(spark).count() == expected
     # second pass: nothing left to do
     assert plan_compaction(tbl, tiny, delete_file_threshold=2).groups == []
+
+
+def test_delete_debt_matches_naive_reference(spark, pos_table):
+    """The bisect+sweep implementation must equal the quadratic reference
+    on a table with mixed eq-deletes and multiple pos sidecars."""
+    from lakehouse_benchmark_ingestion_spark.operators.compaction import (
+        delete_debt,
+    )
+
+    tbl = pos_table
+    delete_where(spark, tbl, {"n_tok": (40, 50)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (80, 95)}, strategy="mor-pos")
+    delete_where(spark, tbl, {"n_tok": (10, 12)}, strategy="mor")
+
+    files = tbl.data_files()
+    eq = tbl.delete_files()
+    pos = tbl.pos_delete_files()
+    naive = {}
+    for f in files:
+        d = sum(1 for e in eq if e.sequence_number > f.sequence_number)
+        for s in pos:
+            lo = s.lower_bounds.get("file_path") if s.lower_bounds else None
+            hi = s.upper_bounds.get("file_path") if s.upper_bounds else None
+            if lo is None or hi is None or (str(lo) <= f.path <= str(hi)):
+                d += 1
+        naive[f.path] = d
+    assert delete_debt(tbl) == naive
+    assert any(v > 0 for v in naive.values())
