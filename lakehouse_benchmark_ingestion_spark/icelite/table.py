@@ -1084,8 +1084,14 @@ class IceliteTable:
         timestamp_ms: int | None = None,
         set_properties: dict | None = None,
         validate_no_new_deletes_since: int | None = None,
+        branch: str | None = None,
     ) -> md.Snapshot:
         """Commit a snapshot that atomically swaps removed files for added.
+
+        ``branch="audit"`` stages the swap on a named branch (parent = the
+        BRANCH head, only the branch ref moves) — the write half of
+        write-audit-publish for rewrites and MERGE, published later by
+        ``fast_forward``; Iceberg's ``spark.wap.branch`` for DML.
 
         The icelite analogue of Iceberg's RewriteFiles/overwrite commit —
         the primitive under compaction, clustering, and MERGE INTO COW.
@@ -1114,7 +1120,15 @@ class IceliteTable:
             )
 
         def mutate(meta: md.TableMetadata) -> md.TableMetadata:
-            parent = meta.snapshot()
+            if branch is not None:
+                ref = meta.refs.get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise KeyError(f"no branch {branch!r}")
+                parent_sid = int(ref["snapshot_id"])
+                parent = meta.snapshot(parent_sid)
+            else:
+                parent_sid = meta.current_snapshot_id
+                parent = meta.snapshot()
             new_manifests: list[str] = []
             seen_removed = 0
             live_deletes: set[str] = set()
@@ -1143,7 +1157,8 @@ class IceliteTable:
             if seen_removed != len(removed_paths):
                 raise md.CommitConflict(
                     f"replace_files: {len(removed_paths) - seen_removed} of "
-                    f"{len(removed_paths)} files to remove are not in the current snapshot"
+                    f"{len(removed_paths)} files to remove are not in the "
+                    + (f"branch {branch!r} head" if branch else "current snapshot")
                 )
             first_row_id = None
             if added_manifest:
@@ -1157,7 +1172,7 @@ class IceliteTable:
             sid = md.new_snapshot_id(meta)
             snap = md.Snapshot(
                 snapshot_id=sid,
-                parent_id=meta.current_snapshot_id,
+                parent_id=parent_sid,
                 timestamp_ms=timestamp_ms or md.now_ms(),
                 operation=operation,
                 manifests=new_manifests,
@@ -1169,13 +1184,19 @@ class IceliteTable:
                 first_row_id=first_row_id,
             )
             meta.snapshots.append(snap)
-            meta.current_snapshot_id = sid
+            if branch is not None:
+                meta.refs[branch] = {"snapshot_id": sid, "type": "branch"}
+            else:
+                meta.current_snapshot_id = sid
             meta.last_updated_ms = snap.timestamp_ms
             if set_properties:
                 meta.properties.update(set_properties)
             return meta
 
-        return md.commit(self.location, mutate).snapshot()
+        new_meta = md.commit(self.location, mutate)
+        if branch is not None:
+            return new_meta.snapshot(int(new_meta.refs[branch]["snapshot_id"]))
+        return new_meta.snapshot()
 
     def overwrite_all(
         self,

@@ -50,6 +50,8 @@ MainRunner.java:267-314, drove sync jobs; ours drives maintenance):
     expire         --warehouse W --table T [--keep-last N] [--older-than-ms MS]
     merge          --warehouse W --table T --updates-parquet PATH [--key doc_id]
                    [--strategy cow|mor]   (mor = eq-delete + insert, no rewrite)
+                   [--to-branch B]   (stage the MERGE on branch B — WAP for
+                   upserts; publish with fast-forward)
     full           --warehouse W --table T [--target-mb N]   (whole suite)
                    [--all]        maintain EVERY table the catalog lists
                                   (the reference's whole-database sync loop,
@@ -155,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
     # compact: also rewrite any file addressed by >= N delete sidecars
     # (Iceberg delete-file-threshold), materializing the deletes
     p.add_argument("--delete-file-threshold", type=int, default=None)
+    # merge: stage the MERGE on a named branch (WAP; publish with
+    # fast-forward) instead of committing to main
+    p.add_argument("--to-branch", dest="to_branch", default=None)
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--older-than-ms", type=int)
     p.add_argument("--updates-parquet")
@@ -401,6 +406,7 @@ def main(argv: list[str] | None = None) -> int:
             merge_into(
                 spark, cat.load_table(args.table), updates, key=args.key or "doc_id",
                 run_id=args.run_id, strategy=args.strategy,
+                branch=args.to_branch,
             )
         )
 

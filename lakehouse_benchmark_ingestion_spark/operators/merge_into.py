@@ -53,6 +53,7 @@ def merge_into(
     target_file_size: int = 128 * 1024 * 1024,
     timestamp_ms: int | None = None,
     strategy: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """``strategy="cow"``: stats-pruned copy-on-write rewrite (default).
     ``strategy="mor"``: merge-on-read — write the update batch as new data
@@ -66,7 +67,12 @@ def merge_into(
 
     ``strategy=None`` consults the Iceberg ``write.merge.mode`` table
     property (copy-on-write → cow, merge-on-read → mor), defaulting to
-    cow."""
+    cow.
+
+    ``branch="audit"`` runs the whole merge against the BRANCH head and
+    commits only the branch ref (write-audit-publish for upserts —
+    Iceberg's ``spark.wap.branch`` applied to MERGE): main readers see
+    nothing until ``fast_forward(branch)`` publishes."""
     if strategy is None:
         strategy = table.write_mode("merge")
     if table.row_lineage_enabled():
@@ -79,8 +85,12 @@ def merge_into(
             f"{'row-lineage.enabled'!r}"
         )
     run_id = run_id or uuid.uuid4().hex[:12]
-    snap = table.current_snapshot()
+    if branch is not None:
+        snap = table.meta.snapshot(table.resolve_ref(branch))
+    else:
+        snap = table.current_snapshot()
     files = table.data_files(snap.snapshot_id) if snap else []
+    base_sid = snap.snapshot_id if snap else None
 
     # 1. last-writer-wins within the batch
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
@@ -94,14 +104,16 @@ def merge_into(
 
     if strategy == "mor":
         return _merge_mor(
-            spark, table, winners, n_updates, key, run_id, target_file_size, timestamp_ms
+            spark, table, winners, n_updates, key, run_id, target_file_size,
+            timestamp_ms, branch=branch,
         )
     if strategy != "cow":
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
     spec = table.bucket_spec
     if (
-        spec is not None
+        branch is None  # bucketed fast path not wired for branch commits
+        and spec is not None
         and spec[0] == key
         and not table.delete_files()
         # files with bucket == -1 (written before bucket properties existed,
@@ -183,8 +195,8 @@ def merge_into(
         mor_key = table.recorded_merge_key() or key
         matched_data = mor_scan(
             spark, schema, [file_by_path[p] for p in matched_paths],
-            table.delete_files(), key=mor_key,
-            reader=table.pos_reader(spark),
+            table.delete_files(base_sid), key=mor_key,
+            reader=table.pos_reader(spark, base_sid),
             delete_reader=table._read_delete_keys(spark, mor_key),
         )
         unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
@@ -214,6 +226,7 @@ def merge_into(
         summary={"op": "merge", "updates": str(n_updates), "run-id": run_id},
         timestamp_ms=timestamp_ms,
         validate_no_new_deletes_since=snap.snapshot_id if snap else -1,
+        branch=branch,
     )
     LineageLog(table.location).write(
         LineageRow(
@@ -385,6 +398,7 @@ def _merge_mor(
     run_id: str,
     target_file_size: int,
     timestamp_ms: int | None,
+    branch: str | None = None,
 ) -> dict:
     """Write-side of merge-on-read: batch → new data files + eq-delete file.
 
@@ -443,6 +457,7 @@ def _merge_mor(
         summary={"op": "merge-mor", "updates": str(n_updates), "run-id": run_id},
         timestamp_ms=timestamp_ms,
         set_properties={"merge-key": key},
+        branch=branch,
     )
     LineageLog(table.location).write(
         LineageRow(

@@ -904,6 +904,39 @@ def q_maint_spec_stats_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_wap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO staged on a branch (write-audit-publish for upserts —
+    Iceberg ``spark.wap.branch`` applied to DML): the whole COW merge runs
+    against the branch head and moves ONLY the branch ref; main must still
+    read the pre-merge table (count asserted) until ``fast_forward``
+    publishes, after which the main scan must equal the declarative MERGE
+    oracle — the same oracle the ordinary in-place merge certifies, now
+    crossing branch-resolve, branch-pinned pruning/rewrite, and the
+    fast-forward publish."""
+    from .operators.merge_into import merge_into
+
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_wapmerge" not in p:
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_wapmerge", df.schema
+        )
+        tbl.append(df, num_files=3)
+        n_before = tbl.scan(spark).count()
+        main_head = tbl.current_snapshot().snapshot_id
+        tbl.create_branch("audit-merge")
+        merge_into(spark, tbl, updates_df(spark, sf_dir), branch="audit-merge")
+        assert tbl.current_snapshot().snapshot_id == main_head, (
+            "a branch-scoped MERGE must not move the main head"
+        )
+        assert tbl.scan(spark).count() == n_before, (
+            "main readers must not see the staged merge"
+        )
+        tbl.fast_forward("audit-merge")
+        p["table_wapmerge"] = tbl
+    return _seq_scan_cols(p["table_wapmerge"].scan(spark))
+
+
 def q_maint_compact_delete_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-debt-aware compaction (Iceberg rewrite_data_files
     ``delete-file-threshold`` parity): two MOR position-deletes address
@@ -1325,6 +1358,7 @@ MAINT_ORACLES: dict[str, str] = {
     "maint_compact_delete_debt": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok < 40 OR n_tok > 90"
     ),
+    "maint_wap_merge": digest_scan_sql(MERGE_FINAL_ORACLE_SQL),
     # the tailed range covers a predicate delete (n_tok >= 100 over the
     # even-doc_id half) followed by an append of the odd half; key sets are
     # disjoint so no update pairs arise
@@ -1439,6 +1473,7 @@ _CERTIFICATION_PRIORITY = [
     "maint_spec_stats_fresh", # new this round: migrate + stats freshness
     "maint_changelog_consumer", # new this round: checkpointed CDF consumer
     "maint_compact_delete_debt", # new this round: delete-file-threshold
+    "maint_wap_merge", # new this round: branch-scoped MERGE (WAP for DML)
     "maint_cherry_pick", # never certified
     "pipe_ann_index_topk", # never certified
     "pipe_contamination_indexed", # never certified
@@ -1598,6 +1633,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_spec_stats_fresh": q_maint_spec_stats_fresh,
         "maint_changelog_consumer": q_maint_changelog_consumer,
         "maint_compact_delete_debt": q_maint_compact_delete_debt,
+        "maint_wap_merge": q_maint_wap_merge,
         "maint_eq_to_pos": q_maint_eq_to_pos,
         "maint_fast_count": q_maint_fast_count,
         "maint_fast_minmax": q_maint_fast_minmax,

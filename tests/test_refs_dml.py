@@ -332,3 +332,68 @@ def test_write_mode_properties_steer_default_strategy(spark, warehouse):
     delete_where(spark, tbl2, {"n_tok": (40, None)})
     dv = [f for f in tbl2.pos_delete_files() if f.delete_format == "dv"]
     assert len(dv) == 1
+
+
+# --------------------------------------------------------------------------
+# branch-scoped MERGE (write-audit-publish for upserts)
+# --------------------------------------------------------------------------
+
+def _merge_updates(spark, n=30):
+    rows = []
+    for i in range(n):
+        doc = str(i * 3)
+        toks = [(i * 7 + j) % 1000 for j in range(5)]
+        rows.append((doc, toks, 5, "branchsrc", i))
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string, _seq long",
+    )
+
+
+def test_merge_cow_on_branch_invisible_until_publish(spark, sequences_table):
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    tbl = sequences_table
+    before = {r["doc_id"] for r in tbl.scan(spark).select("doc_id").collect()}
+    main_head = tbl.current_snapshot().snapshot_id
+    tbl.create_branch("audit")
+
+    updates = _merge_updates(spark)
+    m = merge_into(spark, tbl, updates, branch="audit")
+    assert m["updates"] == 30
+
+    # main readers see NOTHING of the merge
+    assert tbl.current_snapshot().snapshot_id == main_head
+    assert not tbl.scan(spark).filter(F.col("source") == "branchsrc").count()
+    # branch readers see the merged state
+    br = tbl.scan(spark, ref="audit")
+    assert br.filter(F.col("source") == "branchsrc").count() == 30
+    assert {r["doc_id"] for r in br.select("doc_id").collect()} >= before
+
+    tbl.fast_forward("audit")
+    assert tbl.scan(spark).filter(F.col("source") == "branchsrc").count() == 30
+    # last-writer-wins: upserted keys are not duplicated after publish
+    dup = (
+        tbl.scan(spark).groupBy("doc_id").count().filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
+def test_merge_mor_on_branch_applies_deletes_on_branch_scan(spark, sequences_table):
+    from lakehouse_benchmark_ingestion_spark.operators.merge_into import merge_into
+
+    tbl = sequences_table
+    n_main = tbl.scan(spark).count()
+    tbl.create_branch("wapmor")
+    merge_into(spark, tbl, _merge_updates(spark), strategy="mor", branch="wapmor")
+
+    # main: no new rows, no visible deletes
+    assert tbl.scan(spark).count() == n_main
+    assert tbl.scan(spark).filter(F.col("source") == "branchsrc").count() == 0
+    # branch: eq-deletes applied, updated keys single-imaged
+    br = tbl.scan(spark, ref="wapmor")
+    assert br.filter(F.col("source") == "branchsrc").count() == 30
+    assert br.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+    tbl.fast_forward("wapmor")
+    assert tbl.scan(spark).filter(F.col("source") == "branchsrc").count() == 30
