@@ -1126,6 +1126,86 @@ def q_maint_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maint_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-FREE row-lineage changelog (Iceberg v3 direction) certified at
+    the VALUE level — the last engine API that was pytest-only. The table
+    is appended range-partitioned-and-sorted by doc_id under
+    row-lineage.enabled, so ``_row_id`` is exactly the doc_id rank (same
+    commit-time assignment the ``maint_row_lineage`` oracle recomputes
+    with ROW_NUMBER()). Between the two diffed snapshots the table takes
+    the full DML mix: a MOR UPDATE of the long slice (v3 carry-over —
+    updated copies KEEP their _row_id, asserted per-pair), a
+    deletion-vector DELETE of the short slice (changes rows without
+    changing the data-file set — a file-level diff alone would miss it),
+    an append of brand-new keys (ids continue from the table counter),
+    and finally a compaction that MATERIALIZES the deletes. The certified
+    result is ``snapshot_changelog_lineage`` across the whole range: every
+    I/U/D row with its _row_id, vs a declarative DuckDB oracle that
+    recomputes the ids from ranks alone. Compaction-invisibility is
+    asserted in-body: the post-DML→head changelog must be EMPTY without
+    the engine comparing row contents (the consumer-side contract of the
+    reference's CDC protocol, SyncDbFunction.java:128-135, answered from
+    snapshots + lineage alone)."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "cll_result" not in p:
+        from .icelite.table import LINEAGE_ROW_ID_COL, ROW_LINEAGE_PROP
+        from .operators.changes import snapshot_changelog_lineage
+        from .operators.compaction import compact
+        from .operators.row_dml import delete_where, update_where
+
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_cll", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+        )
+        tbl.append(
+            df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+        )
+        s0 = tbl.current_snapshot().snapshot_id
+        update_where(
+            spark,
+            tbl,
+            {"n_tok": (100, None)},
+            {"source": "concat(source, '_u')"},
+            strategy="mor",
+        )
+        delete_where(spark, tbl, {"n_tok": (None, 30)}, strategy="dv")
+        tbl.append(
+            df.filter(F.col("doc_id").cast("long") % 11 == 0)
+            .withColumn("doc_id", F.concat(F.lit("n"), F.col("doc_id")))
+            .coalesce(1)
+            .sortWithinPartitions("doc_id"),
+            num_files=1,
+        )
+        post_dml = tbl.current_snapshot().snapshot_id
+        compact(spark, tbl, target_file_size=4 * 1024 * 1024)
+        head = tbl.current_snapshot().snapshot_id
+        assert head != post_dml
+        assert (
+            snapshot_changelog_lineage(spark, tbl, post_dml, head).count()
+            == 0
+        ), "compaction must be changelog-invisible under lineage"
+        ch = snapshot_changelog_lineage(spark, tbl, s0, head)
+        pairs = (
+            ch.filter(
+                F.col("change_type").isin("update_before", "update_after")
+            )
+            .groupBy(LINEAGE_ROW_ID_COL)
+            .count()
+        )
+        assert pairs.filter(F.col("count") != 2).count() == 0, (
+            "every update must pair before/after on ONE carried _row_id"
+        )
+        p["cll_result"] = ch.select(
+            "doc_id",
+            "n_tok",
+            "source",
+            F.expr(TOK_DIGEST_SPARK).alias("tok_digest"),
+            F.col(LINEAGE_ROW_ID_COL).cast("long").alias("row_id"),
+            "change_type",
+        )
+    return p["cll_result"]
+
+
 def q_maint_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAP completed with cherry-pick (Iceberg cherrypick_snapshot): main
     holds third==0; third==1 is STAGED on an audit branch; main then
@@ -1421,6 +1501,37 @@ MAINT_ORACLES: dict[str, str] = {
         SELECT doc_id, row_id, CAST(1 AS BIGINT) AS last_seq
         FROM ranked WHERE n_tok > 30
     """,
+    # the lineage changelog's ids are declaratively recomputable because
+    # the append was range-sorted by doc_id (ids = rank) and the inserted
+    # batch continued from the table counter (= base row count): the oracle
+    # never sees a snapshot, a manifest, or a DV — ranks alone must agree
+    "maint_changelog_lineage": f"""
+        WITH base AS ({TOKENS_ORACLE_SQL}),
+        ranked AS (
+            SELECT doc_id, tokens, n_tok, source,
+                   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                       AS row_id
+            FROM base
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM base)
+        SELECT doc_id, n_tok, source,
+               {TOK_DIGEST_DUCK} AS tok_digest, row_id,
+               'update_before' AS change_type
+        FROM ranked WHERE n_tok >= 100
+        UNION ALL
+        SELECT doc_id, n_tok, source || '_u', {TOK_DIGEST_DUCK}, row_id,
+               'update_after'
+        FROM ranked WHERE n_tok >= 100
+        UNION ALL
+        SELECT doc_id, n_tok, source, {TOK_DIGEST_DUCK}, row_id, 'delete'
+        FROM ranked WHERE n_tok <= 30
+        UNION ALL
+        SELECT 'n' || doc_id, n_tok, source, {TOK_DIGEST_DUCK},
+               (SELECT c FROM n)
+                   + ROW_NUMBER() OVER (ORDER BY 'n' || doc_id) - 1,
+               'insert'
+        FROM ranked WHERE CAST(doc_id AS BIGINT) % 11 = 0
+    """,
     "maint_eq_to_pos": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 20 AND n_tok < 100"
     ),
@@ -1460,69 +1571,21 @@ MAINT_ORACLES: dict[str, str] = {
 # 16 north-star maintenance queries, so a 50-query round certifies the tail
 # while keeping the core suite under continuous check. Everything else
 # (r2-green relational/text queries) follows in stable order.
-# ROUND-4 ROTATION PLAN (read CORRECTNESS_r03.json first): the driver
-# certifies the FIRST 50 entries only. Next round, rebuild this list as
-#   1. any r3-window query that FAILED in CORRECTNESS_r03 (fix + re-certify);
-#   2. the deferred additions (tests/test_certification_window.py
-#      DEFERRED_TO_NEXT_WINDOW: maint_cherry_pick, maint_mv_minmax);
-#   3. the six north-rule certifiers (always in-window);
-#   4. backfill with the longest-unverified green queries.
+# ROUND-5 ROTATION (generated by tools/rotate_window.py from
+# CORRECTNESS_r01-r04): the driver certifies the FIRST 50 entries only.
+# This final-round window holds (1) maint_changelog_lineage — the one new
+# query, never certified; (2) the pinned headline maint_scan; (3) the 48
+# longest-unverified greens, oldest round first — exactly the 19 r2-era +
+# 29 r3-era certifications the round-4 verdict called stalest, so the
+# shipping binary re-proves them. Rebuild with tools/rotate_window.py;
+# `--check` (run in tests) fails if the order wastes window slots.
 _CERTIFICATION_PRIORITY = [
-    "maint_mv_minmax", # never certified
-    "maint_spec_migrate", # never certified
-    "maint_spec_stats_fresh", # new this round: migrate + stats freshness
-    "maint_changelog_consumer", # new this round: checkpointed CDF consumer
-    "maint_compact_delete_debt", # new this round: delete-file-threshold
-    "maint_wap_merge", # new this round: branch-scoped MERGE (WAP for DML)
-    "maint_cherry_pick", # never certified
-    "pipe_ann_index_topk", # never certified
-    "pipe_contamination_indexed", # never certified
-    "pipe_global_shuffle", # never certified
-    "maint_index_sync", # never certified
+    "maint_changelog_lineage", # never certified
     "maint_scan",
-    "pipe_lsh_buckets",
-    "stream_sessions",
-    "pipe_multimodal_meta",
-    "pipe_source_median_ntok",
-    "pipe_simhash",
-    "pipe_ngram_jaccard",
-    "pipe_frame_sample",
-    "pipe_embedding_neardup",
-    "maint_scan_pre_compaction",
-    "maint_agg_by_source",
-    "maint_token_checksum",
-    "merge_result",
-    "zorder_key",
-    "merge_mor_result",
-    "merge_bucketed_result",
-    "maint_partial_progress",
-    "maint_partition_prune",
-    "maint_predicate_scan",
-    "maint_delete_where",
-    "maint_wap_publish",
-    "maint_changes",
-    "pipe_ann_ivf",
-    "maint_dsv2_scan",
-    "maint_dsv2_mor_scan",
-    "merge_agg",
-    "merge_mor_materialized",
-    "maint_schema_evolution",
-    "maint_mv_incremental",
-    "maint_replica_sync",
-    "maint_time_travel_tag",
-    "maint_update_where",
-    "maint_delete_mor",
-    "maint_delete_pos",
-    "maint_partitioned_scan",
-    "rel_nation_trade_volume",
-    "rel_promo_share",
-    "rel_big_orders_having",
-    "rel_supplier_exists_part",
     "rel_mktsegment_rollup",
     "rel_pricing_summary",
     "rel_region_rollup",
     "rel_order_revenue",
-    # ---- past the driver cutoff ----
     "rel_customers_without_orders",
     "rel_suppliers_semi",
     "rel_top_order_per_customer",
@@ -1567,6 +1630,7 @@ _CERTIFICATION_PRIORITY = [
     "pipe_bigram_topk",
     "pipe_e2e_training_prep",
     "pipe_length_quantiles",
+    # ---- past the driver cutoff ----
     "rel_asof_error_click",
     "rel_events_in_windows",
     "maint_rollback_scan",
@@ -1587,6 +1651,55 @@ _CERTIFICATION_PRIORITY = [
     "maint_ndv_sketch",
     "stream_online_compact",
     "pipe_dsir_weights",
+    "maint_mv_minmax",
+    "maint_spec_migrate",
+    "maint_spec_stats_fresh",
+    "maint_changelog_consumer",
+    "maint_compact_delete_debt",
+    "maint_wap_merge",
+    "maint_cherry_pick",
+    "pipe_ann_index_topk",
+    "pipe_contamination_indexed",
+    "pipe_global_shuffle",
+    "maint_index_sync",
+    "pipe_lsh_buckets",
+    "stream_sessions",
+    "pipe_multimodal_meta",
+    "pipe_source_median_ntok",
+    "pipe_simhash",
+    "pipe_ngram_jaccard",
+    "pipe_frame_sample",
+    "pipe_embedding_neardup",
+    "maint_scan_pre_compaction",
+    "maint_agg_by_source",
+    "maint_token_checksum",
+    "merge_result",
+    "zorder_key",
+    "merge_mor_result",
+    "merge_bucketed_result",
+    "maint_partial_progress",
+    "maint_partition_prune",
+    "maint_predicate_scan",
+    "maint_delete_where",
+    "maint_wap_publish",
+    "maint_changes",
+    "pipe_ann_ivf",
+    "maint_dsv2_scan",
+    "maint_dsv2_mor_scan",
+    "merge_agg",
+    "merge_mor_materialized",
+    "maint_schema_evolution",
+    "maint_mv_incremental",
+    "maint_replica_sync",
+    "maint_time_travel_tag",
+    "maint_update_where",
+    "maint_delete_mor",
+    "maint_delete_pos",
+    "maint_partitioned_scan",
+    "rel_nation_trade_volume",
+    "rel_promo_share",
+    "rel_big_orders_having",
+    "rel_supplier_exists_part",
 ]
 
 
@@ -1639,6 +1752,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_fast_minmax": q_maint_fast_minmax,
         "maint_ndv_sketch": q_maint_ndv_sketch,
         "maint_cherry_pick": q_maint_cherry_pick,
+        "maint_changelog_lineage": q_maint_changelog_lineage,
         "maint_row_lineage": q_maint_row_lineage,
         "maint_expire_travel": q_maint_expire_travel,
         "maint_manifest_rewrite": q_maint_manifest_rewrite,
