@@ -143,20 +143,28 @@ def ann_index_topk(
     by neighbor id. Returns (topk, metrics) where metrics records
     files_total / files_scanned so callers can assert the pruning."""
     cents = load_centroids(tbl)
-    # no persist: the probed frame backs BOTH the cell collect and the join
-    # below, but the centroid-scoring assignment is deterministic (pinned
-    # driver-side centroid list), so each consumer may evaluate it — in the
-    # serving pattern (thousands of probes between ingests) a persist here
-    # would leak cached partitions across calls
     probed = (
         ivf_cells(probes, cents, "qv", n_cells=nprobe)
         .withColumnRenamed(CELL_COL, "cells")
         .withColumn("_qn", norm(F.col("qv")))
     )
+    # the probed frame backs BOTH the cell set that drives manifest file
+    # pruning AND the join below. Those two consumers must see the SAME
+    # rows: if the caller's probes plan is non-deterministic (sample(),
+    # unordered limit, rand-derived), two independent evaluations could
+    # diverge and the pruning set could exclude files the join-time cells
+    # need — silently dropping neighbors. So the probe rows are collected
+    # ONCE and the join side rebuilt from the collected values; by
+    # contract the probe set is broadcast-sized (the join broadcasts it),
+    # so this is the same memory the broadcast already pays, and no cached
+    # partitions leak across serving calls (the r3 persist concern).
+    probed_schema = probed.schema
+    probed_rows = probed.collect()
+    probed = spark.createDataFrame(probed_rows, probed_schema)
     # probed-cell set: ≤ n_cells ints of metadata (bounded by the quantizer
     # size, not the probe count) — drives manifest-level file pruning
     probed_cells = {
-        int(r[0]) for r in probed.select(F.explode("cells")).distinct().collect()
+        int(c) for r in probed_rows for c in r["cells"]
     }
 
     snap = tbl.current_snapshot()

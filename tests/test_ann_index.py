@@ -205,3 +205,49 @@ def test_large_k_index_build_and_search(spark, tmp_path):
     )
     refresh_ann_index(spark, idx, extra)
     assert load_centroids(idx) == before  # quantizer pinned through large-K refresh
+
+
+def test_nondeterministic_probes_single_evaluation(spark, tmp_path):
+    """The probes plan feeds BOTH the pruned-cell collect and the search
+    join; a non-deterministic probes DataFrame (sample, unordered limit,
+    rand-derived) must not diverge between the two. The fix collects the
+    probe rows once and rebuilds the join side from the collected values —
+    pinned here by a UDF that drops a marker file per evaluated probe row
+    (accumulators are unreliable under CollectLimit plans): exactly one
+    pass over the probe rows, and completeness of the answers for a
+    rand-ordered probe subset."""
+    import os
+    import uuid
+
+    vecs = _vecs(spark, n=64)
+    tbl = build_ann_index(spark, vecs, str(tmp_path / "wh"), n_cells=N_CELLS)
+
+    marker_dir = str(tmp_path / "evals")
+    os.makedirs(marker_dir)
+
+    @F.udf("long")
+    def counted(qid):
+        open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+        return qid
+
+    n_probes = 3
+    probes = (
+        _probes(vecs)
+        .orderBy(F.rand())           # non-deterministic plan
+        .limit(n_probes)
+        .withColumn("query_id", counted(F.col("query_id")))
+    )
+    got, _ = ann_index_topk(spark, tbl, probes, k=3, nprobe=2)
+    rows = got.collect()
+    evals = len(os.listdir(marker_dir))
+    assert evals == n_probes, (
+        f"probes plan evaluated {evals / n_probes:g} times - the pruning "
+        "set and the join must come from ONE evaluation"
+    )
+    # completeness: whatever subset was drawn, every drawn query answers
+    # with a full k - a diverged pruning set would starve some of them
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(by_q) == n_probes
+    assert all(len(v) == 3 for v in by_q.values()), by_q
