@@ -395,16 +395,26 @@ def bloom_range_probe_filter(
         if lo is None or hi is None:
             span = probes_sorted
         else:
-            # normalize like _stats_bisect_filter: manifest bounds round-trip
-            # through JSON (default=str for non-native types), so compare as
-            # int — a str bound would otherwise TypeError inside bisect
+            # normalize toward the PROBE domain: manifest bounds round-trip
+            # through JSON (default=str for non-native types), so int probes
+            # need int-coerced bounds — but a string-keyed column (numeric-
+            # looking doc ids included) must stay a string comparison, or
+            # bisect would compare int bounds against str probes. Any
+            # residual type mismatch degrades to no-range-pruning (bloom
+            # still applies), mirroring _stats_bisect_filter's fallback.
+            if isinstance(probes_sorted[0], int):
+                try:
+                    lo, hi = int(lo), int(hi)
+                except (TypeError, ValueError):
+                    return True  # unparseable bound — conservative
+            elif isinstance(probes_sorted[0], str):
+                lo, hi = str(lo), str(hi)
             try:
-                lo, hi = int(lo), int(hi)
-            except (TypeError, ValueError):
-                return True  # unparseable bound — conservative
-            span = probes_sorted[
-                bisect_left(probes_sorted, lo):bisect_right(probes_sorted, hi)
-            ]
+                span = probes_sorted[
+                    bisect_left(probes_sorted, lo):bisect_right(probes_sorted, hi)
+                ]
+            except TypeError:
+                span = probes_sorted  # incomparable — bloom-check all probes
         return any(
             all(bm[p >> 3] & (1 << (p & 7)) for p in pos[v]) for v in span
         )

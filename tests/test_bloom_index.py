@@ -117,3 +117,46 @@ def test_sidecar_is_parquet_no_driver_bitmaps(spark, sequences_table):
     assert keep is not None
     # non-candidate files fall back to conservative keep=True
     assert keep(files[-1]) is True
+
+
+def test_range_probe_filter_string_keys(spark, sequences_table):
+    """String-typed indexed column whose values LOOK numeric (doc_id):
+    bounds must be compared in the probe's domain — coercing "10"/"99" to
+    int against str probes used to TypeError inside bisect. The filter
+    must keep every file that really holds a probed key (results
+    preserved) and skip at least one that does not (bloom + string-order
+    bounds both engaged)."""
+    from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+        bloom_range_probe_filter,
+    )
+
+    tbl = sequences_table
+    build_bloom_index(spark, tbl, "doc_id")
+    probes = ["7", "42"]
+    keep = bloom_range_probe_filter(tbl, "doc_id", probes)
+    assert keep is not None
+    files = tbl.data_files()
+    kept = [f for f in files if keep(f)]  # must not raise
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    got = sorted(
+        r["doc_id"]
+        for r in tbl.scan(spark, file_filter=keep)
+        .filter(F.col("doc_id").isin(probes))
+        .collect()
+    )
+    assert got == sorted(probes)
+
+
+def test_range_probe_filter_incomparable_bounds_conservative(spark, sequences_table):
+    """A probe/bound type mismatch that survives normalization must degrade
+    to bloom-checking the full probe set, never raise, and never skip a
+    file that holds the key."""
+    from lakehouse_benchmark_ingestion_spark.operators.bloom_index import (
+        bloom_range_probe_filter,
+    )
+
+    tbl = sequences_table
+    build_bloom_index(spark, tbl, "doc_id")
+    keep = bloom_range_probe_filter(tbl, "doc_id", [("tuple", "probe"), ("x", "y")])
+    files = tbl.data_files()
+    [keep(f) for f in files]  # incomparable everywhere — must not raise
