@@ -287,7 +287,9 @@ def quantization_error(df: DataFrame, centroids, vec_col: str = "embedding") -> 
         # large K: the greatest()-fold below also grows the plan O(K*dim);
         # reuse the broadcast-matrix ranking (rounded at 6 decimals — noise
         # for an objective metric)
-        best = F.element_at(_centroid_rank_pandas(vec_col, centroids), 1)["c"]
+        best = F.element_at(
+            _centroid_rank_pandas(vec_col, centroids, top_n=1), 1
+        )["c"]
         row = df.select(F.avg(F.lit(1.0) - best).alias("err")).collect()[0]
         return float(row["err"])
     best = None
@@ -322,7 +324,7 @@ def ivf_cells(
 
     ``out_col`` holds an ``array<bigint>`` of cell ids (length n_cells).
     """
-    ranked = _centroid_rank_array(vec_col, centroids)
+    ranked = _centroid_rank_array(vec_col, centroids, top_n=n_cells)
     cells = F.transform(
         F.slice(ranked, 1, n_cells), lambda s: -s["nid"]
     )
@@ -339,17 +341,30 @@ def ivf_cells(
 CENTROID_LITERAL_MAX = 256
 
 
-def _centroid_rank_array(vec_col: str, centroids) -> Column:
+def _centroid_rank_array(
+    vec_col: str, centroids, top_n: int | None = None
+) -> Column:
     """Centroid ranking expression shared by ``ivf_cells`` and ``semdedup``:
     an array of (rounded cosine, -cid) structs sorted best-first, so
     element 1 is the assigned cell and carries the centroid cosine.
+
+    ``top_n`` bounds the emitted prefix: consumers only ever read the
+    first ``nprobe``/1 entries, and at the K~1e5 scale the pandas path
+    targets, a full K-length ranked array per row (~MB of Arrow output)
+    would dwarf the input vectors. ``None`` keeps the full ranking.
+
+    A zero-norm vector's cosine is 0/0 = NaN; both paths map it to -inf
+    BEFORE ranking so the two physical strategies order it identically
+    (Spark's sort_array treats NaN as the LARGEST double while np.lexsort
+    places it last — a raw NaN would flip the assigned cell across the
+    CENTROID_LITERAL_MAX threshold).
 
     Two physical strategies behind one contract (same column type, same
     ordering, same 6-decimal rounding): literal JVM folds below
     ``CENTROID_LITERAL_MAX`` centroids, a broadcast-matrix pandas UDF
     above it (``_centroid_rank_pandas``)."""
     if len(centroids) > CENTROID_LITERAL_MAX:
-        return _centroid_rank_pandas(vec_col, centroids)
+        return _centroid_rank_pandas(vec_col, centroids, top_n=top_n)
     entries = []
     for cid, w in centroids:
         wcol = F.array(*[F.lit(float(x)).cast("double") for x in w])
@@ -369,14 +384,33 @@ def _centroid_rank_array(vec_col: str, centroids) -> Column:
             lambda acc, v: acc + v,
         )
         ww = sum(float(x) * float(x) for x in w)
-        c = F.round(d / (F.sqrt(vv) * F.lit(ww) ** 0.5), 6)
+        # try_divide: under ANSI a zero-norm vector's 0-denominator is an
+        # ArithmeticException, not a NaN — degrade it to NULL, then to the
+        # -inf sentinel (shared with the pandas path) so both strategies
+        # rank degenerate vectors LAST with identical struct values. A
+        # null input vector stays a null cosine (contract unchanged).
+        c_raw = F.round(F.try_divide(d, F.sqrt(vv) * F.lit(ww) ** 0.5), 6)
+        c = (
+            F.when(F.col(vec_col).isNull(), F.lit(None).cast("double"))
+            .when(c_raw.isNull() | F.isnan(c_raw), F.lit(float("-inf")))
+            .otherwise(c_raw)
+        )
         entries.append(F.struct(c.alias("c"), F.lit(-cid).cast("long").alias("nid")))
-    return F.sort_array(F.array(*entries), asc=False)
+    ranked = F.sort_array(F.array(*entries), asc=False)
+    if top_n is not None and top_n < len(centroids):
+        ranked = F.slice(ranked, 1, top_n)
+    return ranked
 
 
-def _centroid_rank_pandas(vec_col: str, centroids) -> Column:
+def _centroid_rank_pandas(
+    vec_col: str, centroids, top_n: int | None = None
+) -> Column:
     """Large-K centroid ranking: one Arrow-batched pandas UDF scoring every
     vector against a broadcast numpy centroid matrix (K x dim float64).
+
+    ``top_n`` emits only the best-``top_n`` prefix of the ranking (exact,
+    tie-aware: candidates at the boundary cosine are re-ranked by cid
+    before the cut) — O(top_n) Arrow output per row instead of O(K).
 
     Mirrors the literal path's arithmetic: per-element products in float64
     (float32 inputs widen exactly), centroid norms from the SAME Python
@@ -425,6 +459,11 @@ def _centroid_rank_pandas(vec_col: str, centroids) -> Column:
             C = D / (np.sqrt(vv)[:, None] * wn[None, :])
         # HALF_UP at 6 decimals (sign-aware away-from-zero on ties)
         C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        # zero-norm vectors: 0/0 = NaN — mapped to -inf so ordering matches
+        # the literal path (see _centroid_rank_array)
+        C = np.where(np.isnan(C), -np.inf, C)
+        K = C.shape[1]
+        n_keep = K if top_n is None else min(top_n, K)
         out = []
         for i in range(C.shape[0]):
             if null_mask[i]:
@@ -432,10 +471,21 @@ def _centroid_rank_pandas(vec_col: str, centroids) -> Column:
                 # a null ranked array instead of crashing the whole batch
                 out.append(None)
                 continue
-            order = np.lexsort((cids, -C[i]))  # c desc, then cid asc
+            row = C[i]
+            if n_keep < K:
+                # exact top-n: argpartition finds the boundary cosine, then
+                # every candidate >= it (ties included) is re-ranked with
+                # the full (c desc, cid asc) order before the cut — the
+                # candidate set is n_keep + ties, never K
+                part = np.argpartition(-row, n_keep - 1)[:n_keep]
+                cstar = row[part].min()
+                cand = np.flatnonzero(row >= cstar)
+            else:
+                cand = np.arange(K)
+            order = cand[np.lexsort((cids[cand], -row[cand]))][:n_keep]
             out.append(
                 [
-                    {"c": float(C[i, j]), "nid": int(-cids[j])}
+                    {"c": float(row[j]), "nid": int(-cids[j])}
                     for j in order
                 ]
             )
@@ -487,7 +537,10 @@ def semdedup(
         ]
     assigned = (
         _widen(df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")))
-        .withColumn("_r0", F.element_at(_centroid_rank_array("av", centroids), 1))
+        .withColumn(
+            "_r0",
+            F.element_at(_centroid_rank_array("av", centroids, top_n=1), 1),
+        )
         .select(
             "a_id",
             "av",

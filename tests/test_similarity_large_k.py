@@ -133,3 +133,79 @@ def test_large_k_null_and_empty_batches(spark):
     by_id = {r["vec_id"]: r["r"] for r in out}
     assert by_id[1] is None
     assert by_id[0] is not None and len(by_id[0]) == K
+
+
+def test_zero_vector_assignment_agrees_across_threshold(spark, monkeypatch):
+    """A zero-norm vector's cosines are 0/0 = NaN; both physical paths must
+    map them to -inf BEFORE ranking so the assigned cell is identical on
+    either side of CENTROID_LITERAL_MAX (raw NaN sorts FIRST in Spark's
+    sort_array but LAST under np.lexsort)."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, [0.0] * DIM), (1, [0.3] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = _centroids(260)
+
+    got = {
+        r["vec_id"]: (r["cell"], r["r0c"])
+        for r in sim.ivf_cells(df, cents, "embedding", n_cells=1)
+        .withColumn(
+            "r0c",
+            F.element_at(
+                sim._centroid_rank_array("embedding", cents, top_n=1), 1
+            )["c"],
+        )
+        .collect()
+    }
+    monkeypatch.setattr(sim, "CENTROID_LITERAL_MAX", 10**9)
+    want = {
+        r["vec_id"]: (r["cell"], r["r0c"])
+        for r in sim.ivf_cells(df, cents, "embedding", n_cells=1)
+        .withColumn(
+            "r0c",
+            F.element_at(
+                sim._centroid_rank_array("embedding", cents, top_n=1), 1
+            )["c"],
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
+    # the -inf sentinel (not NaN) is the struct value on both paths
+    assert got[0][1] == float("-inf")
+    assert got[0][0] == [0]  # all ties -> lowest cid wins deterministically
+
+
+def test_top_n_prefix_equals_full_ranking(spark):
+    """top_n must emit exactly the first n entries of the full ranking —
+    including boundary ties, which argpartition alone would cut
+    arbitrarily (centroid pairs here share identical vectors, so rounded
+    cosines tie in bulk)."""
+    from pyspark.sql import functions as F
+
+    df = _vectors(spark, n=12)
+    base = _centroids(150)
+    # duplicate every centroid vector under a second cid: guaranteed ties
+    cents = [(c, v) for c, v in base] + [
+        (c + 150, list(v)) for c, v in base
+    ]
+    assert len(cents) > sim.CENTROID_LITERAL_MAX
+    full = (
+        df.select(
+            "vec_id",
+            sim._centroid_rank_array("embedding", cents).alias("r"),
+        )
+        .collect()
+    )
+    pref = (
+        df.select(
+            "vec_id",
+            sim._centroid_rank_array("embedding", cents, top_n=5).alias("r"),
+        )
+        .collect()
+    )
+    full_by = {r["vec_id"]: r["r"] for r in full}
+    for r in pref:
+        assert len(r["r"]) == 5
+        assert [tuple(x) for x in r["r"]] == [
+            tuple(x) for x in full_by[r["vec_id"]][:5]
+        ]
