@@ -261,6 +261,37 @@ def run_bench() -> dict:
     )
     timings["scan_after_dv"] = round(time.time() - t0, 3)
 
+    # ---- DV-vs-pos crossover at DENSITY (round-5): a ~13% n_tok slice
+    # written as v2 row-file pos-deletes, then converted to DV bitmaps.
+    # Row files carry one (path, pos) row per deleted position — O(deleted
+    # rows) — while a bitmap sidecar stays O(files + set bits / 8); the
+    # 1%-vs-13% pair below turns the documented "the win grows with
+    # density" claim into two measured points.
+    dv_bytes_before_10 = sum(
+        f.file_size_bytes
+        for f in tbl.pos_delete_files()
+        if f.delete_format == "dv"
+    )
+    t0 = time.time()
+    delete_where(spark, tbl, {"n_tok": (80, 95)}, strategy="mor-pos")
+    timings["delete_10pct_pos"] = round(time.time() - t0, 3)
+    pos10_rows = [
+        f for f in tbl.pos_delete_files() if f.delete_format != "dv"
+    ]
+    pos10_bytes = sum(f.file_size_bytes for f in pos10_rows)
+    pos10_positions = sum(f.record_count for f in pos10_rows)
+    t0 = time.time()
+    convert_pos_deletes_to_dv(spark, tbl)
+    timings["convert_pos_to_dv_10pct"] = round(time.time() - t0, 3)
+    dv10_bytes = (
+        sum(
+            f.file_size_bytes
+            for f in tbl.pos_delete_files()
+            if f.delete_format == "dv"
+        )
+        - dv_bytes_before_10
+    )
+
     gb = bytes_in / 1e9
     out = {
         "metric": "maintenance_suite_wall",
@@ -287,6 +318,10 @@ def run_bench() -> dict:
         "dv_sidecar_bytes": dv_bytes,
         "dv_sidecar_files": len(dv_sidecars),
         "rows_after_dv": n_after_dv and sum(r.n for r in n_after_dv),
+        "dv10_deleted_positions": pos10_positions,
+        "dv10_density_pct": round(100.0 * pos10_positions / rows_in, 2),
+        "pos10_delete_bytes": pos10_bytes,
+        "dv10_sidecar_bytes": dv10_bytes,
     }
     shutil.rmtree(wh, ignore_errors=True)
     return out
