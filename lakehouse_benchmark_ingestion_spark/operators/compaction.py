@@ -65,7 +65,9 @@ class CompactionPlan:
 
 
 def delete_debt(
-    table: IceliteTable, snapshot_id: int | None = None
+    table: IceliteTable,
+    snapshot_id: int | None = None,
+    all_files: list[mf.DataFile] | None = None,
 ) -> dict[str, int]:
     """Per-data-file count of delete sidecars that may address it — pure
     manifest metadata, no sidecar bodies read (Iceberg's
@@ -74,7 +76,13 @@ def delete_debt(
     rule, icelite/mor.py); a pos/DV sidecar counts against the data files
     inside its recorded ``file_path`` bounds — exact when the sidecar was
     stats-harvested on file_path (every engine writer does), conservative
-    all-files otherwise."""
+    all-files otherwise.
+
+    ``all_files`` lets the caller share ONE manifest enumeration: the
+    per-content accessors (data_files/delete_files/pos_delete_files) each
+    re-parse every manifest, and at 10^6 files one parse pass is ~30 s of
+    driver time (tools/plan_scale_bench.py) — three of them tripled the
+    cost of a single sweep."""
     snap = table.current_snapshot()
     sid = snapshot_id if snapshot_id is not None else (
         snap.snapshot_id if snap else None
@@ -83,9 +91,10 @@ def delete_debt(
         return {}
     from bisect import bisect_right
 
-    files = table.data_files(sid)
-    eq = table.delete_files(sid)
-    pos = table.pos_delete_files(sid)
+    entries = all_files if all_files is not None else table.all_files(sid)
+    files = [f for f in entries if f.content == mf.CONTENT_DATA]
+    eq = [f for f in entries if f.content == mf.CONTENT_EQ_DELETES]
+    pos = [f for f in entries if f.content == mf.CONTENT_POS_DELETES]
     # O((F+S) log S), not O(F*S) — at 10^7 files x 10^3 sidecars the naive
     # double loop is a 10^10-step driver stall.
     # eq-deletes: debt = #eq files with seq > f.seq -> bisect a sorted list
@@ -143,7 +152,11 @@ def plan_compaction(
         return CompactionPlan(snapshot_id=-1, target_file_size=target_file_size)
     if max_group_size is None:
         max_group_size = 8 * target_file_size
-    files = table.data_files(snap.snapshot_id)
+    # ONE manifest enumeration feeds both the candidate list and (when the
+    # delete-file-threshold pass is on) the debt sweep: at 10^6 files each
+    # full parse is ~30 s of driver time, and the planner used to pay four
+    all_entries = table.all_files(snap.snapshot_id)
+    files = [f for f in all_entries if f.content == mf.CONTENT_DATA]
     if where:
         # targeted compaction (Iceberg rewrite_data_files(filter) parity):
         # restrict candidates to files the predicate cannot rule out, via
@@ -171,7 +184,9 @@ def plan_compaction(
         # the commit GCs the now-dead sidecars (the read-side anti-join
         # cost disappears). Opt-in: None disables (existing plans unchanged).
         if delete_file_threshold is not None:
-            debt = delete_debt(table, snap.snapshot_id)
+            debt = delete_debt(
+                table, snap.snapshot_id, all_files=all_entries
+            )
             debt_paths = {
                 p for p, d in debt.items() if d >= delete_file_threshold
             }
