@@ -75,14 +75,15 @@ def merge_into(
     nothing until ``fast_forward(branch)`` publishes."""
     if strategy is None:
         strategy = table.write_mode("merge")
-    if table.row_lineage_enabled():
-        # v3 carry-over semantics (updated rows keep _row_id) are not
-        # implemented for MERGE: COW would silently reassign survivors'
-        # ids and MOR writes eq-deletes (refused at commit). Fail loudly.
+    lineage_on = table.row_lineage_enabled()
+    if lineage_on and strategy != "cow":
+        # MOR merge writes eq-deletes, which cannot address row ids and
+        # are refused at commit on lineage tables. COW carries: survivors
+        # and updated rows keep their _row_id (v3 writer contract, see
+        # _merge_cow_lineage), inserts get fresh ids inside the commit.
         raise ValueError(
-            "MERGE INTO is not supported on row-lineage tables (v1): "
-            "ingest with append + delete by position/DV, or disable "
-            f"{'row-lineage.enabled'!r}"
+            f"merge strategy {strategy!r} is not supported on row-lineage "
+            "tables (eq-deletes cannot carry row ids): use strategy='cow'"
         )
     run_id = run_id or uuid.uuid4().hex[:12]
     if branch is not None:
@@ -113,6 +114,7 @@ def merge_into(
     spec = table.bucket_spec
     if (
         branch is None  # bucketed fast path not wired for branch commits
+        and not lineage_on  # bucketed rewrite does not carry row ids
         and spec is not None
         and spec[0] == key
         and not table.delete_files()
@@ -185,35 +187,43 @@ def merge_into(
     file_by_path = {f.path: f for f in files}
     matched_bytes = sum(file_by_path[p].file_size_bytes for p in matched_paths)
     n_out = max(1, -(-matched_bytes // target_file_size))
-    if matched_paths:
-        # apply any outstanding eq-delete files (a prior merge-on-read
-        # commit) while reading — rewritten rows must not resurrect. The
-        # deletes apply under the key RECORDED when they were written, which
-        # may differ from this merge's key.
-        from ..icelite.mor import mor_scan
-
-        mor_key = table.recorded_merge_key() or key
-        matched_data = mor_scan(
-            spark, schema, [file_by_path[p] for p in matched_paths],
-            table.delete_files(base_sid), key=mor_key,
-            reader=table.pos_reader(spark, base_sid),
-            delete_reader=table._read_delete_keys(spark, mor_key),
+    if lineage_on:
+        out_paths, added, rows_out = _merge_cow_lineage(
+            spark, table, winners, winners_j, matched_paths, file_by_path,
+            base_sid, key, seq, n_out, target_file_size, run_id,
+            matched_bytes,
         )
-        unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
-        new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))
     else:
-        new_data = winners.select(*[f.name for f in schema.fields])
+        if matched_paths:
+            # apply any outstanding eq-delete files (a prior merge-on-read
+            # commit) while reading — rewritten rows must not resurrect. The
+            # deletes apply under the key RECORDED when they were written,
+            # which may differ from this merge's key.
+            from ..icelite.mor import mor_scan
 
-    # range-partition the rewrite on the key: keeps every task busy (a
-    # coalesce here would collapse the join's parallelism into n_out tasks)
-    # AND gives the new files disjoint key ranges → future merges prune well.
-    out_dir = os.path.join(table.location, "data", f"mg-{run_id}")
-    new_data.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
-    out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
-    added = mf.harvest_stats(out_paths)
-    for s in added:
-        s.sequence_number = seq
-    rows_out = sum(f.record_count for f in added)
+            mor_key = table.recorded_merge_key() or key
+            matched_data = mor_scan(
+                spark, schema, [file_by_path[p] for p in matched_paths],
+                table.delete_files(base_sid), key=mor_key,
+                reader=table.pos_reader(spark, base_sid),
+                delete_reader=table._read_delete_keys(spark, mor_key),
+            )
+            unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
+            new_data = unchanged.unionByName(winners.select(*[f.name for f in schema.fields]))
+        else:
+            new_data = winners.select(*[f.name for f in schema.fields])
+
+        # range-partition the rewrite on the key: keeps every task busy (a
+        # coalesce here would collapse the join's parallelism into n_out
+        # tasks) AND gives the new files disjoint key ranges → future
+        # merges prune well.
+        out_dir = os.path.join(table.location, "data", f"mg-{run_id}")
+        new_data.repartitionByRange(n_out, key).write.mode("overwrite").parquet(out_dir)
+        out_paths = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        added = mf.harvest_stats(out_paths)
+        for s in added:
+            s.sequence_number = seq
+        rows_out = sum(f.record_count for f in added)
 
     # validate-no-new-deletes (same race as compaction): a MOR delete
     # committed after this merge pinned its snapshot was neither applied in
@@ -253,6 +263,95 @@ def merge_into(
         "snapshot_id": new_snap.snapshot_id,
         "run_id": run_id,
     }
+
+
+def _merge_cow_lineage(
+    spark: SparkSession,
+    table: IceliteTable,
+    winners: DataFrame,
+    winners_j: DataFrame,
+    matched_paths: list[str],
+    file_by_path: dict,
+    base_sid: int | None,
+    key: str,
+    seq: int,
+    n_out: int,
+    target_file_size: int,
+    run_id: str,
+    matched_bytes: int,
+) -> tuple[list[str], list, int]:
+    """COW merge on a row-lineage table — Iceberg v3 carry-over semantics:
+
+      - UNCHANGED rows in rewritten files keep their (_row_id,
+        _last_updated_sequence_number) verbatim;
+      - UPDATED rows (key on both sides) keep the OLD image's ``_row_id``
+        and get ``_last_updated_sequence_number`` bumped to this commit's
+        sequence — so the key-free lineage changelog pairs them as one
+        update, never delete+insert;
+      - INSERTED rows (key only in the batch) are written WITHOUT lineage
+        columns and receive fresh ids from the table counter inside the
+        atomic commit (``replace_files`` → ``_assign_row_ids``), exactly
+        like an append.
+
+    Rewritten files therefore materialize the lineage columns
+    (``lineage="materialized"``) while insert files stay plain — mixing
+    both in one commit is safe because id assignment skips materialized
+    entries. The read applies position deletes / DVs under the planning
+    snapshot (``lineage_read``), so a DV-deleted key re-upserted by the
+    batch correctly becomes an insert with a FRESH id."""
+    from ..icelite.table import LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+
+    schema = table.schema
+    cols = [f.name for f in schema.fields]
+    matched_data = table.lineage_read(
+        spark, [file_by_path[p] for p in matched_paths], snapshot_id=base_sid
+    )
+    rid_map = matched_data.select(key, LINEAGE_ROW_ID_COL)
+    unchanged = matched_data.join(winners_j.select(key), key, "left_anti")
+    updated = winners.join(rid_map, key, "inner").select(
+        *cols,
+        F.col(LINEAGE_ROW_ID_COL),
+        F.lit(seq).cast("long").alias(LINEAGE_SEQ_COL),
+    )
+    inserts = winners.join(rid_map.select(key), key, "left_anti").select(*cols)
+
+    out_paths: list[str] = []
+    added: list[mf.DataFile] = []
+    if matched_paths:
+        rw_dir = os.path.join(table.location, "data", f"mg-{run_id}")
+        rewritten = unchanged.select(
+            *cols, LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+        ).unionByName(updated)
+        rewritten.repartitionByRange(n_out, key).write.mode(
+            "overwrite"
+        ).parquet(rw_dir)
+        rw_paths = sorted(glob.glob(os.path.join(rw_dir, "part-*.parquet")))
+        rw_stats = mf.harvest_stats(rw_paths)
+        for s in rw_stats:
+            s.sequence_number = seq
+            s.lineage = mf.LINEAGE_MATERIALIZED
+        out_paths.extend(rw_paths)
+        added.extend(rw_stats)
+
+    # inserts sized from the matched files' observed bytes/row (falls back
+    # to one file when the table was empty)
+    rows_matched = sum(file_by_path[p].record_count for p in matched_paths)
+    row_bytes = (matched_bytes / rows_matched) if rows_matched else 256.0
+    ins_dir = os.path.join(table.location, "data", f"mg-{run_id}-ins")
+    # upper bound: every winner could be an insert
+    n_winners = winners.count()
+    n_ins = max(1, -(-int(n_winners * row_bytes) // target_file_size))
+    inserts.repartitionByRange(n_ins, key).write.mode("overwrite").parquet(
+        ins_dir
+    )
+    ins_paths = sorted(glob.glob(os.path.join(ins_dir, "part-*.parquet")))
+    ins_stats = [s for s in mf.harvest_stats(ins_paths) if s.record_count]
+    for s in ins_stats:
+        s.sequence_number = seq
+    out_paths.extend(s.path for s in ins_stats)
+    added.extend(ins_stats)
+    rows_out = sum(f.record_count for f in added)
+    return out_paths, added, rows_out
 
 
 def _merge_bucketed(

@@ -192,8 +192,11 @@ def test_eq_delete_ops_refused(spark, lin_table):
     upd = tokens_df(spark, SF_SMOKE).limit(3).withColumn(
         "_seq", F.lit(1).cast("long")
     )
+    # MOR merge writes eq-deletes — still refused; COW carries (see
+    # test_merge_cow_carries_row_ids)
     with pytest.raises(ValueError, match="row-lineage"):
-        merge_into(spark, tbl, upd, key="doc_id", seq_col="_seq")
+        merge_into(spark, tbl, upd, key="doc_id", seq_col="_seq",
+                   strategy="mor")
 
 
 def test_pre_lineage_files_read_null(spark, warehouse):
@@ -360,3 +363,134 @@ def test_lineage_model_under_random_op_sequences(spark, tmp_path_factory, ops, d
     }
     assert got == model
     assert tbl.meta.next_row_id == next_id
+
+
+# ---- v3 carry-over MERGE INTO (COW on a lineage table) --------------------
+
+
+def test_merge_cow_carries_row_ids(spark, lin_table):
+    """COW MERGE on a lineage table: updated rows keep the old image's
+    _row_id with the sequence bumped; untouched rows keep both verbatim;
+    inserted rows get fresh dense ids from the counter — the Iceberg v3
+    writer carry-over contract for MERGE."""
+    tbl = lin_table
+    before = _lineage_map(spark, tbl)
+    n0 = tbl.meta.next_row_id
+
+    upd_keys = ["3", "7", "11"]
+    base = tokens_df(spark, SF_SMOKE)
+    updates = (
+        base.filter(F.col("doc_id").isin(upd_keys))
+        .withColumn("source", F.lit("merged"))
+        .unionByName(
+            base.limit(2).select(
+                F.concat(F.lit("ins-"), F.col("doc_id")).alias("doc_id"),
+                "tokens", "n_tok", F.lit("fresh").alias("source"),
+            )
+        )
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    res = merge_into(spark, tbl, updates, key="doc_id", seq_col="_seq",
+                     strategy="cow")
+    assert res.get("snapshot_id") or res  # committed
+
+    after = _lineage_map(spark, tbl)
+    merge_seq = max(s for _, s in after.values())
+    for k in upd_keys:
+        assert after[k][0] == before[k][0], "updated row must keep _row_id"
+        assert after[k][1] == merge_seq > before[k][1], (
+            "updated row must bump _last_updated_sequence_number"
+        )
+    untouched = [k for k in before if k not in upd_keys]
+    for k in untouched:
+        assert after[k] == before[k], "unmatched rows carry verbatim"
+    ins = sorted(
+        rid for k, (rid, _) in after.items() if k.startswith("ins-")
+    )
+    assert ins == [n0, n0 + 1], "inserts draw fresh dense ids from counter"
+    # updated sources really changed
+    srcs = {
+        r["doc_id"]: r["source"]
+        for r in tbl.scan(spark).filter(F.col("doc_id").isin(upd_keys)).collect()
+    }
+    assert all(srcs[k] == "merged" for k in upd_keys)
+
+
+def test_merge_cow_lineage_changelog_pairs_updates(spark, lin_table):
+    """The key-free lineage changelog across a COW merge must emit one
+    update_before/update_after PAIR per updated key (same _row_id) and
+    plain inserts for the fresh keys — delete+insert would mean the merge
+    reassigned ids."""
+    from lakehouse_benchmark_ingestion_spark.operators.changes import (
+        snapshot_changelog_lineage,
+    )
+
+    tbl = lin_table
+    s0 = tbl.current_snapshot().snapshot_id
+    base = tokens_df(spark, SF_SMOKE)
+    updates = (
+        base.filter(F.col("doc_id") == "5")
+        .withColumn("source", F.lit("m"))
+        .unionByName(
+            base.limit(1).select(
+                F.lit("brand-new").alias("doc_id"),
+                "tokens", "n_tok", F.lit("m").alias("source"),
+            )
+        )
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, tbl, updates, key="doc_id", seq_col="_seq")
+    ch = snapshot_changelog_lineage(
+        spark, tbl, s0, tbl.current_snapshot().snapshot_id
+    )
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["change_type"], set()).add(r["doc_id"])
+    assert by_type["update_before"] == {"5"}
+    assert by_type["update_after"] == {"5"}
+    assert by_type["insert"] == {"brand-new"}
+    assert "delete" not in by_type
+    rids = {
+        r["change_type"]: r[LINEAGE_ROW_ID_COL]
+        for r in ch.filter(F.col("doc_id") == "5").collect()
+    }
+    assert rids["update_before"] == rids["update_after"]
+
+
+def test_merge_cow_dv_deleted_key_reinserts_fresh(spark, lin_table):
+    """A key removed by a DV delete and then re-upserted by the batch is an
+    INSERT with a fresh id (the old id is dead — resurrection would break
+    the changelog's pairing), and the DV must not leak onto the rewritten
+    files."""
+    tbl = lin_table
+    old = _lineage_map(spark, tbl)["7"]
+    delete_where(spark, tbl, {"doc_id": "7"}, strategy="dv")
+    n0 = tbl.meta.next_row_id
+    updates = (
+        tokens_df(spark, SF_SMOKE)
+        .filter(F.col("doc_id") == "7")
+        .withColumn("source", F.lit("back"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, tbl, updates, key="doc_id", seq_col="_seq")
+    after = _lineage_map(spark, tbl)
+    assert after["7"][0] == n0 != old[0], "re-upsert must get a FRESH id"
+    rows = tbl.scan(spark).filter(F.col("doc_id") == "7").collect()
+    assert len(rows) == 1 and rows[0]["source"] == "back"
+
+
+def test_merge_cow_lineage_then_compaction_preserves(spark, lin_table):
+    """Materialized merge outputs + assigned insert files survive a
+    compaction with ids and sequences intact (the rewrite-preserves
+    contract composed with the merge)."""
+    tbl = lin_table
+    updates = (
+        tokens_df(spark, SF_SMOKE)
+        .filter(F.col("doc_id").isin(["2", "4"]))
+        .withColumn("source", F.lit("m"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    merge_into(spark, tbl, updates, key="doc_id", seq_col="_seq")
+    before = _lineage_map(spark, tbl)
+    compact(spark, tbl, target_file_size=1 << 30)
+    assert _lineage_map(spark, tbl) == before
