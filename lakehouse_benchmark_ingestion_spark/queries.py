@@ -1206,6 +1206,63 @@ def q_maint_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p["cll_result"]
 
 
+def q_maint_merge_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 carry-over MERGE INTO certified at the VALUE level (round-5
+    feature, operators/merge_into.py:_merge_cow_lineage): a row-lineage
+    table appended range-sorted (``_row_id`` = doc_id rank) takes the
+    standard upsert batch (updates %3==0 with intra-batch LWW dups,
+    inserts 1000000+k for %7==0) as a COW merge. The certified scan
+    returns every post-merge row with its lineage: updated rows must KEEP
+    the base rank as ``_row_id`` with ``_last_updated_sequence_number``
+    bumped to the merge commit (2), untouched rows carry (rank, 1)
+    verbatim, and inserted rows carry sequence 2 with their ``_row_id``
+    masked NULL on both sides — insert ids are counter-assigned in file
+    order, which is legitimately nondeterministic under parallel writes
+    (the dense-counter contract itself is pytest-pinned,
+    test_row_lineage.py). A reassigned survivor id, a missed or spurious
+    seq bump, or a resurrected LWW loser all mismatch the oracle."""
+    p = prepared_warehouse(spark, sf_dir)
+    if "table_ml" not in p:
+        from .icelite.table import (
+            LINEAGE_ROW_ID_COL,
+            LINEAGE_SEQ_COL,
+            ROW_LINEAGE_PROP,
+        )
+
+        df = tokens_df(spark, sf_dir)
+        tbl = Catalog(p["warehouse"]).create_table(
+            "sequences_ml", df.schema, properties={ROW_LINEAGE_PROP: "true"}
+        )
+        tbl.append(
+            df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+        )
+        n_base = tbl.meta.next_row_id
+        merge_into(spark, tbl, updates_df(spark, sf_dir))
+        n_inserts = (
+            updates_df(spark, sf_dir)
+            .select("doc_id").distinct()
+            .filter(F.col("doc_id").cast("long") >= 1000000)
+            .count()
+        )
+        assert tbl.meta.next_row_id == n_base + n_inserts, (
+            "merge must draw exactly one fresh id per inserted key"
+        )
+        p["table_ml"] = tbl
+    from .icelite.table import LINEAGE_ROW_ID_COL, LINEAGE_SEQ_COL
+
+    is_insert = F.col("doc_id").cast("long") >= 1000000
+    return p["table_ml"].scan_lineage(spark).select(
+        "doc_id",
+        "n_tok",
+        "source",
+        F.expr(TOK_DIGEST_SPARK).alias("tok_digest"),
+        F.when(is_insert, F.lit(None).cast("long"))
+        .otherwise(F.col(LINEAGE_ROW_ID_COL).cast("long"))
+        .alias("row_id"),
+        F.col(LINEAGE_SEQ_COL).cast("long").alias("last_seq"),
+    )
+
+
 def q_maint_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAP completed with cherry-pick (Iceberg cherrypick_snapshot): main
     holds third==0; third==1 is STAGED on an audit branch; main then
@@ -1532,6 +1589,28 @@ MAINT_ORACLES: dict[str, str] = {
                'insert'
         FROM ranked WHERE CAST(doc_id AS BIGINT) % 11 = 0
     """,
+    # carry-over MERGE: updated/unchanged ids are recomputable as ranks of
+    # the sorted base append; insert ids are masked NULL on both sides
+    # (counter-assigned in nondeterministic file order); the seq column is
+    # fully declarative — 2 for merge-touched rows, 1 for carried rows
+    "maint_merge_lineage": f"""
+        WITH base AS ({TOKENS_ORACLE_SQL}),
+        ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                       AS row_id
+            FROM base
+        ),
+        final AS ({MERGE_FINAL_ORACLE_SQL})
+        SELECT f.doc_id, f.n_tok, f.source,
+               {TOK_DIGEST_DUCK} AS tok_digest,
+               CASE WHEN CAST(f.doc_id AS BIGINT) >= 1000000 THEN NULL
+                    ELSE r.row_id END AS row_id,
+               CAST(CASE WHEN CAST(f.doc_id AS BIGINT) >= 1000000 THEN 2
+                         WHEN CAST(f.doc_id AS BIGINT) % 3 = 0 THEN 2
+                         ELSE 1 END AS BIGINT) AS last_seq
+        FROM final f LEFT JOIN ranked r ON f.doc_id = r.doc_id
+    """,
     "maint_eq_to_pos": digest_scan_sql(
         f"SELECT * FROM ({TOKENS_ORACLE_SQL}) WHERE n_tok > 20 AND n_tok < 100"
     ),
@@ -1580,7 +1659,8 @@ MAINT_ORACLES: dict[str, str] = {
 # shipping binary re-proves them. Rebuild with tools/rotate_window.py;
 # `--check` (run in tests) fails if the order wastes window slots.
 _CERTIFICATION_PRIORITY = [
-    "maint_changelog_lineage", # never certified
+    "maint_changelog_lineage", # never certified (new round 5)
+    "maint_merge_lineage", # never certified (new round 5: carry-over MERGE)
     "maint_scan",
     "rel_mktsegment_rollup",
     "rel_pricing_summary",
@@ -1753,6 +1833,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maint_ndv_sketch": q_maint_ndv_sketch,
         "maint_cherry_pick": q_maint_cherry_pick,
         "maint_changelog_lineage": q_maint_changelog_lineage,
+        "maint_merge_lineage": q_maint_merge_lineage,
         "maint_row_lineage": q_maint_row_lineage,
         "maint_expire_travel": q_maint_expire_travel,
         "maint_manifest_rewrite": q_maint_manifest_rewrite,
