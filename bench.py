@@ -8,7 +8,10 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[<n>] parallelism (default 32)
-  BENCH_REPLICATE      tokens-table scale multiplier (default 256)
+  BENCH_REPLICATE      tokens-table scale multiplier (default 1024 since
+                       round 5: a ~12 s suite wall sits well above this
+                       host's 1-2 s noise swings, where the old 256
+                       default's ~6 s wall did not; ~3 min per run)
 
 --scaling: interleaved min-of-3 legs at local[4] vs local[16] on a
 SCALING_REPLICATE=1024 input, fresh JVM per leg (the sandbox's N vs 4N
@@ -27,7 +30,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "256"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "1024"))
 # co-tenant noise robustness: the timed suite runs on ROUNDS freshly-ingested
 # tables and each phase reports its min (the classic min-of-k protocol — min
 # is the noise-free estimator for deterministic work)
