@@ -83,14 +83,25 @@ def build(wh: str):
         for j in range(PER_MANIFEST):
             i = m * PER_MANIFEST + j
             lo = i * 10 + 1  # disjoint n_tok slices: the clustered layout
+            # "scatter": a column UNCORRELATED with the layout (a hash) —
+            # every manifest covers nearly the full domain, so footer
+            # summaries cannot prune it and a selective predicate forces
+            # a full-manifest pass: the distributed planner's win case
+            sc = (i * 2654435761) % (1 << 32)
             files.append(
                 mf.DataFile(
                     path=f"{wh}/big/data/f{i:08d}.parquet",
                     file_size_bytes=8 * 1024 * 1024,
                     record_count=4096,
-                    lower_bounds={"n_tok": lo, "doc_id": f"d{i:08d}"},
-                    upper_bounds={"n_tok": lo + 9, "doc_id": f"d{i:08d}~"},
-                    null_counts={"n_tok": 0, "doc_id": 0},
+                    lower_bounds={
+                        "n_tok": lo, "doc_id": f"d{i:08d}", "scatter": sc,
+                    },
+                    upper_bounds={
+                        "n_tok": lo + 9,
+                        "doc_id": f"d{i:08d}~",
+                        "scatter": sc + 1000,
+                    },
+                    null_counts={"n_tok": 0, "doc_id": 0, "scatter": 0},
                     sequence_number=m + 1,
                     partition_json=json.dumps({"source": src}),
                     sort_order="zorder",
@@ -205,6 +216,56 @@ def main() -> None:
     )
     timings["plan_compaction"] = round(time.perf_counter() - t0, 3)
     stats["compaction_groups"] = len(plan.groups)
+
+    # optional: distributed (executor-side) planning comparison — the
+    # scale path past ~10^7 files. Spins a local SparkSession, so keep it
+    # opt-in to preserve the default Spark-free metadata-only run.
+    if os.environ.get("PLAN_DISTRIBUTED") == "1":
+        from lakehouse_benchmark_ingestion_spark.session import get_spark
+
+        spark = get_spark("plan-scale")
+        spark.sparkContext.setLogLevel("ERROR")
+        tbl.select_data_files_distributed(spark, {"n_tok": (1, 10)})  # warm
+        t0 = time.perf_counter()
+        sel = tbl.select_data_files_distributed(spark, where)
+        timings["select_range_distributed"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert len(sel) == stats["range_files_selected"]
+        # the WIN case: a selective predicate on the scattered column —
+        # summaries cannot skip any manifest (every one spans ~the full
+        # scatter domain), so the driver planner must parse every body
+        # single-threaded while executors split the same parse 32 ways
+        # and ship back only the ~0.5% survivors
+        scat = {"scatter": (0, (1 << 32) // 200)}
+        t0 = time.perf_counter()
+        sel_d = tbl.select_data_files_distributed(spark, scat)
+        timings["select_scattered_distributed"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        sel = tbl.select_data_files(scat)
+        timings["select_scattered_driver"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert sorted(f.path for f in sel_d) == sorted(f.path for f in sel)
+        stats["scattered_files_selected"] = len(sel)
+        del sel, sel_d
+
+        # the hard case: an UNSELECTIVE predicate forces a full-manifest
+        # pass AND a full-size survivor set — the collect+rebuild of 10^6
+        # entries costs what the driver parse cost (documented: the
+        # distributed path wins only when survivors << total)
+        t0 = time.perf_counter()
+        sel = tbl.select_data_files_distributed(spark, {"n_tok": (1, None)})
+        timings["select_all_distributed"] = round(
+            time.perf_counter() - t0, 3
+        )
+        stats["all_files_selected_distributed"] = len(sel)
+        t0 = time.perf_counter()
+        sel = tbl.select_data_files({"n_tok": (1, None)})
+        timings["select_all_driver"] = round(time.perf_counter() - t0, 3)
+        del sel
 
     out = {
         "metric": "plan_scale",
